@@ -1,0 +1,254 @@
+"""Reference analytics surface as named queries (SURVEY.md §2.4, §3 E3).
+
+These are the queries the reference actually answers — the Redis-sink
+window aggregates (A1-A7) and the monitor's read path (A8-A11) — mapped
+onto the driver fixture tables (events = engagement_events, customer =
+content dimension, FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators.enrich import enrich_fixture_events
+from stream_processing_project_spark.operators.windows import (
+    minute_agg,
+    sliding_rollup,
+    topk,
+)
+from stream_processing_project_spark.plans.common import (
+    ENRICHED_CTE,
+    PER_MINUTE_CTE,
+    t,
+)
+from stream_processing_project_spark.plans.registry import register
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_fixture_events(t(spark, sf_dir, "events"), t(spark, sf_dir, "customer"))
+
+
+def _per_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minute_agg(_enriched(spark, sf_dir), "ts", "segment", "engagement_pct")
+
+
+# ---------------------------------------------------------------------------
+# Flagship — the end-to-end Redis-analytics answer (M1): scan → broadcast
+# left join → derived metrics → tumbling window agg → roll-up → top-3
+# (reference: EngagementRedisSink.scala:126-199 + monitor.py:167-173).
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_topk_engagement",
+    oracle=f"""
+WITH {ENRICHED_CTE.strip()},
+{PER_MINUTE_CTE.strip()}
+SELECT key AS segment,
+       CAST(sum(cnt) AS BIGINT) AS access_count,
+       round(sum(sum_val), 2) / greatest(sum(cnt), 1) AS avg_pct
+FROM per_minute
+GROUP BY key
+ORDER BY avg_pct DESC NULLS LAST
+LIMIT 3
+""",
+    tags=("bench", "flagship"),
+)
+def flagship_topk_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 segments by windowed engagement ratio, the reference's
+    headline stat (stats:top_by_engagement, EngagementRedisSink.scala:186-193)."""
+    rolled = (
+        _per_minute(spark, sf_dir)
+        .groupBy(F.col("key").alias("segment"))
+        .agg(
+            F.sum("cnt").alias("access_count"),
+            (F.round(F.sum("sum_val"), 2) / F.greatest(F.sum("cnt"), F.lit(1))).alias(
+                "avg_pct"
+            ),
+        )
+    )
+    return topk(rolled, "avg_pct", 3)
+
+
+# --- A1: tumbling 1-minute grouped COUNT -----------------------------------
+@register(
+    "window_counts_1min",
+    oracle=f"""
+WITH {ENRICHED_CTE.strip()}
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       segment AS key,
+       count(*) AS cnt
+FROM enriched
+GROUP BY 1, 2
+""",
+)
+def window_counts_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — COUNT(*) GROUP BY window(1 min), key
+    (reference: HINCRBY access:by_type, EngagementRedisSink.scala:132-139)."""
+    return _per_minute(spark, sf_dir).select("w_start", "key", "cnt")
+
+
+# --- A2: tumbling 1-minute grouped SUM --------------------------------------
+@register(
+    "window_sums_1min",
+    oracle=f"""
+WITH {ENRICHED_CTE.strip()}
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       segment AS key,
+       round(sum(engagement_pct), 2) AS sum_val
+FROM enriched
+GROUP BY 1, 2
+""",
+)
+def window_sums_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — SUM(engagement_pct) GROUP BY window, key; NULLs skipped natively
+    (reference: ZINCRBY engagement:by_type, EngagementRedisSink.scala:141-144)."""
+    return _per_minute(spark, sf_dir).select("w_start", "key", "sum_val")
+
+
+# --- A4+A5: sliding 10-minute roll-up ---------------------------------------
+@register(
+    "sliding_10min_rollup",
+    oracle=f"""
+WITH {ENRICHED_CTE.strip()},
+{PER_MINUTE_CTE.strip()}
+SELECT w_start, key, cnt, sum_val,
+       CAST(sum(cnt) OVER w AS BIGINT) AS win_cnt,
+       round(sum(sum_val) OVER w, 2) AS win_sum,
+       round(sum(sum_val) OVER w, 2) / greatest(sum(cnt) OVER w, 1) AS win_avg
+FROM per_minute
+WINDOW w AS (
+  PARTITION BY key
+  ORDER BY epoch(CAST(w_start AS TIMESTAMP))
+  RANGE BETWEEN 540 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def sliding_10min_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5 — 10-minute sliding totals at 1-minute granularity,
+    re-aggregating the per-minute pre-aggregate (reference merge loop,
+    EngagementRedisSink.scala:160-193). avg = sum/count, not AVG()."""
+    return sliding_rollup(_per_minute(spark, sf_dir), window_minutes=10)
+
+
+# --- A6+A7: top-5 by access count --------------------------------------------
+@register(
+    "topk_by_access",
+    oracle=f"""
+WITH {ENRICHED_CTE.strip()}
+SELECT segment AS key, count(*) AS access_count
+FROM enriched
+GROUP BY segment
+ORDER BY access_count DESC NULLS LAST, key
+LIMIT 5
+""",
+)
+def topk_by_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 — stats:top_by_access, ZREVRANGE top-5
+    (EngagementRedisSink.scala:194-197; monitor.py:167-168,185)."""
+    agg = (
+        _enriched(spark, sf_dir)
+        .groupBy(F.col("segment").alias("key"))
+        .agg(F.count(F.lit(1)).alias("access_count"))
+        .orderBy(F.col("access_count").desc_nulls_last(), F.col("key"))
+        .limit(5)
+    )
+    return agg
+
+
+# --- A8: per-sink COUNT(*) ----------------------------------------------------
+@register(
+    "sink_counts",
+    oracle="""
+SELECT 'events' AS tbl, count(*) AS n FROM events
+UNION ALL SELECT 'orders' AS tbl, count(*) AS n FROM orders
+UNION ALL SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+""",
+)
+def sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — global COUNT(*) per table, the monitor's lag inputs
+    (monitor.py:82-83,110-111,127-128)."""
+    parts = [
+        t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tbl"), "n"
+        )
+        for name in ("events", "orders", "lineitem")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- A9: rate over a count time-series ---------------------------------------
+@register(
+    "rate_timeseries",
+    oracle="""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT w_start, cnt,
+       CASE WHEN lag(cnt) OVER (ORDER BY w_start) IS NOT NULL THEN
+         greatest(
+           0,
+           (cnt - lag(cnt) OVER (ORDER BY w_start))
+             / (epoch(CAST(w_start AS TIMESTAMP))
+                - lag(epoch(CAST(w_start AS TIMESTAMP))) OVER (ORDER BY w_start))
+         )
+       END AS rate_per_s
+FROM c
+""",
+)
+def rate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — (count_now − count_prev)/Δt clamped at 0
+    (monitor.py:223-229; stress_test.py:209-213)."""
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("w_start")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("w_start")
+    epoch = F.unix_timestamp(F.col("w_start"), "yyyy-MM-dd HH:mm:ss")
+    prev_cnt = F.lag("cnt").over(w)
+    prev_epoch = F.lag(epoch).over(w)
+    return c.withColumn(
+        "rate_per_s",
+        F.when(
+            prev_cnt.isNotNull(),
+            F.greatest(F.lit(0), (F.col("cnt") - prev_cnt) / (epoch - prev_epoch)),
+        ),
+    )
+
+
+# --- A10: lag (difference of two counts) --------------------------------------
+@register(
+    "lag_delta",
+    oracle="""
+SELECT CAST(a.n - b.n AS BIGINT) AS delta
+FROM (SELECT count(*) AS n FROM events) a,
+     (SELECT count(*) AS n FROM events WHERE event_type = 'purchase') b
+""",
+)
+def lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — pg_count − sink_count style scalar delta (monitor.py:274-275)."""
+    events = t(spark, sf_dir, "events")
+    a = events.agg(F.count(F.lit(1)).alias("n_a"))
+    b = events.filter(F.col("event_type") == "purchase").agg(F.count(F.lit(1)).alias("n_b"))
+    return a.crossJoin(b).select((F.col("n_a") - F.col("n_b")).alias("delta"))
+
+
+# --- A11: last-update marker ----------------------------------------------------
+@register(
+    "last_update",
+    oracle="SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_update FROM events",
+)
+def last_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — SET stats:last_update = max timestamp seen
+    (EngagementRedisSink.scala:199)."""
+    return (
+        t(spark, sf_dir, "events")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_update"))
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-built Flink StreamExecutionEnvironment
+(reference: flink-scala/.../EngagementProcessor.scala:150-152 — global
+parallelism 12, 30 s checkpoints). Here parallelism is data-driven:
+shuffle partitions sized to cores locally, AQE re-plans at runtime
+(coalesce + skew-join + broadcast conversion), so the same code scales
+from local[32] to a 1000-executor cluster without re-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "stream-processing-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      sort-merge→broadcast conversion. On a real cluster this is the
+      lever that keeps the plan healthy at 100 TB.
+    - shuffle.partitions ~ cores locally; on a cluster AQE's advisory
+      target size takes over, so this is a floor not a schedule.
+    - Session timezone pinned UTC so results hash-match the DuckDB
+      oracle (DuckDB timestamps are UTC-naive).
+    - Arrow on: Pandas-UDF batches and createDataFrame go through Arrow.
+    """
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture parquet carries TIMESTAMP(NANOS); read as long, the
+        # loader converts to TimestampType (micros) — see sources/fixtures.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,46 @@
+"""Batch scans over the driver-generated parquet fixtures.
+
+Maps to the reference's source scans (SURVEY.md §2.1 S3/S5): columnar
+parquet + Catalyst gives column pruning and predicate pushdown for free
+— the reference hand-rolled both (3-of-6-column dimension SELECT,
+EngagementProcessor.scala:83-85).
+
+At 100 TB these reads are the dominant cost: never cache a fact table,
+always let the filter/projection reach the scan (verify via
+`.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.schemas import FIXTURE_TABLES
+
+# Columns stored as TIMESTAMP(NANOS) in the fixture parquet. Spark has no
+# nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong they
+# arrive as epoch-nanos longs and are floor-converted to micros here —
+# identical to DuckDB's ns→us handling, so oracle comparison at second
+# granularity is unaffected.
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain `spark.read.parquet` — no schema
+    override (parquet carries its own), no cache (scale!)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each fixture table as a temp view for the SQL surface."""
+    for name in tables or FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,78 @@
+"""Driver-gate rehearsal: every registered query with an oracle must match
+DuckDB exactly (row count + sorted-column value equality) at sf0.01.
+
+This mirrors the driver's CORRECTNESS check (order-insensitive value hash),
+so we compare EXACT values, not approximate — any float divergence must be
+fixed in the query (shared rounding), not tolerated here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stream_processing_project_spark.plans.registry import all_queries
+from tests.conftest import SF_ORACLE, register_duck_views
+
+
+def _normalize(rows, cols):
+    """Sort columns by name, then rows; canonicalize floats/None."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return float(v)
+        if hasattr(v, "item"):  # numpy scalar
+            return canon(v.item())
+        return v
+
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+_ORACLED = [(n, q) for n, q in sorted(all_queries().items()) if q.oracle]
+
+
+@pytest.mark.parametrize("name,query", _ORACLED, ids=[n for n, _ in _ORACLED])
+def test_oracle_parity(spark, duck, name, query):
+    register_duck_views(duck, SF_ORACLE)
+    sdf = query.builder(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(query.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    left = _normalize(spark_rows, spark_cols)
+    right = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["segment", "access_count", "avg_pct"]
+
+
+def test_queries_oracles_aligned():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert qs, "no queries registered"

@@ -1,1 +1,325 @@
-"""Placeholder — populated in later milestones."""
+"""Batch OLAP suite over the star schema — the at-rest query surface
+(SURVEY.md §3 E3: the monitor's ad-hoc reads, generalized to the full
+analytics capability a warehouse sink must answer) plus grouping-set /
+pivot / window / sessionization coverage.
+
+These are the bench headliners: at 100 TB these shapes (wide scans with
+pushed filters, shuffled aggregations, broadcast dimension joins, top-k)
+dominate, so each builder is written for the plan we want — dimension
+sides broadcast, filters at the scan, partial aggregation before the
+shuffle. Verify with .explain("formatted").
+
+Float-determinism rules per plans/common.py: sums of k-dp decimals are
+rounded at k dp (safe); divisions are emitted raw from deterministic
+operands; never round a division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.registry import register
+
+
+# --- TPC-H Q1 shape: pricing summary -----------------------------------------
+@register(
+    "olap_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(sum(l_quantity), 2) / count(*) AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("bench",),
+)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: one wide scan, 8 aggregates, two
+    grouping keys. Partial (map-side) aggregation makes the shuffle carry
+    only |groups| rows per task."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 4).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- TPC-H Q3 shape: shipping priority ----------------------------------------
+@register(
+    "olap_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC NULLS LAST, l_orderkey
+LIMIT 10
+""",
+    tags=("bench",),
+)
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dimension filter → broadcast customer →
+    join orders → join lineitem → agg → top-10. The customer side is
+    broadcast (dim ≪ fact); lineitem never shuffles before the join at
+    bench scale thanks to AQE broadcast conversion."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 shape: local supplier volume --------------------------------------
+@register(
+    "olap_region_revenue",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    tags=("bench",),
+)
+def olap_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: every dimension chain is broadcast so
+    the only shuffle is the final small aggregation — the fact table
+    streams through one stage."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))),
+               l.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --- top-k by revenue with dimension join ----------------------------------------
+@register(
+    "olap_top_brands",
+    oracle="""
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+ORDER BY revenue DESC NULLS LAST, p_brand
+LIMIT 10
+""",
+    tags=("bench",),
+)
+def olap_top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension join + agg + global top-k
+    (TakeOrderedAndProject — no full sort at scale)."""
+    l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("p_brand"))
+        .limit(10)
+    )
+
+
+# --- pivot ------------------------------------------------------------------------
+@register(
+    "olap_pivot_order_status",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def olap_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status → columns) — Catalyst rewrites to the same CASE-sum
+    aggregation the oracle spells out."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+# --- rollup (grouping sets) ----------------------------------------------------------
+@register(
+    "olap_rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+# --- window: running total -------------------------------------------------------------
+@register(
+    "olap_running_total",
+    oracle="""
+SELECT l_suppkey,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+WHERE l_suppkey <= 3
+""",
+)
+def olap_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running total over a deterministic ROWS frame — the
+    warehouse-side analogue of the reference's cumulative counters."""
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        )
+    )
+
+
+# --- sessionization -----------------------------------------------------------------------
+@register(
+    "olap_sessionize",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def olap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session starts via lag() + conditional
+    count — the batch form of session_window(ts, gap) (streaming twin in
+    streaming/pipeline.py). Gap compared in integer microseconds so both
+    engines agree exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0)
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --- exact distinct + quantiles --------------------------------------------------------------
+@register(
+    "olap_distinct_quantiles",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 3) AS median_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def olap_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + exact interpolated median + min/max per group.
+    (approx_count_distinct / percentile_approx are the scale path but
+    their sketches aren't oracle-comparable across engines — exercised in
+    unit tests instead.)"""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.expr("percentile(value, 0.5)"), 3).alias("median_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )

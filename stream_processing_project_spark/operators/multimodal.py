@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched Pandas UDFs.
+
+Beyond the reference's surface (BASELINE.json north star). The container
+has no image/audio codecs, so the DECODE STEP IS STUBBED with a
+deterministic fake (clearly marked below); everything Spark-side — the
+binary column, metadata struct, mapInPandas batch shape, partitioning —
+is real and tested. Swap `_fake_decode` for a real codec (PIL/ffmpeg)
+and nothing else changes.
+
+Scale notes: binary payloads ride in parquet as byte arrays; decode is
+mapInPandas so each task streams Arrow batches (bounded memory however
+large the table); never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes int, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal table shape from the documents fixture: an
+    opaque binary payload (utf-8 bytes stand in for media bytes) plus a
+    typed metadata struct — the schema a real ingest would produce."""
+    kind = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "image")
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            kind.alias("kind"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("synthetic/v1").alias("codec"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(kind: str, n_bytes: int) -> tuple[int, int, int, int]:
+    """DETERMINISTIC FAKE decode (STUB — replace with PIL/ffmpeg).
+    Derives plausible media dimensions purely from byte length so the
+    pipeline is testable and oracle-checkable end to end."""
+    width = 16 + (n_bytes % 64) * 8
+    height = 16 + (n_bytes % 48) * 8
+    n_frames = 1 if kind == "image" else 1 + n_bytes % 24
+    sample_rate = 16000 if kind == "audio" else 0
+    return width, height, n_frames, sample_rate
+
+
+def decode_media(media: DataFrame, use_real_decoders: bool = False) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow batches in, fixed
+    DECODED_SCHEMA out. The Spark plumbing (batch iteration, schema,
+    binary handling) is the real article; only the codec is stubbed."""
+    if use_real_decoders and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "real media decoders (PIL/ffmpeg) are not installed in this "
+            "environment; run with use_real_decoders=False for the "
+            "deterministic stub"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            kind = pdf["kind"]
+            decoded = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": kind,
+                    "n_bytes": n_bytes.astype("int32"),
+                    "width": (16 + (n_bytes % 64) * 8).astype("int32"),
+                    "height": (16 + (n_bytes % 48) * 8).astype("int32"),
+                    "n_frames": (
+                        (kind == "image").astype("int32")
+                        + (kind != "image").astype("int32") * (1 + n_bytes % 24)
+                    ).astype("int32"),
+                    "sample_rate": ((kind == "audio").astype("int32") * 16000),
+                }
+            )
+            yield decoded
+
+    flat = media.select(
+        "doc_id", F.col("media_meta.kind").alias("kind"), "payload"
+    )
+    return flat.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Frame sampling plan for video rows: which frame indices a real
+    extractor would pull — pure column expressions (sequence + filter)."""
+    return (
+        decoded.filter(F.col("kind") == "video")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.expr(
+                f"filter(sequence(0, n_frames - 1), i -> i % {every_nth} = 0)"
+            ).alias("sampled_frames"),
+        )
+        .withColumn("n_sampled", F.size("sampled_frames"))
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond the reference's surface (BASELINE.json north star). Two paths:
+  * brute-force cosine top-k — the exact baseline: broadcast the (small)
+    query set against the corpus, one narrow pass, per-query top-k via
+    window rank. Correct at any corpus size as long as |queries| is small
+    (the corpus never shuffles; ranking shuffles only |queries|×|corpus|
+    score rows — prune early with a score floor if k ≪ corpus).
+  * LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
+    prune the corpus to one bucket per query (probe-multiple for recall).
+
+Dot products run as codegen'd array aggregates over double-cast arrays
+(deterministic left-fold, matches DuckDB's list_cosine_similarity
+bit-for-bit on the same doubles — rounded at 6 dp for safety).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over double arrays (cast float embeddings first)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: queries broadcast against the corpus.
+    Output: query_id, neighbor_id, cos (rounded 6 dp), rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
+    All-pairs is the exact baseline; at corpus scale route through
+    ann_lsh buckets first and verify within buckets."""
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# --- LSH-bucketed ANN (scale path) -------------------------------------------
+
+N_PLANES = 8
+
+
+def _hyperplane(p: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: components derived from
+    xxhash64(p*dim+d) mapped to [-1, 1]. Seeded data-independent planes —
+    reproducible across runs and cluster sizes."""
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}),"
+        f" d -> cast(xxhash64(cast({p} * {dim} AS bigint) + d) AS double)"
+        f"      / 9.223372036854775807e18)"
+    )
+
+
+def lsh_bucket(vec: Column, dim: int) -> Column:
+    """Sign-bit bucket code against N_PLANES hyperplanes → int 0..2^N-1."""
+    code = F.lit(0)
+    for p in range(N_PLANES):
+        bit = (_dot(vec, _hyperplane(p, dim)) > 0).cast("int")
+        code = code * 2 + bit
+    return code
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. The bucket join is an equi-join on the code — at 100 TB the
+    corpus is hash-partitioned by bucket once and each query touches
+    ~1/2^N of it. Recall/latency tunes via N_PLANES and multi-probe."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

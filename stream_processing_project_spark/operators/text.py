@@ -1,0 +1,100 @@
+"""Text analysis for large-scale training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Beyond the reference's surface (BASELINE.json north star). Everything is
+built-in column expressions — JVM-side, codegen'd, no Python — so a
+100 TB documents table streams through one narrow stage: no shuffle, no
+UDF serde. Spark's higher-order functions (transform/filter/aggregate)
+handle the per-document token work inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language — heuristic lang-ID only.
+STOPWORDS = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "des", "et", "un", "une", "est"],
+}
+CJK_RE = "[\\u4e00-\\u9fff]"
+PUNCT_RE = "[^a-zA-Z0-9\\s]"
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (fixture docs are single-space separated)."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish regex tokenizer: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens in the language's stopword list, via an array
+    filter higher-order function — no explode, no shuffle."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(text), lambda w: w.isin(sw)))
+
+
+def lang_guess(text: Column) -> Column:
+    """Heuristic language ID: CJK script check, else argmax of stopword
+    hits with a fixed tie preference (en > de > es > fr)."""
+    en, de, es, fr = (stopword_hits(text, lng) for lng in ("en", "de", "es", "fr"))
+    return (
+        F.when(text.rlike(CJK_RE), F.lit("zh"))
+        .when((en >= de) & (en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de >= fr) & (de > 0), F.lit("de"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token counts, punctuation and
+    stopword ratios (raw integer-quotient doubles — deterministic), plus
+    a boolean keep-flag like a pretraining quality filter."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
+    en_hits = stopword_hits(text, "en")
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        (n_chars / n_tokens).alias("avg_token_len"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (en_hits / n_tokens).alias("stopword_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 100000) & (en_hits > 0)).cast("int").alias(
+            "quality_keep"
+        ),
+    )
+
+
+def fingerprint(text: Column, prefix_len: int = 64) -> Column:
+    """Content fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def prefix_fingerprint(text: Column, prefix_len: int = 64) -> Column:
+    """Cheap near-dup prefilter: md5 of the first `prefix_len` chars +
+    length bucket — the rolling-hash-style fingerprint."""
+    return F.md5(
+        F.concat(
+            F.substring(F.lower(F.trim(text)), 1, prefix_len),
+            F.lit(":"),
+            F.floor(F.length(text) / 100).cast("string"),
+        )
+    )

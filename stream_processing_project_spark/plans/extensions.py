@@ -1,1 +1,382 @@
-"""Placeholder — populated in later milestones."""
+"""Training-data-pipeline extension queries: dedup, similarity search,
+text analysis, multimodal plumbing, and the vectorized-UDF surface
+(SURVEY.md §2.7, §7 M4; BASELINE.json north star).
+
+Hash-seeded sketches (MinHash LSH, SimHash, hyperplane ANN) have no
+cross-engine oracle — the driver records rows-only checks; their
+semantics are pinned by unit tests with planted duplicates instead.
+Everything else carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stream_processing_project_spark.operators import dedup, multimodal, similarity
+from stream_processing_project_spark.operators.text import (
+    BPE_ISH_RE,
+    PUNCT_RE,
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    prefix_fingerprint,
+    quality_features,
+)
+from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.registry import register
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+# =========================== text analysis ===================================
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS INTEGER) AS n_bpe_tokens,
+       length(text) / len(string_split(trim(text), ' ')) AS avg_token_len,
+       len(regexp_extract_all(text, '{PUNCT_RE}')) / length(text) AS punct_ratio,
+       len(list_filter(string_split(trim(text), ' '), w -> w IN ({_SW_EN})))
+         / len(string_split(trim(text), ' ')) AS stopword_ratio,
+       CASE WHEN len(string_split(trim(text), ' ')) BETWEEN 10 AND 100000
+              AND len(list_filter(string_split(trim(text), ' '), w -> w IN ({_SW_EN}))) > 0
+            THEN 1 ELSE 0 END AS quality_keep
+FROM documents
+""",
+    tags=("bench",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document — pretraining-filter style
+    (length/punct/stopword ratios, keep flag); all codegen'd array ops."""
+    return quality_features(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN en >= de AND en >= es AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= es AND de >= fr AND de > 0 THEN 'de'
+            WHEN es >= fr AND es > 0 THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_guess
+FROM (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split(trim(text), ' '), w -> w IN ({_SW_EN}))) AS en,
+         len(list_filter(string_split(trim(text), ' '), w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS["de"])}))) AS de,
+         len(list_filter(string_split(trim(text), ' '), w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS["es"])}))) AS es,
+         len(list_filter(string_split(trim(text), ' '), w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS["fr"])}))) AS fr
+  FROM documents
+)
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID (CJK script check + stopword
+    argmax with fixed tie order)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp,
+       md5(concat(substr(lower(trim(text)), 1, 64), ':',
+                  CAST(CAST(floor(length(text) / 100) AS BIGINT) AS VARCHAR))) AS prefix_fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + prefix/length-bucket
+    rolling-style hash (near-dup prefilter)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        prefix_fingerprint(F.col("text")).alias("prefix_fp"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_RE}'))) AS BIGINT) AS total_bpe_tokens
+FROM documents
+GROUP BY lang
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language — the budget query every
+    training-data pipeline runs first."""
+    from stream_processing_project_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count(F.col("text")).cast("long")).alias("total_bpe_tokens"),
+    )
+
+
+# =========================== deduplication ===================================
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+       count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_dups
+FROM documents
+GROUP BY lang
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per lang (hash-groupBy on content md5)."""
+    return dedup.exact_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+  GROUP BY fp
+) k USING (doc_id)
+""",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-lowest-doc_id policy (min-per-fingerprint, stays
+    partial-aggregatable — no row_number shuffle)."""
+    return dedup.exact_dedup_keep_first(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> concat(ws[i], ' ', ws[i + 1])))) AS sh
+  FROM words
+),
+rare AS (
+  SELECT * FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+    tags=("bench",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact bigram Jaccard with stop-shingle cap
+    (df ≤ 100) — the scalable exact-verification stage of a dedup
+    pipeline."""
+    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", tags=("bench",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
+    estimated Jaccard ≥ 0.5. Hash-seeded — rows-only driver check; the
+    semantics are pinned by tests with planted duplicates."""
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 6) via 16-bit band buckets.
+    Hash-seeded — rows-only driver check."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35 — fixture embeddings
+    are near-orthogonal random vectors, so the threshold sits in the tail
+    that still yields pairs)."""
+    return similarity.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# =========================== similarity search =================================
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle="""
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                    DESC NULLS LAST, c.vec_id) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+    tags=("bench",),
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors: broadcast
+    queries × corpus scan, per-query window rank — the ANN baseline."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (8 random-hyperplane sign bits) —
+    the scale path: each query scores only its bucket. Hash-seeded —
+    rows-only driver check; recall vs brute force asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# =========================== multimodal ========================================
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(16 + (octet_length(encode(text)) % 64) * 8 AS INTEGER) AS width,
+       CAST(16 + (octet_length(encode(text)) % 48) * 8 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 ELSE 1 + octet_length(encode(text)) % 24 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode via Arrow-batched mapInPandas (codec stubbed
+    deterministically — see operators/multimodal.py; the batch plumbing,
+    schema, and binary handling are real, which is what the oracle
+    verifies)."""
+    media = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(1 + octet_length(encode(text)) % 24 AS INTEGER) AS n_frames,
+       CAST((1 + octet_length(encode(text)) % 24 + 4) // 5 AS INTEGER) AS n_sampled
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video rows (every 5th frame) — sequence +
+    filter column expressions over the decoded metadata."""
+    media = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(multimodal.decode_media(media)).select(
+        "doc_id", "n_frames", "n_sampled"
+    )
+
+
+# =========================== vectorized UDF surface =============================
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT event_id, length(props) AS props_len FROM events WHERE event_id % 50 = 0
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf (Arrow-vectorized) — §2.7 capability. The work
+    (string length) is trivially oracle-checkable; the point is the
+    Arrow batch path."""
+
+    @F.pandas_udf(T.LongType())
+    def props_len(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
+        .select("event_id", props_len(F.col("props")).alias("props_len"))
+    )
+
+
+@register(
+    "udf_grouped_rank",
+    oracle="""
+SELECT event_id, event_type, value,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY value DESC NULLS LAST, event_id) AS rank
+FROM events WHERE event_id % 20 = 0
+""",
+)
+def udf_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-group pandas DataFrame) — §2.7
+    capability; deterministic rank so the window-function oracle matches."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["rank"] = range(1, len(pdf) + 1)
+        return pdf
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.pmod(F.col("event_id"), F.lit(20)) == 0)
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            rank_group, "event_id bigint, event_type string, value double, rank bigint"
+        )
+    )

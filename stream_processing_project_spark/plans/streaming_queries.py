@@ -1,0 +1,81 @@
+"""Streaming queries in the correctness gate (SURVEY.md §7 M3).
+
+Each callable drives a real Structured Streaming query over a bounded
+file source to completion (memory/parquet sinks, processAllAvailable)
+and returns the materialized result as a batch DataFrame.
+
+`streaming_minute_counts` is fully oracle-checkable: append mode emits
+exactly the windows whose end ≤ final watermark (max event time − 15
+min), a deterministic set over a fixed fixture — the oracle encodes that
+predicate. The fan-out snapshot is rows-only (it reads back its own
+serving table).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.registry import register
+from stream_processing_project_spark.streaming import pipeline, sinks
+
+
+@register(
+    "streaming_minute_counts",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+b AS (
+  SELECT date_trunc('minute', ts) AS wm, event_type AS key,
+         count(*) AS cnt, round(sum(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(wm, '%Y-%m-%d %H:%M:%S') AS w_start, key, cnt, sum_val
+FROM b, mx
+WHERE wm + INTERVAL 1 MINUTE <= m - INTERVAL 15 MINUTE
+""",
+)
+def streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3 as a real streaming run: file source → event-time
+    tumbling 1-min windows → 15-min watermark → append-mode emission.
+    The oracle is the batch aggregation restricted to watermark-closed
+    windows — batch/streaming unification makes it exact."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(pipeline.minute_counts_stream(events))
+
+
+@register("streaming_cdc_session_counts")
+def streaming_cdc_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest path under streaming: CDC envelope parse → op filter →
+    session_window(30 min) per user. Rows-only (session emission depends
+    on watermark progress across micro-batches); semantics pinned against
+    the batch sessionizer in tests."""
+    events = pipeline.cdc_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(pipeline.session_stream(events))
+
+
+@register("streaming_fanout_snapshot")
+def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K4 — the three-sink fan-out run end-to-end: serving top-k
+    snapshot (foreachBatch overwrite), warehouse append, date-partitioned
+    search table; returns the serving board. Rows-only."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    enriched = pipeline.enriched_stream(events, t(spark, sf_dir, "customer"))
+    agg = (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+    )
+    serving = tempfile.mkdtemp(prefix="spe-serving-")
+    warehouse = tempfile.mkdtemp(prefix="spe-warehouse-")
+    search = tempfile.mkdtemp(prefix="spe-search-")
+    queries = sinks.start_fanout(enriched, agg, serving, warehouse, search)
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    return spark.read.parquet(serving)

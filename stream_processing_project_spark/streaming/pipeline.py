@@ -1,0 +1,188 @@
+"""Structured Streaming pipeline — the reference's whole dataflow
+(SURVEY.md §3 E1) as one declarative plan.
+
+Reference topology: Kafka → flatMap(parse→enrich) → keyBy×3 → buffered
+sinks with hand-rolled windowed aggregation inside the Redis sink
+(EngagementProcessor.scala:140-228). Here the same transforms the batch
+queries use are wrapped under readStream — Spark's batch/streaming
+unification means the window/enrich/top-k logic is defined ONCE
+(operators/*) and the batch run is the oracle for the streaming run.
+
+Event time + watermarks replace the reference's processing-time windows
+and 900 s Redis TTL (A3): `withWatermark` drives state eviction in the
+state store, which is the scalable equivalent (the reference's state
+lives in one Redis; ours shards across executors with the shuffle).
+
+Sources: file source over the fixture parquet in tests; the same
+columns run unchanged on `spark.readStream.format("kafka")` with the
+reference's fetch tuning passed through as kafka.* options
+(EngagementProcessor.scala:154-168 — no broker in this container).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from stream_processing_project_spark.sources.cdc import parse_envelope, to_envelope_json
+
+# File-source schema for the fixture events table: ts is stored as
+# parquet TIMESTAMP(NANOS) which Spark reads as epoch-nanos long under
+# spark.sql.legacy.parquet.nanosAsLong (see sources/fixtures.py).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch nanos
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+# Reference Kafka consumer tuning (EngagementProcessor.scala:158-161,
+# .env:14-17) — passed through when the source is kafka.
+KAFKA_SOURCE_OPTIONS = {
+    "startingOffsets": "earliest",
+    "kafka.fetch.min.bytes": str(1024 * 1024),
+    "kafka.fetch.max.wait.ms": "500",
+    "kafka.max.partition.fetch.bytes": str(2 * 1024 * 1024),
+    "kafka.receive.buffer.bytes": str(1024 * 1024),
+    "minPartitions": "4",
+}
+
+
+def checkpoint_dir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"spe-ckpt-{tag}-")
+
+
+def file_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the fixture events table (file source — each
+    parquet file is a micro-batch unit; Kafka swaps in transparently).
+    The source needs a directory, so the sf dir is scanned with a glob
+    pinned to the events file; epoch-nanos ts → TimestampType (micros)."""
+    return (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", "64")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def cdc_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest path: stream → envelope JSON → PERMISSIVE parse →
+    op-filter → typed event rows with event-time column `ts` (P1+P2)."""
+    raw = to_envelope_json(file_event_stream(spark, sf_dir))
+    return (
+        parse_envelope(raw)
+        .filter(F.col("__op").isin("r", "c"))
+        .select(
+            F.col("id").alias("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.to_timestamp("event_ts").alias("ts"),
+            F.col("value"),
+            F.col("props"),
+        )
+    )
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment (J1): the static side re-resolves
+    every micro-batch — strictly fresher than the reference's load-once
+    heap cache (EngagementProcessor.scala:147-148, noted divergence)."""
+    d = dim.select(
+        F.col("c_custkey").alias("_dim_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return (
+        events.join(F.broadcast(d), events.user_id == F.col("_dim_id"), "left_outer")
+        .drop("_dim_id")
+        .withColumn(
+            "engagement_pct",
+            F.when(F.col("acctbal") > 0, F.round(F.col("value") / F.col("acctbal") * 100.0, 2)),
+        )
+    )
+
+
+def minute_counts_stream(
+    events: DataFrame, watermark: str = "15 minutes", key: str = "event_type"
+) -> DataFrame:
+    """A1+A2+A3 streaming: tumbling 1-minute event-time window with
+    watermark eviction (the 900 s TTL analogue). Append mode emits each
+    window exactly once when the watermark passes it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("win"), F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "key",
+            "cnt",
+            "sum_val",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "15 minutes") -> DataFrame:
+    """A4 streaming: 10-minute sliding window, 1-minute slide — the
+    reference's merge loop as a native sliding window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "10 minutes", "1 minute").alias("win"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("win_cnt"), F.round(F.sum("value"), 2).alias("win_sum"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "key",
+            "win_cnt",
+            "win_sum",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via native session_window (batch twin:
+    plans/olap.py::olap_sessionize)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(result: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame over a bounded source to completion
+    through a memory sink and return the materialized result — the
+    pattern tests and the correctness gate use (processAllAvailable runs
+    data batches plus the trailing no-data batch that flushes windows
+    closed by the final watermark)."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir(name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    return spark.table(name)

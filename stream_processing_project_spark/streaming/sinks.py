@@ -1,0 +1,140 @@
+"""The three-sink fan-out (SURVEY.md §2.5 K1-K6) as Structured Streaming
+queries over Spark-managed tables.
+
+Reference: one Flink job pushes the same enriched stream to Redis (hot,
+windowed top-k), BigQuery (warm, append warehouse), Elasticsearch (cold,
+daily-index search) through hand-rolled buffers that silently DROP
+events on overflow (EngagementRedisSink.scala:91-93 et al.). Spark gives
+the fan-out as N writeStream queries off one source with real
+backpressure (maxFilesPerTrigger/maxOffsetsPerTrigger) and checkpointed
+exactly-once file sinks — we keep the stronger guarantee (SURVEY.md §2.4
+notes).
+
+Sink → table mapping (§7 guiding decisions):
+  serving   — complete-mode top-k snapshot, delete-and-rebuild per batch
+              via foreachBatch overwrite (= the Redis sorted-set rebuild,
+              EngagementRedisSink.scala:186-197)
+  warehouse — parquet append, 8 s trigger (= BigQuery batching, .env:30-34)
+  search    — parquet append partitioned by event_date + indexed_at
+              column, 5 s trigger (= daily ES indices,
+              ElasticsearchSink.scala:184-186,214)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stream_processing_project_spark.streaming.pipeline import checkpoint_dir
+
+# Reference flush intervals (.env:20-43) → per-sink triggers.
+SERVING_TRIGGER = "500 milliseconds"
+WAREHOUSE_TRIGGER = "8 seconds"
+SEARCH_TRIGGER = "5 seconds"
+
+
+def serving_topk_sink(
+    agg_stream: DataFrame,
+    out_path: str,
+    k_engagement: int = 3,
+    k_access: int = 5,
+    trigger: str = SERVING_TRIGGER,
+) -> StreamingQuery:
+    """K2 — the hot serving view: per batch, rebuild the top-k snapshot
+    from the complete aggregate state and atomically overwrite the
+    serving table (reference: delete sorted set + rebuild,
+    EngagementRedisSink.scala:186-197; monitor reads top-3/top-5,
+    monitor.py:167-185)."""
+
+    def rebuild(batch_df: DataFrame, epoch_id: int) -> None:
+        snap = (
+            batch_df.withColumn(
+                "avg_val", F.col("sum_val") / F.greatest(F.col("cnt"), F.lit(1))
+            )
+            .withColumn(
+                "rk_eng",
+                F.row_number().over(
+                    Window.orderBy(F.col("avg_val").desc_nulls_last(), F.col("key"))
+                ),
+            )
+        )
+        top_eng = snap.filter(F.col("rk_eng") <= k_engagement).select(
+            F.lit("top_by_engagement").alias("board"),
+            "key",
+            F.col("avg_val").alias("score"),
+            F.col("rk_eng").alias("rank"),
+        )
+        w2 = Window.orderBy(F.col("cnt").desc_nulls_last(), F.col("key"))
+        top_acc = (
+            snap.withColumn("rk_acc", F.row_number().over(w2))
+            .filter(F.col("rk_acc") <= k_access)
+            .select(
+                F.lit("top_by_access").alias("board"),
+                "key",
+                F.col("cnt").cast("double").alias("score"),
+                F.col("rk_acc").alias("rank"),
+            )
+        )
+        top_eng.unionAll(top_acc).coalesce(1).write.mode("overwrite").parquet(out_path)
+
+    return (
+        agg_stream.writeStream.outputMode("complete")
+        .foreachBatch(rebuild)
+        .trigger(processingTime=trigger)
+        .option("checkpointLocation", checkpoint_dir("serving"))
+        .start()
+    )
+
+
+def warehouse_sink(
+    enriched: DataFrame, out_path: str, trigger: str = WAREHOUSE_TRIGGER
+) -> StreamingQuery:
+    """K3 — append warehouse table (parquet, checkpointed exactly-once;
+    the reference's BigQuery insertAll + JSONL fallback collapse into
+    Spark's native file sink)."""
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir("warehouse"))
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def search_sink(
+    enriched: DataFrame, out_path: str, trigger: str = SEARCH_TRIGGER
+) -> StreamingQuery:
+    """K4 — date-partitioned search table (= daily ES indices) with the
+    index-time `indexed_at` stamp (@timestamp, ElasticsearchSink.scala:214).
+    Partition pruning on event_date gives the daily-index read pattern."""
+    return (
+        enriched.withColumn("event_date", F.to_date("ts"))
+        .withColumn("indexed_at", F.current_timestamp())
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir("search"))
+        .partitionBy("event_date")
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def start_fanout(
+    enriched: DataFrame,
+    agg_stream: DataFrame,
+    serving_path: str,
+    warehouse_path: str,
+    search_path: str,
+) -> list[StreamingQuery]:
+    """K1 — the full fan-out: three concurrent queries off one source
+    (the reference's keyBy×3 branches, EngagementProcessor.scala:197-213;
+    per-branch shuffle keys are unnecessary here — the file sinks don't
+    require co-location, and the agg shuffles on its own group keys)."""
+    return [
+        serving_topk_sink(agg_stream, serving_path),
+        warehouse_sink(enriched, warehouse_path),
+        search_sink(enriched, search_path),
+    ]

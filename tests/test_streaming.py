@@ -1,0 +1,164 @@
+"""Structured Streaming tests (SURVEY.md §5 streaming-specific):
+bounded file sources driven to completion, streaming output compared to
+the equivalent batch aggregation (batch-streaming unification = oracle),
+watermark eviction, late-data handling, and the three-sink fan-out.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.sources.fixtures import load_table
+from stream_processing_project_spark.streaming import pipeline, sinks
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_minute_counts_equals_batch(spark):
+    """Append-mode windowed agg == batch agg over watermark-closed windows."""
+    events = pipeline.file_event_stream(spark, SF_SMOKE)
+    got = pipeline.run_to_completion(pipeline.minute_counts_stream(events))
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.groupBy(
+            F.date_trunc("minute", "ts").alias("wm"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .filter(
+            F.col("wm") + F.expr("INTERVAL 1 MINUTE")
+            <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES")
+        )
+        .select(
+            F.date_format("wm", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "key",
+            "cnt",
+            "sum_val",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert got.count() > 0
+
+
+def test_streaming_late_data_dropped_after_watermark(spark):
+    """A3 — rows later than the watermark are dropped from closed windows
+    (the 900 s TTL analogue, EngagementRedisSink.scala:22)."""
+    sc_dir = tempfile.mkdtemp(prefix="spe-late-")
+    base = [
+        (1, "2024-01-01 00:00:10", "a", 1.0),
+        (2, "2024-01-01 01:00:00", "a", 1.0),  # advances watermark to 00:45
+    ]
+    late = [(3, "2024-01-01 00:00:20", "a", 1.0)]  # window closed → dropped
+    cols = ["event_id", "ts", "key0", "value"]
+
+    def write(rows, name):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(sc_dir)
+        )
+
+    write(base, "b1")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, key0 string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sc_dir)
+        .withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "key0")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w"), "key0", "cnt")
+    )
+    import uuid
+
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("late"))
+        .start()
+    )
+    q.processAllAvailable()
+    write(late, "b2")  # arrives after watermark passed its window
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.w, r.cnt) for r in spark.table(name).collect()}
+    # the 00:00 window was emitted with ONLY the on-time row
+    assert ("2024-01-01 00:00:00", 1) in rows
+    assert ("2024-01-01 00:00:00", 2) not in rows
+
+
+def test_streaming_cdc_sessions_match_batch_sessionizer(spark):
+    """Streaming session_window vs the batch lag/cumsum sessionizer:
+    session counts per user agree for sessions the watermark closed."""
+    got = (
+        pipeline.run_to_completion(
+            pipeline.session_stream(pipeline.cdc_event_stream(spark, SF_SMOKE))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    # batch twin over the same CDC-filtered rows (op in r,c)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        ~F.pmod(F.col("event_id"), F.lit(20)).isin(0, 1)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    batch = (
+        ev.withColumn(
+            "is_new",
+            F.when(prev.isNull() | ((us - prev) > 1_800_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"))
+    )
+    got_map = {r.user_id: r.n_sessions for r in got.collect()}
+    batch_map = {r.user_id: r.n_sessions for r in batch.collect()}
+    # streaming emits only closed sessions → counts ≤ batch, most equal
+    assert set(got_map) <= set(batch_map)
+    matched = sum(1 for u, n in got_map.items() if batch_map[u] in (n, n + 1))
+    assert matched == len(got_map)
+    # CDC truncates event_ts to seconds — session identity is unaffected
+
+
+def test_fanout_three_sinks(spark):
+    """K1-K4: serving snapshot, warehouse append, partitioned search table
+    all materialize from one bounded run."""
+    events = pipeline.file_event_stream(spark, SF_SMOKE)
+    enriched = pipeline.enriched_stream(events, load_table(spark, SF_SMOKE, "customer"))
+    agg = (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+    )
+    serving = tempfile.mkdtemp(prefix="t-serving-")
+    warehouse = tempfile.mkdtemp(prefix="t-warehouse-")
+    search = tempfile.mkdtemp(prefix="t-search-")
+    qs = sinks.start_fanout(enriched, agg, serving, warehouse, search)
+    try:
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            q.stop()
+
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    board = spark.read.parquet(serving)
+    assert {r.board for r in board.collect()} == {"top_by_engagement", "top_by_access"}
+    assert board.filter(F.col("board") == "top_by_access").count() == 5
+    assert spark.read.parquet(warehouse).count() == n_events  # exactly-once append
+    search_df = spark.read.parquet(search)
+    assert search_df.count() == n_events
+    assert "event_date" in search_df.columns and "indexed_at" in search_df.columns
+    # daily partitioning materialized as directories (the "daily index" layout)
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(search))

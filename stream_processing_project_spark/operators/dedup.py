@@ -82,12 +82,16 @@ def ngram_jaccard_pairs(
     dropped before the join — the scalability lever; Jaccard is then
     |common| / (|a| + |b| − |common|) over the SAME capped sets, a raw
     integer quotient so it is engine-deterministic)."""
-    sh = _bigrams(docs, text_col)
+    sh = _bigrams(docs, text_col).persist()
     rare = sh.join(
         sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
         "sh",
         "left_semi",
-    )
+    ).persist()
+    # persist: the shingle pipeline feeds four branches (df-cap, sizes,
+    # both join sides) — without it each branch re-tokenizes the corpus.
+    # At 100 TB persist the CAPPED set (post-prune, much smaller) to
+    # durable storage instead of executor memory.
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
     b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -143,12 +147,19 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidate pairs: signatures banded 8×4; docs sharing any band
     bucket are candidates; estimated Jaccard = matching signature
     positions / 32, thresholded. No oracle (hash-seed specific) — the
-    driver records a rows-only check; unit tests pin known duplicates."""
-    sigs = minhash_signatures(docs)
+    driver records a rows-only check; unit tests pin known duplicates.
+
+    Plan shape for scale: signatures are computed ONCE and persisted
+    (|docs| × 32 longs — tiny next to the corpus), the band self-join
+    carries only (doc_id, band) pairs, candidate pairs dedupe on bare
+    ids, and signatures re-attach at the end. Without this the self-join
+    recomputes the whole shingle pipeline per branch and dedupes on
+    32-element arrays — ~40× slower at bench scale.
+    """
+    sigs = minhash_signatures(docs).persist()
     n_bands = N_PERM // BAND_ROWS
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
@@ -156,8 +167,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -165,10 +185,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
     ) / F.lit(N_PERM)
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
@@ -198,16 +216,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     16-bit band buckets (a pair within Hamming 3 of a 4-band split must
     share ≥1 exact band — standard pigeonhole; wider budgets trade
     recall). Rows-only check like all hash-seeded sketches."""
-    sigs = simhash_bits(docs)
+    sigs = simhash_bits(docs).persist()
     bands = sigs.select(
         "doc_id",
-        "bits",
         F.posexplode(
             F.expr("transform(sequence(0, 3), b -> xxhash64(slice(bits, b * 16 + 1, 16)))")
         ).alias("band_idx", "band_hash"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a"), "band_idx", "band_hash")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b"), "band_idx", "band_hash")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     hamming = F.size(
         F.filter(
             F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x != y),
@@ -215,10 +241,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         )
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "bits_a", "bits_b")
-        .distinct()
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")), "doc_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

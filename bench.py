@@ -58,10 +58,55 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming": stream_bench(spark, sf_dir),
             }
         )
     )
     spark.stop()
+
+
+def stream_bench(spark, sf_dir: str) -> dict:
+    """Streaming micro-bench (BASELINE.md engine plan): replay the whole
+    events fixture through the full ingest path — envelope JSON encode →
+    PERMISSIVE parse → op-filter → broadcast stream-static enrich →
+    1-minute event-time window agg → memory sink — and report sustained
+    end-to-end events/s. Comparable to the reference's stated 2 000
+    events/s target and 10 000 events/s extreme offered load
+    (BASELINE.md; EngagementProcessor.scala:145, stress_test.py:20-28).
+    """
+    from stream_processing_project_spark.sources.fixtures import load_table
+    from stream_processing_project_spark.streaming.pipeline import (
+        cdc_event_stream,
+        enriched_stream,
+        minute_counts_stream,
+        run_to_completion,
+    )
+
+    n = load_table(spark, sf_dir, "events").count()
+    dim = load_table(spark, sf_dir, "customer")
+    # warm-up at the smallest sf: streaming query codegen + state-store
+    # init dominate a cold first run and aren't what we're measuring
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        run_to_completion(
+            minute_counts_stream(
+                enriched_stream(
+                    cdc_event_stream(spark, warm_dir), load_table(spark, warm_dir, "customer")
+                )
+            )
+        )
+    t0 = time.perf_counter()
+    run_to_completion(
+        minute_counts_stream(enriched_stream(cdc_event_stream(spark, sf_dir), dim))
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "events": n,
+        "wall_s": round(wall, 3),
+        "events_per_sec": int(n / wall),
+        "reference_target_events_per_sec": 2000,
+        "pipeline": "cdc_json_parse->op_filter->broadcast_enrich->1min_window->memory",
+    }
 
 
 if __name__ == "__main__":

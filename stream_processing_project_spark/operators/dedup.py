@@ -52,18 +52,20 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text") -> DataFrame
 def _bigrams(df: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → exploded DISTINCT word-bigram shingles. Docs with <2
     tokens are dropped (Spark's sequence(1,0) counts DOWN rather than
-    returning empty — the filter keeps parity with SQL generate_series)."""
+    returning empty — the filter keeps parity with SQL generate_series).
+    The token array is materialized once per row before the transform:
+    inlining split() into the lambda re-tokenizes the document per
+    bigram index (O(tokens²) string work in the hot path)."""
     return (
-        df.filter(F.size(F.split(F.trim(F.col(text_col)), " ")) >= 2)
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), " "))
+        .filter(F.size("_toks") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"transform(sequence(1, size(split(trim({text_col}), ' ')) - 1),"
-                        f" i -> concat_ws(' ',"
-                        f"   element_at(split(trim({text_col}), ' '), i),"
-                        f"   element_at(split(trim({text_col}), ' '), i + 1)))"
+                        "transform(sequence(1, size(_toks) - 1),"
+                        " i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"
                     )
                 )
             ).alias("sh"),

@@ -79,10 +79,12 @@ LIMIT 10
     tags=("bench",),
 )
 def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-shaped: selective dimension filter → broadcast customer →
-    join orders → join lineitem → agg → top-10. The customer side is
-    broadcast (dim ≪ fact); lineitem never shuffles before the join at
-    bench scale thanks to AQE broadcast conversion."""
+    """TPC-H-Q3-shaped: selective filters at every scan, then plain
+    shuffle joins on the keys. No broadcast hints: customer and orders
+    are fact-sized at 100 TB (hinting them would collect the subtree to
+    the driver), while AQE converts to broadcast-hash at runtime
+    whenever the post-filter side is actually small — the plan is
+    optimal at both bench and cluster scale."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -91,8 +93,8 @@ def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
-               l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
             F.round(
@@ -122,24 +124,26 @@ GROUP BY n.n_name
     tags=("bench",),
 )
 def olap_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped 6-way join: every dimension chain is broadcast so
-    the only shuffle is the final small aggregation — the fact table
-    streams through one stage."""
+    """TPC-H-Q5-shaped 6-way join. Broadcast hints only on nation and
+    region (25 / 5 rows at EVERY scale factor — always broadcastable);
+    customer/orders/lineitem/supplier join by shuffle on their keys,
+    with AQE converting to broadcast-hash at runtime when a post-filter
+    side is small. The previous shape broadcast the orders⨝dims subtree,
+    which is faster to type but collects an orders-sized intermediate to
+    the driver — a guaranteed OOM at 100 TB."""
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf_dir, "nation")
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
-    dims = (
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               c.c_nationkey == F.col("n_nationkey"))
-    )
     return (
-        l.join(F.broadcast(o.join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))),
-               l.l_orderkey == F.col("o_orderkey"))
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("n_nationkey")),
         )

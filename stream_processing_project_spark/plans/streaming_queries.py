@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_project_spark.plans.common import t
@@ -54,6 +54,32 @@ def streaming_cdc_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch sessionizer in tests."""
     events = pipeline.cdc_event_stream(spark, sf_dir)
     return pipeline.run_to_completion(pipeline.session_stream(events))
+
+
+@register(
+    "streaming_stateful_running_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming op (applyInPandasWithState): per-user
+    cumulative (n_events, total_value) emitted every micro-batch — the
+    reference's Redis running counters (EngagementRedisSink.scala:132-148).
+    The update log is reduced to the LAST emission per user (n_events is
+    strictly increasing across emissions), which must equal the batch
+    GROUP BY — that equivalence is the oracle."""
+    from stream_processing_project_spark.operators.stateful import running_totals_stream
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    log = pipeline.run_to_completion(running_totals_stream(events), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+    )
 
 
 @register("streaming_fanout_snapshot")

@@ -162,3 +162,60 @@ def test_fanout_three_sinks(spark):
     import os
 
     assert any(d.startswith("event_date=") for d in os.listdir(search))
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark):
+    """applyInPandasWithState: state persists between micro-batches —
+    a key seen in two batches emits its CUMULATIVE total the second time
+    (the Redis running-counter semantic, EngagementRedisSink.scala:132-148)."""
+    import tempfile
+    import uuid
+
+    from stream_processing_project_spark.operators.stateful import (
+        running_totals_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="spe-stateful-")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, "2024-01-01 00:00:01", 7, "play", 2.0, "{}"),
+           (2, "2024-01-01 00:00:02", 7, "play", 3.0, "{}"),
+           (3, "2024-01-01 00:00:03", 8, "click", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("stateful"))
+        .start()
+    )
+    q.processAllAvailable()
+    write([(4, "2024-01-01 00:00:04", 7, "finish", 5.0, "{}")])  # batch 2
+    q.processAllAvailable()
+    q.stop()
+
+    log = [(r.user_id, r.n_events, r.total_value) for r in spark.table(name).collect()]
+    assert (7, 2, 5.0) in log  # batch-1 emission
+    assert (7, 3, 10.0) in log  # batch-2 emission: state carried over
+    assert (8, 1, 1.0) in log
+    # user 8 untouched in batch 2 → exactly one emission
+    assert len([e for e in log if e[0] == 8]) == 1

@@ -139,3 +139,70 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --- IVF (inverted-file) ANN — the second scale path --------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: a KMeans coarse quantizer (pyspark.ml, seeded) partitions
+    the corpus into nlist inverted lists keyed by centroid id; each query
+    probes its nprobe nearest centroids and scores exact cosine only
+    inside those lists.
+
+    Scale shape: the corpus is clustered ONCE and hash-partitioned by
+    list_id (at 100 TB: written bucketed by list_id so probes prune at
+    the scan); centroids are nlist×dim — always driver/broadcast-sized;
+    the candidate join is an equi-join on list_id touching ~nprobe/nlist
+    of the corpus per query. Recall tunes via nprobe (nprobe=nlist ≡
+    exact brute force over all lists).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("feat", array_to_vector("cv"))
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=5, featuresCol="feat", predictionCol="list_id"
+    ).fit(c)
+    inv = model.transform(c).select("neighbor_id", "cv", "list_id")
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "list_id int, cent array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cent_cos").desc_nulls_last(), F.col("list_id")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("cent_cos", cosine(F.col("qv"), F.col("cent")))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

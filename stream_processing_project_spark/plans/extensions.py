@@ -282,6 +282,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: seeded KMeans coarse quantizer → inverted
+    lists by centroid → nprobe=4-of-16 probing with exact cosine inside
+    probed lists. KMeans-seed specific — rows-only driver check; recall
+    vs brute force asserted in tests."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
 # =========================== multimodal ========================================
 
 

@@ -73,3 +73,25 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF hits score identically to the exact metric; with nprobe=nlist
+    the probe set covers every list, so IVF top-k == brute-force top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    full = similarity.ivf_topk(emb, queries, k=3, nlist=8, nprobe=8)
+    exact_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank) for r in exact.collect()
+    )
+    full_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank) for r in full.collect()
+    )
+    assert exact_rows == full_rows  # all-lists probe ≡ exact
+
+    approx = similarity.ivf_topk(emb, queries, k=3, nlist=8, nprobe=2)
+    exact_map = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_map:
+            assert abs(exact_map[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9

@@ -50,6 +50,42 @@ def cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CDC upsert materialization: change log → current state -------------------
+@register(
+    "cdc_upsert_materialize",
+    oracle="""
+WITH env AS (
+  SELECT event_id AS id, user_id, event_type, value,
+         CASE WHEN event_id % 20 = 0 THEN 'u'
+              WHEN event_id % 20 = 1 THEN 'd'
+              WHEN event_id % 2 = 0 THEN 'c'
+              ELSE 'r' END AS op
+  FROM events
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY id) AS rn FROM env
+)
+SELECT id, user_id, event_type, value, op AS __op
+FROM latest WHERE rn = 1 AND op <> 'd'
+""",
+)
+def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change log → current table state: latest version per key via a
+    partial-aggregatable struct-max (not a window sort), keys whose last
+    change is a delete dropped. Beyond the reference — it discards
+    deletes at the connector and never materializes state
+    (debezium/postgres-connector.json:19); multi-version upsert
+    semantics are pinned in unit tests (the fixture has one version per
+    key, so the oracle reduces to filtering deletes)."""
+    from stream_processing_project_spark.sources.cdc import materialize_upserts
+
+    raw = to_envelope_json(t(spark, sf_dir, "events"))
+    changes = parse_envelope(raw)
+    return materialize_upserts(changes).select(
+        "id", "user_id", "event_type", "value", "__op"
+    )
+
+
 # --- JSONB surface: opaque JSON column extraction ----------------------------
 @register(
     "json_extract_props",

@@ -87,3 +87,24 @@ def parse_envelope(
 def parse_reference_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Same parse against the reference-shaped envelope (schemas.CDC_ENVELOPE)."""
     return parse_envelope(raw, CDC_ENVELOPE, value_col)
+
+
+def materialize_upserts(
+    changes: DataFrame, key_col: str = "id", ts_col: str = "__ts_ms"
+) -> DataFrame:
+    """CDC upsert materialization: collapse a change stream to current
+    table state — latest version per key wins, keys whose latest change
+    is a delete ('d') disappear.
+
+    Beyond the reference (it drops deletes at the connector,
+    debezium/postgres-connector.json:19, and never materializes state);
+    any real CDC consumer needs this. Implemented as max(struct(ts,
+    ...cols)) per key rather than a row_number window: the struct-max is
+    PARTIAL-AGGREGATABLE (map-side combine shrinks each task's output to
+    |keys| rows before the shuffle), while row_number needs a full
+    per-key sort after the shuffle — the difference matters when the
+    change log is 100 TB and keys are hot."""
+    data_cols = [c for c in changes.columns if c not in (key_col, ts_col)]
+    packed = F.struct(F.col(ts_col), *[F.col(c) for c in data_cols])
+    latest = changes.groupBy(key_col).agg(F.max(packed).alias("_latest"))
+    return latest.select(key_col, "_latest.*").filter(F.col("__op") != "d")

@@ -199,6 +199,7 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """,
+    tags=("bench",),
 )
 def olap_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (status → columns) — Catalyst rewrites to the same CASE-sum
@@ -220,6 +221,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
+    tags=("bench",),
 )
 def olap_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — subtotals + grand total in one pass."""
@@ -244,6 +246,7 @@ SELECT l_suppkey,
 FROM lineitem
 WHERE l_suppkey <= 3
 """,
+    tags=("bench",),
 )
 def olap_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key running total over a deterministic ROWS frame — the
@@ -281,6 +284,7 @@ WITH s AS (
 SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """,
+    tags=("bench",),
 )
 def olap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session starts via lag() + conditional
@@ -311,6 +315,7 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    tags=("bench",),
 )
 def olap_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) + exact interpolated median + min/max per group.

@@ -68,6 +68,7 @@ latest AS (
 SELECT id, user_id, event_type, value, op AS __op
 FROM latest WHERE rn = 1 AND op <> 'd'
 """,
+    tags=("bench",),
 )
 def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change log → current table state: latest version per key via a

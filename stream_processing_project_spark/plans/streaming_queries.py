@@ -82,6 +82,28 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact dedup: every fixture event is doubled
+    upstream (explode), then dropDuplicatesWithinWatermark collapses the
+    copies — the surviving set must equal the original table exactly.
+    State holds a key only until the watermark passes it (bounded by
+    rate × watermark, not stream length)."""
+    doubled = (
+        pipeline.file_event_stream(spark, sf_dir)
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    return pipeline.run_to_completion(pipeline.dedup_stream(doubled)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 @register("streaming_fanout_snapshot")
 def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — the three-sink fan-out run end-to-end: serving top-k

@@ -186,3 +186,17 @@ def run_to_completion(result: DataFrame, output_mode: str = "append") -> DataFra
         q.stop()
     spark = result.sparkSession
     return spark.table(name)
+
+
+def dedup_stream(
+    events: DataFrame, watermark: str = "30 minutes", keys: tuple[str, ...] = ("event_id",)
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    operators/dedup.py::exact_dedup_keep_first. dropDuplicatesWithinWatermark
+    keeps seen keys in the state store only until the watermark passes
+    them: state is bounded by (arrival rate × watermark), not by stream
+    length — the property that makes exact dedup viable on an unbounded
+    100 TB/day stream (plain dropDuplicates would grow state forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -219,3 +219,52 @@ def test_stateful_running_totals_accumulate_across_batches(spark):
     assert (8, 1, 1.0) in log
     # user 8 untouched in batch 2 → exactly one emission
     assert len([e for e in log if e[0] == 8]) == 1
+
+
+def test_streaming_dedup_across_batches_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving in a LATER
+    micro-batch is still dropped while its first occurrence is inside the
+    watermark."""
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="spe-dedup-")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, "2024-01-01 00:00:01", 7, "play", 1.0, "{}"),
+           (2, "2024-01-01 00:00:02", 8, "click", 2.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        pipeline.dedup_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("dedup"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: event_id 1 again (dup, within watermark) + a new id 3
+    write([(1, "2024-01-01 00:00:01", 7, "play", 1.0, "{}"),
+           (3, "2024-01-01 00:00:05", 9, "finish", 3.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r.event_id for r in spark.table(name).collect())
+    assert ids == [1, 2, 3]  # the batch-2 duplicate of id 1 was dropped

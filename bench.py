@@ -39,9 +39,21 @@ def main() -> None:
         n: q for n, q in sorted(all_queries().items()) if "bench" in q.tags
     }
 
-    # warm-up: JVM, codegen, parquet footer reads
-    warm = next(iter(bench_queries.values()))
-    force(warm.builder(spark, sf_dir))
+    # warm-up: JVM, codegen, parquet footer/metadata reads for every
+    # fixture table — so per-query numbers reflect steady-state plan
+    # execution, not whichever query happens to touch a table first
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, tbl).count()
+    # one warm pass per query: amortizes whole-stage-codegen compilation
+    # (per-plan, not per-session) so the timed pass measures steady-state
+    # execution — the regime a long-lived cluster actually runs in
+    for q in bench_queries.values():
+        force(q.builder(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():

@@ -138,3 +138,40 @@ def start_fanout(
         warehouse_sink(enriched, warehouse_path),
         search_sink(enriched, search_path),
     ]
+
+
+def debug_sink(
+    stream: DataFrame, sample_pct: float = 1.0, trigger: str = SERVING_TRIGGER
+) -> StreamingQuery:
+    """K5 — sampled console/debug branch: P7 sampling (reference:
+    Random.nextInt(100) < rate, EngagementProcessor.scala:188) + single
+    writer (.print() with parallelism 1, EngagementProcessor.scala:187-192).
+    Observability costs 1% of the stream, not a full copy."""
+    sampled = stream.filter(F.rand() < sample_pct / 100.0).coalesce(1)
+    return (
+        sampled.writeStream.outputMode("append")
+        .format("console")
+        .option("truncate", "true")
+        .option("numRows", "5")
+        .trigger(processingTime=trigger)
+        .option("checkpointLocation", checkpoint_dir("debug"))
+        .start()
+    )
+
+
+def jsonl_sink(
+    stream: DataFrame, out_path: str, trigger: str = WAREHOUSE_TRIGGER
+) -> StreamingQuery:
+    """K6 — fixed-schema JSONL file sink: the reference's failure-path
+    fallback files (BigQuerySink.scala:221-240, ElasticsearchSink.scala:
+    284-303) as a first-class checkpointed sink — one JSON object per
+    line, exactly-once via the file-sink commit log instead of a lossy
+    side channel."""
+    return (
+        stream.writeStream.outputMode("append")
+        .format("json")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir("jsonl"))
+        .trigger(processingTime=trigger)
+        .start()
+    )

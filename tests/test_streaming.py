@@ -268,3 +268,49 @@ def test_streaming_dedup_across_batches_within_watermark(spark):
     q.stop()
     ids = sorted(r.event_id for r in spark.table(name).collect())
     assert ids == [1, 2, 3]  # the batch-2 duplicate of id 1 was dropped
+
+
+def test_jsonl_sink_roundtrip(spark):
+    """K6 — JSONL sink writes one JSON object per line; reading the sink
+    back yields the source rows exactly."""
+    events = pipeline.file_event_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="spe-jsonl-")
+    q = sinks.jsonl_sink(events, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.json(out)
+    src = load_table(spark, SF_SMOKE, "events")
+    assert got.count() == src.count()
+    assert {r.event_id for r in got.select("event_id").collect()} == {
+        r.event_id for r in src.select("event_id").collect()
+    }
+
+
+def test_debug_sink_runs_sampled(spark):
+    """K5 — sampled console branch starts, processes the bounded stream,
+    and terminates cleanly (output goes to stdout; the assertion is the
+    lifecycle, the sampling predicate is pinned in test_sampling)."""
+    events = pipeline.file_event_stream(spark, SF_SMOKE)
+    q = sinks.debug_sink(events, sample_pct=1.0)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert q.exception() is None
+
+
+def test_sampling_deterministic_pct(spark):
+    """P7 — deterministic id-residue sampling: exact fraction on a dense
+    id range and stable across invocations."""
+    from stream_processing_project_spark.functions.scalar import deterministic_sample
+
+    df = spark.range(0, 1000)
+    picked = df.filter(deterministic_sample(F.col("id"), 5))
+    assert picked.count() == 50
+    assert sorted(r.id for r in picked.collect()) == sorted(
+        r.id for r in df.filter(deterministic_sample(F.col("id"), 5)).collect()
+    )

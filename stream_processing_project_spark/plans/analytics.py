@@ -252,3 +252,39 @@ def last_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_update"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point — the same engine surface through spark.sql (full parse →
+# analyze → optimize lifecycle, SURVEY.md §3 E3 "plain spark.sql" mapping).
+# ---------------------------------------------------------------------------
+SQL_ENGAGEMENT_BY_SEGMENT = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "sql_engagement_by_segment",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def sql_engagement_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point as a first-class surface: fixture tables
+    registered as temp views, then ONE ANSI-SQL string — byte-identical
+    to the DuckDB oracle — through the full Catalyst parse→analyze→
+    optimize lifecycle. Proves users can drive the engine with SQL, not
+    only the DataFrame API."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(SQL_ENGAGEMENT_BY_SEGMENT)

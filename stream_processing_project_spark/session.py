@@ -65,3 +65,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Streaming state-store scale path: the default HDFS-backed provider
+# keeps every key in executor heap — fine for low-cardinality window
+# keys, fatal for billions of dedup/session keys. RocksDB spills state
+# to local disk with incremental checkpointing; pass to get_spark
+# (extra_conf=ROCKSDB_STATE_CONF) when key cardinality is the risk.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}

@@ -332,3 +332,79 @@ def olap_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_value"),
         )
     )
+
+
+# --- correlated aggregate subquery (TPC-H Q2 shape) ---------------------------
+@register(
+    "olap_min_cost_supplier",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, ps_agg.p_partkey, ps_agg.min_cost
+FROM (
+  SELECT l_partkey AS p_partkey, min(l_extendedprice) AS min_cost
+  FROM lineitem GROUP BY l_partkey
+) ps_agg
+JOIN lineitem l ON l.l_partkey = ps_agg.p_partkey
+               AND l.l_extendedprice = ps_agg.min_cost
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE ps_agg.p_partkey <= 50
+""",
+    tags=("bench",),
+)
+def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped correlated-minimum: which supplier ships each part
+    at its minimum price. The correlated subquery is decorrelated by hand
+    into aggregate + join-back — the same plan Catalyst's subquery
+    decorrelation produces, written explicitly so the shape is visible.
+    Both joins shuffle on l_partkey / s_suppkey; the aggregate is
+    partial-aggregated before its exchange."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    min_cost = (
+        l.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.min("l_extendedprice").alias("min_cost"))
+        .filter(F.col("p_partkey") <= 50)
+    )
+    return (
+        l.join(
+            min_cost,
+            (l.l_partkey == min_cost.p_partkey)
+            & (l.l_extendedprice == min_cost.min_cost),
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "p_partkey", "min_cost")
+    )
+
+
+# --- EXISTS subquery (semi-join through spark.sql) ----------------------------
+@register(
+    "olap_exists_subquery",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+)
+GROUP BY o_orderpriority
+""",
+    tags=("bench",),
+)
+def olap_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: run through spark.sql so Catalyst performs
+    the subquery-to-left-semi-join rewrite itself (the DataFrame twin is
+    a left_semi join — active_customers_semi covers that form). One
+    shuffle pair on o_orderkey/l_orderkey, filter pushed to the lineitem
+    scan."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )

@@ -109,3 +109,95 @@ def test_enrichment_is_broadcast_no_fact_shuffle(spark):
     plan = enrich_engagement(events, content)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_reference_shaped_envelope_parses(spark):
+    """S1/P1 against the REFERENCE's exact wire shape: a Debezium
+    ExtractNewRecordState message (flattened row + __op/__table/__db/
+    __ts_ms, debezium/postgres-connector.json:16-20) parses into the
+    canonical CDC schema, and the opaque raw_payload JSONB yields its
+    session fields (generate_data.py:123-127)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.schemas import RAW_PAYLOAD
+    from stream_processing_project_spark.sources.cdc import parse_reference_envelope
+
+    msg = {
+        "payload": {
+            "id": 42,
+            "content_id": "3f1c0a9e-0000-0000-0000-00000000abcd",
+            "user_id": "9e8d7c6b-0000-0000-0000-0000000012ef",
+            "event_type": "play",
+            "event_ts": "2025-07-25T12:34:56Z",
+            "duration_ms": 93000,
+            "device": "web-chrome",
+            "raw_payload": json.dumps(
+                {"session_id": "s-1", "ip": "10.0.0.1", "user_agent": "UA"}
+            ),
+            "__op": "c",
+            "__table": "engagement_events",
+            "__db": "streaming_db",
+            "__ts_ms": 175344700000,
+            "ignored_extra_field": "must not break the parse",
+        }
+    }
+    raw = spark.createDataFrame([(json.dumps(msg),)], ["value"])
+    row = (
+        parse_reference_envelope(raw)
+        .withColumn("rp", F.from_json("raw_payload", RAW_PAYLOAD))
+        .collect()[0]
+    )
+    assert row["id"] == 42
+    assert row["event_type"] == "play"
+    assert row["duration_ms"] == 93000
+    assert row["__op"] == "c"
+    assert row["__table"] == "engagement_events"
+    assert row["rp"]["session_id"] == "s-1"  # JSONB → typed struct
+
+
+def test_reference_wire_to_metrics_end_to_end(spark):
+    """The reference's whole per-record path on its own wire shape:
+    Debezium envelope JSON → parse → op-filter → broadcast left-outer
+    enrich → engagement_seconds/pct (EngagementProcessor.scala:104-135).
+    93 000 ms over 600 s content → 15.5 %; unknown content id keeps NULL
+    dims (left-outer); the 'd' row is dropped by the op filter."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.enrich import enrich_engagement
+    from stream_processing_project_spark.sources.cdc import parse_reference_envelope
+
+    def msg(mid, cid, op):
+        return json.dumps(
+            {
+                "payload": {
+                    "id": mid, "content_id": cid, "user_id": "u-1",
+                    "event_type": "play", "event_ts": "2025-07-25T12:00:00Z",
+                    "duration_ms": 93000, "device": "ios",
+                    "raw_payload": "{}", "__op": op,
+                    "__table": "engagement_events", "__db": "db",
+                    "__ts_ms": 1,
+                }
+            }
+        )
+
+    raw = spark.createDataFrame(
+        [(msg(1, "c-known", "c"),), (msg(2, "c-missing", "r"),), (msg(3, "c-known", "d"),)],
+        ["value"],
+    )
+    content = spark.createDataFrame(
+        [("c-known", "podcast", 600)], ["id", "content_type", "length_seconds"]
+    )
+    rows = {
+        r["id"]: r
+        for r in enrich_engagement(parse_reference_envelope(raw), content).collect()
+    }
+    assert set(rows) == {1, 2}  # delete dropped by op-filter
+    assert rows[1]["content_type"] == "podcast"
+    assert rows[1]["engagement_seconds"] == 93.0
+    assert rows[1]["engagement_pct"] == 15.5  # round(93/600*100, 2)
+    assert rows[2]["content_type"] is None  # left-outer keeps the event
+    assert rows[2]["engagement_pct"] is None

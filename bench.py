@@ -94,6 +94,11 @@ def stream_bench(spark, sf_dir: str) -> dict:
         run_to_completion,
     )
 
+    from stream_processing_project_spark.streaming.pipeline import (
+        dedup_stream,
+        file_event_stream,
+    )
+
     n = load_table(spark, sf_dir, "events").count()
     dim = load_table(spark, sf_dir, "customer")
     # warm-up at the smallest sf: streaming query codegen + state-store
@@ -107,15 +112,20 @@ def stream_bench(spark, sf_dir: str) -> dict:
                 )
             )
         )
+        run_to_completion(dedup_stream(file_event_stream(spark, warm_dir)))
     t0 = time.perf_counter()
     run_to_completion(
         minute_counts_stream(enriched_stream(cdc_event_stream(spark, sf_dir), dim))
     )
     wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    run_to_completion(dedup_stream(file_event_stream(spark, sf_dir)))
+    dedup_wall = time.perf_counter() - t1
     return {
         "events": n,
         "wall_s": round(wall, 3),
         "events_per_sec": int(n / wall),
+        "dedup_events_per_sec": int(n / dedup_wall),
         "reference_target_events_per_sec": 2000,
         "pipeline": "cdc_json_parse->op_filter->broadcast_enrich->1min_window->memory",
     }

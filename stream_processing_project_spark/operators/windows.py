@@ -95,12 +95,21 @@ def topk(df: DataFrame, order_col: str, k: int, ascending: bool = False) -> Data
 
 
 def topk_per_group(
-    df: DataFrame, group_cols: list[str], order_col: str, k: int
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Top-k within each group via row_number ≤ k — the scalable form of
     A6 when the ranking is per-window rather than global (one shuffle on
-    the group key, rank computed streamingly per partition)."""
-    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).desc_nulls_last())
+    the group key, rank computed streamingly per partition). Pass
+    tiebreak_cols (ascending) to make ranks total-ordered and therefore
+    oracle-deterministic."""
+    order = [F.col(order_col).desc_nulls_last()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

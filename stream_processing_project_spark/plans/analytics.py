@@ -288,3 +288,35 @@ def sql_engagement_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(SQL_ENGAGEMENT_BY_SEGMENT)
+
+
+@register(
+    "topk_per_window",
+    oracle="""
+WITH """
+    + ENRICHED_CTE.strip()
+    + ","
+    + PER_MINUTE_CTE.strip()
+    + """
+SELECT w_start, key, cnt, sum_val, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY w_start ORDER BY sum_val DESC NULLS LAST, key
+  ) AS rank
+  FROM per_minute
+) WHERE rank <= 2
+""",
+)
+def topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 in its per-window form: top-2 segments inside EVERY 1-minute
+    window (vs the flagship's global board) — one shuffle on the window
+    key, rank computed per partition (operators/windows.py::
+    topk_per_group with a deterministic tie-break)."""
+    from stream_processing_project_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        _per_minute(spark, sf_dir),
+        ["w_start"],
+        "sum_val",
+        k=2,
+        tiebreak_cols=["key"],
+    )

@@ -104,6 +104,36 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_interval_join",
+    oracle="""
+SELECT l.user_id, l.event_id AS l_event_id,
+       r.event_id AS r_event_id, r.event_type AS r_event_type,
+       epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+FROM events l
+JOIN events r ON l.user_id = r.user_id
+             AND r.ts > l.ts
+             AND r.ts <= l.ts + INTERVAL 30 MINUTE
+WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase funnel
+    pairs per user within 30 minutes) — a capability absent from the
+    reference, whose only join is stream-static. Inner joins emit
+    eagerly on match, so the bounded replay emits exactly the batch
+    self-join's pairs — that equivalence is the oracle."""
+    views = pipeline.file_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = pipeline.file_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return pipeline.run_to_completion(
+        pipeline.interval_join_stream(views, purchases)
+    )
+
+
 @register("streaming_fanout_snapshot")
 def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — the three-sink fan-out run end-to-end: serving top-k

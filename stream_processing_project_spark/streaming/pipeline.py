@@ -200,3 +200,46 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — a capability the
+    reference lacks entirely (its only join is stream-static J1): pair
+    each left event with right events for the same user that happen
+    within (0, max_gap] AFTER it — e.g. play → finish funnels.
+
+    Scale shape: both sides shuffle once on the equi-key (user), the
+    range predicate evaluates within co-partitioned state, and the
+    watermarks bound how long either side is buffered — state ∝ rate ×
+    (watermark + gap), independent of stream length. Append mode emits a
+    pair exactly once, when the watermark proves no earlier match can
+    arrive."""
+    l = left.select(
+        F.col(user_col).alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(user_col).alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_event_type"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "r_event_type",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias("gap_us"),
+    )

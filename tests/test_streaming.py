@@ -364,3 +364,52 @@ def test_search_table_partition_pruning(spark):
     # pruned scan reads a single partition directory
     n_days = spark.read.parquet(out).select("event_date").distinct().count()
     assert n_days > 1  # fixture spans multiple days, so pruning is real
+
+
+def test_stream_stream_interval_join(spark):
+    """Watermarked stream-stream interval join: pairs within the gap
+    emit exactly once; pairs outside the gap (or before) never emit."""
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="spe-ssj-")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "play", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "finish", 1.0, "{}"),   # +10m → pair
+        (3, "2024-01-01 01:10:00", 7, "finish", 1.0, "{}"),   # +70m → too late
+        (4, "2024-01-01 00:05:00", 8, "play", 1.0, "{}"),
+        (5, "2024-01-01 00:04:00", 8, "finish", 1.0, "{}"),   # BEFORE → no pair
+        # watermark pusher so earlier windows close
+        (6, "2024-01-02 00:00:00", 9, "play", 1.0, "{}"),
+    ]
+    (
+        spark.createDataFrame(rows, cols)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def stream():
+        return spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).parquet(src)
+
+    plays = stream().filter(F.col("event_type") == "play")
+    finishes = stream().filter(F.col("event_type") == "finish")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        pipeline.interval_join_stream(plays, finishes)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.l_event_id, r.r_event_id, r.gap_us) for r in spark.table(name).collect()}
+    assert got == {(1, 2, 600_000_000)}  # only the in-gap forward pair

@@ -1,0 +1,86 @@
+"""Physical-plan regression pins (PLANS.md invariants): column pruning,
+predicate pushdown, partial aggregation, top-k without global sort, and
+no driver-side broadcast of fact-sized subtrees. These are the
+properties that decide 100 TB behavior — a future edit that silently
+loses one should fail here, not in production."""
+
+from __future__ import annotations
+
+import io
+import re
+import contextlib
+
+import pytest
+
+from stream_processing_project_spark.plans.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return [
+        line.split("ReadSchema:", 1)[1].strip()
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark):
+    plan = formatted_plan(
+        all_queries()["olap_pricing_summary"].builder(spark, SF_SMOKE)
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # map-side combine: a partial HashAggregate exists below the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(l_returnflag" in plan
+    # column pruning: the 16-column lineitem scan reads only 7
+    assert all(s.count(",") <= 6 for s in read_schemas(plan)), read_schemas(plan)
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    for name in ["olap_top_brands", "olap_shipping_priority"]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_fact_joins_have_no_driver_side_subtree_broadcast(spark):
+    """Q3/Q5: broadcast hints may appear only on always-tiny dims
+    (nation/region) — never on a JOINED subtree (which would execute and
+    collect through the driver). We assert the logical plan contains no
+    ResolvedHint above a Join node."""
+    for name in ["olap_shipping_priority", "olap_region_revenue"]:
+        df = all_queries()[name].builder(spark, SF_SMOKE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        for m in re.finditer(r"ResolvedHint.*\n((?:.|\n)*?)(?=ResolvedHint|\Z)", logical):
+            hinted_block_head = m.group(1).lstrip().splitlines()[0] if m.group(1).strip() else ""
+            assert not hinted_block_head.lstrip("+-: ").startswith("Join"), (
+                f"{name}: broadcast hint wraps a Join subtree"
+            )
+
+
+def test_dimension_scans_prune_columns(spark):
+    plan = formatted_plan(all_queries()["dim_scan"].builder(spark, SF_SMOKE))
+    schemas = read_schemas(plan)
+    assert schemas and all("c_name" not in s and "c_phone" not in s for s in schemas)
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]" in plan
+
+
+def test_enrichment_join_is_broadcast(spark):
+    """J1: the dimension side of the flagship enrichment must broadcast —
+    the fact side never shuffles before the window agg."""
+    plan = formatted_plan(
+        all_queries()["flagship_topk_engagement"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly one data exchange: the window-agg hashpartitioning
+    data_exchanges = [
+        line for line in plan.splitlines()
+        if "hashpartitioning(" in line
+    ]
+    assert len(data_exchanges) <= 2, plan  # agg + (optional) rollup re-agg

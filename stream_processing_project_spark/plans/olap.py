@@ -375,6 +375,61 @@ def olap_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- as-of (point-in-time) join ------------------------------------------------
+@register(
+    "olap_asof_last_order",
+    oracle="""
+WITH ov AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+    ) AS rn FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       ov.o_orderkey AS last_orderkey,
+       ov.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN ov ON e.user_id = ov.o_custkey AND e.ts >= ov.o_orderdate
+""",
+    tags=("bench",),
+)
+def olap_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the customer's most recent
+    order AT event time (operators/asof.py — union + window carry, an
+    operator Spark lacks natively; DuckDB's native ASOF JOIN is the
+    oracle). Versions pre-deduped per (custkey, orderdate) with the same
+    row_number tie-break in both engines."""
+    from pyspark.sql import Window as W
+
+    from stream_processing_project_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    )
+    versions = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("vts"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        versions,
+        key="user_id",
+        left_ts="ts",
+        right_ts="vts",
+    ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
+
+
 # --- EXISTS subquery (semi-join through spark.sql) ----------------------------
 @register(
     "olap_exists_subquery",

@@ -45,3 +45,37 @@ def test_salted_join_equals_plain_join(spark):
     plain = big.join(small, "k").select("k", "payload", "label")
     salted = salted_join(big, small, "k").select("k", "payload", "label")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_semantics(spark):
+    """As-of join pins: inclusive match at equal ts, latest-version-wins,
+    NULL before the first version, per-key isolation."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7),   # before any version → NULL
+            (2, "2024-01-01 01:00:00", 7),   # exactly at v1 → v1 (inclusive)
+            (3, "2024-01-01 02:30:00", 7),   # between v1 and v2 → v1
+            (4, "2024-01-01 05:00:00", 7),   # after v2 → v2
+            (5, "2024-01-01 05:00:00", 8),   # other key: only v9 applies
+        ],
+        ["event_id", "ts", "user_id"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (7, "2024-01-01 01:00:00", "v1"),
+            (7, "2024-01-01 03:00:00", "v2"),
+            (8, "2024-01-01 04:00:00", "v9"),
+        ],
+        ["user_id", "vts", "version"],
+    ).withColumn("vts", F.to_timestamp("vts"))
+    got = {
+        r.event_id: r.version
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="vts"
+        ).collect()
+    }
+    assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: "v9"}

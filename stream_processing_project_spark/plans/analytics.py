@@ -320,3 +320,41 @@ def topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=2,
         tiebreak_cols=["key"],
     )
+
+
+@register(
+    "olap_gap_fill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+  FROM events WHERE user_id < 20 GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*) AS cnt, round(sum(value), 2) AS val
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+)
+SELECT g.user_id, strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(a.cnt, 0) AS cnt, coalesce(a.val, 0.0) AS val
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+""",
+)
+def olap_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample/gap-fill (operators/resample.py): per-user hourly grid
+    from first to last event with empty buckets materialized as zero —
+    what rate/dashboard consumers need and a plain groupBy silently
+    omits. Oracle builds the identical grid with generate_series."""
+    from stream_processing_project_spark.operators.resample import gap_fill
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    filled = gap_fill(ev, "user_id", "ts", "value", step="1 hour", how="zero")
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "cnt",
+        "val",
+    )

@@ -463,3 +463,41 @@ def olap_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --- range join (binned) -------------------------------------------------------
+@register(
+    "olap_range_join_price_bands",
+    oracle="""
+WITH bands AS (
+  SELECT p_partkey, p_retailprice - 50 AS lo, p_retailprice + 50 AS hi
+  FROM part WHERE p_partkey <= 200
+)
+SELECT l.l_orderkey, l.l_linenumber, b.p_partkey AS band_part, l.l_extendedprice
+FROM lineitem l
+JOIN bands b ON l.l_extendedprice BETWEEN b.lo AND b.hi
+""",
+    tags=("bench",),
+)
+def olap_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketed binning (operators/rangejoin.py): line
+    items matched to every ±50 price band around a part's retail price.
+    A naive BETWEEN join is a nested loop; binning turns it into an
+    equi-join on an integer bucket — the oracle is the plain BETWEEN."""
+    from stream_processing_project_spark.operators.rangejoin import range_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bands = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            F.col("p_partkey").alias("band_part"),
+            (F.col("p_retailprice") - 50).alias("lo"),
+            (F.col("p_retailprice") + 50).alias("hi"),
+        )
+    )
+    return range_join(li, bands, "l_extendedprice", bucket_width=100.0).select(
+        "l_orderkey", "l_linenumber", "band_part", "l_extendedprice"
+    )

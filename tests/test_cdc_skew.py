@@ -79,3 +79,58 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: "v9"}
+
+
+def test_range_join_equals_naive_between(spark):
+    """Binned range join must equal the naive BETWEEN join, including
+    intervals spanning multiple buckets and bucket-boundary values."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 99.9), (3, 100.0), (4, 250.0), (5, 555.5)],
+        ["pid", "v"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 100.0), (20, 90.0, 310.0), (30, 500.0, 600.0), (40, 700.0, 800.0)],
+        ["iid", "lo", "hi"],
+    )
+    got = range_join(points, intervals, "v", bucket_width=100.0).select("pid", "iid")
+    naive = points.join(
+        intervals, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    ).select("pid", "iid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    assert got.count() > 0
+
+
+def test_gap_fill_ffill_carries_last_value(spark):
+    """Gap-fill: empty buckets exist on the grid; ffill carries the last
+    seen sum while zero-fill writes 0."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.resample import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:10:00", 5.0),
+            (7, "2024-01-01 03:20:00", 2.0),  # 01:00 and 02:00 are gaps
+        ],
+        ["user_id", "ts", "value"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    zero = {
+        (r.user_id, str(r.bucket), r.cnt, r.val)
+        for r in gap_fill(df, "user_id", "ts", "value", "1 hour", "zero").collect()
+    }
+    assert (7, "2024-01-01 01:00:00", 0, 0.0) in zero
+    assert (7, "2024-01-01 03:00:00", 1, 2.0) in zero
+    assert len(zero) == 4  # 00..03 inclusive — gaps materialized
+
+    ff = {
+        str(r.bucket): r.val
+        for r in gap_fill(df, "user_id", "ts", "value", "1 hour", "ffill").collect()
+    }
+    assert ff["2024-01-01 01:00:00"] == 5.0  # carried forward
+    assert ff["2024-01-01 02:00:00"] == 5.0
+    assert ff["2024-01-01 03:00:00"] == 2.0

@@ -114,3 +114,59 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style cascading rollup (TimescaleDB continuous-
+    aggregate pattern): the finest level aggregates raw events ONCE;
+    every coarser level re-aggregates the previous level's partials —
+    count/sum compose losslessly, so an hour bucket sums its 60 minute
+    buckets instead of rescanning raw data. At 100 TB the raw table is
+    touched once per refresh regardless of how many granularities are
+    served; each cascade step shuffles only |keys| × |buckets| rows.
+    Output: level, bucket (string), key, cnt, sum_val — all levels
+    unioned."""
+    finest = levels[0]
+    cur = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(value_col), 2).alias("sum_val"),
+        )
+    )
+    out = cur.select(
+        F.lit(finest).alias("level"),
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "key",
+        "cnt",
+        "sum_val",
+    )
+    for lvl in levels[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(lvl, F.col("bucket")).alias("bucket"), "key"
+            )
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.round(F.sum("sum_val"), 2).alias("sum_val"),
+            )
+        )
+        out = out.unionByName(
+            cur.select(
+                F.lit(lvl).alias("level"),
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "key",
+                "cnt",
+                "sum_val",
+            )
+        )
+    return out

@@ -358,3 +358,42 @@ def olap_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "val",
     )
+
+
+@register(
+    "olap_rollup_cascade",
+    oracle="""
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type AS key,
+         count(*) AS cnt, round(sum(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT date_trunc('hour', bucket) AS bucket, key,
+         CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(sum_val), 2) AS sum_val
+  FROM m GROUP BY 1, 2
+),
+d AS (
+  SELECT date_trunc('day', bucket) AS bucket, key,
+         CAST(sum(cnt) AS BIGINT) AS cnt, round(sum(sum_val), 2) AS sum_val
+  FROM h GROUP BY 1, 2
+)
+SELECT 'minute' AS level, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, key, cnt, sum_val FROM m
+UNION ALL
+SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M:%S'), key, cnt, sum_val FROM h
+UNION ALL
+SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), key, cnt, sum_val FROM d
+""",
+)
+def olap_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup (operators/windows.py::
+    rollup_cascade): minute buckets aggregate raw events once; hour and
+    day levels re-aggregate the previous level's partials — the
+    continuous-aggregate refresh pattern. The oracle cascades
+    identically (hour FROM minute, day FROM hour) so the re-aggregation
+    rounding matches exactly."""
+    from stream_processing_project_spark.operators.windows import rollup_cascade
+
+    return rollup_cascade(
+        t(spark, sf_dir, "events"), "ts", "event_type", "value"
+    )

@@ -98,3 +98,34 @@ def prefix_fingerprint(text: Column, prefix_len: int = 64) -> Column:
             F.floor(F.length(text) / 100).cast("string"),
         )
     )
+
+
+def fingerprint_docs(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): rolling hashes
+    of all k-char grams, then the minimum inside each sliding window of
+    `window` consecutive grams. Guarantee: two documents sharing a
+    substring of length >= k + window - 1 share >= 1 fingerprint — the
+    candidate-pair generator for plagiarism-style near-dup mining (join
+    on exploded fingerprints, like the shingle path in dedup.py). Pure
+    codegen'd higher-order functions: O(len × window) JVM work per
+    document, no shuffle, no Python."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)),"
+        f" i -> xxhash64(substring({text_col}, i, {k})))"
+    )
+    return (
+        df.filter(F.length(text_col) >= k)
+        .withColumn("_grams", grams)
+        .filter(F.size("_grams") >= window)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(_grams) - {window}),"
+                    f" j -> array_min(slice(_grams, j + 1, {window})))"
+                )
+            ).alias("fingerprints"),
+        )
+    )

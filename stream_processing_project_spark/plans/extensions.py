@@ -390,3 +390,33 @@ def udf_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             rank_group, "event_id bigint, event_type string, value double, rank bigint"
         )
     )
+
+
+@register("text_winnow_candidates")
+def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates: docs sharing >= 3 RARE
+    fingerprints (shared substrings >= k+window-1 chars), found by an
+    equi-join on exploded fingerprints — the plagiarism-detection
+    pattern. Fingerprints appearing in > 10 docs are dropped first
+    (common-phrase cap, same lever as the stop-shingle cap in dedup.py:
+    a fingerprint in df docs generates O(df²) pairs). Hash-based →
+    rows-only driver check; the winnowing guarantee is pinned in tests."""
+    from stream_processing_project_spark.operators.text import fingerprint_docs
+
+    fps = fingerprint_docs(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    rare = fps.join(
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 10),
+        "fp",
+        "left_semi",
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -175,3 +175,23 @@ def jsonl_sink(
         .trigger(processingTime=trigger)
         .start()
     )
+
+
+def query_metrics(query: StreamingQuery) -> dict:
+    """S5/A9 — the monitor's observability surface, natively: rates and
+    state size from StreamingQuery.lastProgress (the reference scrapes
+    per-sink COUNT(*)s and Kafka offsets over the network to derive the
+    same numbers, monitor.py:197-254)."""
+    p = query.lastProgress
+    if p is None:
+        return {}
+    state = p.get("stateOperators") or []
+    return {
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+        "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+        "state_rows_total": sum(s.get("numRowsTotal", 0) for s in state),
+        "watermark": (p.get("eventTime") or {}).get("watermark"),
+    }

@@ -95,3 +95,27 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in exact_map:
             assert abs(exact_map[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; unrelated random
+    text shares none (w.h.p. for 64-bit hashes)."""
+    from stream_processing_project_spark.operators.text import fingerprint_docs
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"CCCC {shared} DDDD"),
+            (3, "completely different content with no overlap at all xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in fingerprint_docs(docs, k=8, window=4).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must produce a common fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])

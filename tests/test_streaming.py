@@ -413,3 +413,30 @@ def test_stream_stream_interval_join(spark):
         q.stop()
     got = {(r.l_event_id, r.r_event_id, r.gap_us) for r in spark.table(name).collect()}
     assert got == {(1, 2, 600_000_000)}  # only the in-gap forward pair
+
+
+def test_query_metrics_exposes_monitor_surface(spark):
+    """S5/A9 — lastProgress-derived metrics carry rows processed, rate,
+    batch duration, and windowed-agg state size (the monitor's numbers,
+    natively)."""
+    import uuid
+
+    events = pipeline.file_event_stream(spark, SF_SMOKE)
+    name = f"met_{uuid.uuid4().hex[:8]}"
+    q = (
+        pipeline.minute_counts_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("metrics"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        m = sinks.query_metrics(q)
+    finally:
+        q.stop()
+    assert m["num_input_rows"] is not None
+    assert m["batch_duration_ms"] > 0
+    assert m["state_rows_total"] > 0  # open windows live in the state store
+    assert m["watermark"] is not None

@@ -82,6 +82,17 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register("streaming_sliding_counts")
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 streaming: 10-minute sliding windows (1-minute slide) with
+    watermark eviction — the reference's Redis merge loop as a native
+    sliding window. Rows-only driver check; equivalence with the batch
+    sliding-window aggregation over closed windows is pinned in
+    tests/test_streaming.py."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(pipeline.sliding_counts_stream(events))
+
+
 @register(
     "streaming_dedup",
     oracle="""

@@ -440,3 +440,30 @@ def test_query_metrics_exposes_monitor_surface(spark):
     assert m["batch_duration_ms"] > 0
     assert m["state_rows_total"] > 0  # open windows live in the state store
     assert m["watermark"] is not None
+
+
+def test_streaming_sliding_windows_equal_batch(spark):
+    """A4 — streaming sliding windows (append mode) equal the batch
+    sliding-window aggregation restricted to watermark-closed windows
+    (batch-streaming unification)."""
+    got = pipeline.run_to_completion(
+        pipeline.sliding_counts_stream(pipeline.file_event_stream(spark, SF_SMOKE))
+    )
+    batch = load_table(spark, SF_SMOKE, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.groupBy(
+            F.window("ts", "10 minutes", "1 minute").alias("win"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("win_cnt"), F.round(F.sum("value"), 2).alias("win_sum"))
+        .filter(F.col("win.end") <= F.lit(max_ts) - F.expr("INTERVAL 15 MINUTES"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "key",
+            "win_cnt",
+            "win_sum",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert got.count() > 0

@@ -467,3 +467,55 @@ def test_streaming_sliding_windows_equal_batch(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
     assert got.count() > 0
+
+
+def test_exactly_once_across_restart(spark):
+    """Exactly-once through checkpointed file sinks: stop a query after
+    the first micro-batch, write more input, restart with the SAME
+    checkpoint — the sink ends up with every event exactly once (the
+    reference silently drops on overflow and loses buffers on crash,
+    EngagementRedisSink.scala:91-93; SURVEY.md §2.4)."""
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="spe-eo-src-")
+    out = tempfile.mkdtemp(prefix="spe-eo-out-")
+    ckpt = pipeline.checkpoint_dir("eo")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write([(1, "2024-01-01 00:00:01", 7, "a", 1.0, "{}"),
+           (2, "2024-01-01 00:00:02", 7, "b", 2.0, "{}")])
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash" after batch 1 is committed
+
+    write([(3, "2024-01-01 00:00:03", 8, "c", 3.0, "{}")])
+    q = start()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # no duplicates, no losses

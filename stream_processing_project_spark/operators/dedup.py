@@ -249,3 +249,24 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Incremental exact dedup — the production shape: drop new documents
+    whose content already exists in the historical corpus (left-anti on
+    the content fingerprint), then dedup within the new batch itself
+    (keep lowest doc_id). The corpus side reduces to DISTINCT
+    fingerprints before the join — at 100 TB that dedup table is the
+    thing you persist between pipeline runs (bucketed by fp), so each
+    increment joins against fingerprints, never documents."""
+    seen = corpus.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    fresh = (
+        new_docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .join(seen, "fp", "left_anti")
+    )
+    keep = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return fresh.join(keep, ["fp", "doc_id"], "left_semi").drop("fp")

@@ -420,3 +420,30 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents WHERE doc_id < 250
+),
+new_docs AS (SELECT * FROM documents WHERE doc_id >= 250),
+fresh AS (
+  SELECT d.*, md5(lower(trim(d.text))) AS fp FROM new_docs d
+  WHERE md5(lower(trim(d.text))) NOT IN (SELECT fp FROM corpus)
+),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+SELECT f.doc_id, f.lang FROM fresh f JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the docs table split into an existing corpus
+    (doc_id < 250) and a new batch; new documents already present in the
+    corpus are dropped (anti-join on fingerprint), then the batch dedups
+    against itself keep-first — the per-increment shape of a production
+    training-data pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new_docs = docs.filter(F.col("doc_id") >= 250)
+    return dedup.incremental_dedup(new_docs, corpus).select("doc_id", "lang")

@@ -112,3 +112,30 @@ def frame_sample(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
         )
         .withColumn("n_sampled", F.size("sampled_frames"))
     )
+
+
+def resize_plan(
+    decoded: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize planning for image/video rows: aspect-preserving letterbox
+    into target_w×target_h — output dims, uniform scale factor, and
+    padding. Pure column arithmetic over the decoded metadata (the pixel
+    work itself belongs in the decode UDF; planning stays JVM-side so a
+    100 TB catalog can be resize-planned without touching payload
+    bytes). scale = min(tw/w, th/h); out = floor(dim × scale); pad =
+    target − out."""
+    scale = F.least(
+        F.lit(target_w) / F.col("width"), F.lit(target_h) / F.col("height")
+    )
+    out_w = F.floor(F.col("width") * scale).cast("int")
+    out_h = F.floor(F.col("height") * scale).cast("int")
+    return decoded.filter(F.col("kind").isin("image", "video")).select(
+        "doc_id",
+        "kind",
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        (F.lit(target_w) - out_w).alias("pad_w"),
+        (F.lit(target_h) - out_h).alias("pad_h"),
+    )

@@ -115,21 +115,43 @@ def ann_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. The bucket join is an equi-join on the code — at 100 TB the
-    corpus is hash-partitioned by bucket once and each query touches
-    ~1/2^N of it. Recall/latency tunes via N_PLANES and multi-probe."""
+    bucket(s). The bucket join is an equi-join on the code — at 100 TB
+    the corpus is hash-partitioned by bucket once and each query touches
+    ~n_probe/2^N of it. n_probe > 1 enables multi-probe: the query also
+    probes the buckets at Hamming distance 1 from its own code (each
+    sign bit flipped in turn — near-boundary neighbors land there),
+    trading n_probe× candidate volume for recall without re-hashing the
+    corpus. Only the (small) query side explodes."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim))
+    ).withColumn("_b0", lsh_bucket(F.col("qv"), dim))
+    probes = F.slice(
+        F.concat(
+            F.array(F.col("_b0")),
+            F.array(
+                *[
+                    F.col("_b0").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ]
+            ),
+        ),
+        1,
+        max(1, n_probe),
+    )
+    q = q.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("neighbor_id")

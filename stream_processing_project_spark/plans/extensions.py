@@ -447,3 +447,39 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 250)
     new_docs = docs.filter(F.col("doc_id") >= 250)
     return dedup.incremental_dedup(new_docs, corpus).select("doc_id", "lang")
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+WITH meta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         length(text) AS n_bytes
+  FROM documents
+),
+decoded AS (
+  SELECT doc_id, kind,
+         16 + (n_bytes % 64) * 8 AS width,
+         16 + (n_bytes % 48) * 8 AS height
+  FROM meta
+)
+SELECT doc_id, kind, width, height,
+       CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INTEGER) AS out_w,
+       CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INTEGER) AS out_h,
+       224 - CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INTEGER) AS pad_w,
+       224 - CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INTEGER) AS pad_h
+FROM decoded WHERE kind IN ('image', 'video')
+""",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the decoded multimodal table: aspect-
+    preserving 224×224 letterbox dims/padding as pure column math
+    (payload bytes untouched — a catalog-wide resize plan is metadata
+    work). Runs the full chain: binary attach → mapInPandas decode stub
+    → resize plan; the oracle replays the deterministic stub."""
+    media = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media)
+    return multimodal.resize_plan(decoded)

@@ -119,3 +119,26 @@ def test_winnow_fingerprints_guarantee(spark):
     assert fps[1] & fps[2], "shared substring must produce a common fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_ann_lsh_multiprobe_recall_monotone(spark):
+    """Multi-probe LSH: probing Hamming-1 buckets can only ADD candidates
+    — recall vs exact top-k is monotone in n_probe, and scores still
+    agree with the exact metric."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_top = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(n_probe):
+        hits = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_lsh_topk(emb, queries, k=3, n_probe=n_probe).collect()
+        }
+        return len(hits & exact_top)
+
+    r1, r5 = recall(1), recall(5)
+    assert r5 >= r1
+    assert r5 > 0

@@ -84,3 +84,19 @@ def test_enrichment_join_is_broadcast(spark):
         if "hashpartitioning(" in line
     ]
     assert len(data_exchanges) <= 2, plan  # agg + (optional) rollup re-agg
+
+
+def test_custom_operators_avoid_nested_loop_joins(spark):
+    """The composed custom operators must never degrade to
+    BroadcastNestedLoopJoin/Cartesian: the range join is an equi-join on
+    its bucket id, the as-of join is a union + window (no join at all in
+    the carry), the cascade and gap-fill are agg/equi-join shapes."""
+    for name in [
+        "olap_asof_last_order",
+        "olap_range_join_price_bands",
+        "olap_rollup_cascade",
+        "olap_gap_fill_hourly",
+    ]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Cartesian" not in plan, name

@@ -1,0 +1,70 @@
+"""Dataset sampling for training-data pipelines: deterministic splits
+and token-budget selection.
+
+Splits must be a PURE FUNCTION of the document identity — not of
+partitioning, row order, cluster size, or engine — so the same document
+lands in the same split on every run of every system that touches the
+corpus. We hash the id (md5 → first 8 hex digits → int, available in
+every engine including the DuckDB oracle) and cut [0, 100) by
+percentage. `rand()`/`sample()` CANNOT give this guarantee (seeded
+per-partition → repartitioning reshuffles the split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_bucket(id_col: Column) -> Column:
+    """Stable [0, 100) bucket from a numeric id: Knuth multiplicative
+    hash ((id × 2654435761) mod 2³²) mod 100 — pure integer arithmetic,
+    so ANY engine reproduces it exactly (the DuckDB oracle recomputes
+    it). For string ids, hash to a number first (e.g. md5 prefix) with
+    the same expression on both sides."""
+    return (id_col.cast("long") * F.lit(2654435761)) % F.lit(4294967296) % 100
+
+
+def train_val_test(
+    df: DataFrame, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Adds a `split` column: test = bucket < test_pct, val = next
+    val_pct buckets, train = the rest. Pure projection — no shuffle, no
+    state; re-runs and engine swaps reproduce the split exactly."""
+    b = split_bucket(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents in priority order until the cumulative token
+    count exceeds `budget` — "fill a 1B-token training mix". Documents
+    are ordered by (priority desc, id) and kept while the RUNNING total
+    up to and including each doc stays <= budget (greedy prefix; the
+    first overflowing doc is excluded).
+
+    Scale note: the running total is a global ordered window (single
+    ordering partition) — correct but serial at the margin. At 100 TB
+    pre-aggregate per priority bucket, pick the prefix of whole buckets
+    driver-side, and window only the boundary bucket."""
+    order = (
+        [F.col(priority_col).desc_nulls_last(), F.col(id_col)]
+        if priority_col
+        else [F.col(id_col)]
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("_cum", F.sum(token_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_cum")
+    )

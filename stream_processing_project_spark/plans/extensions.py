@@ -483,3 +483,55 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
     decoded = multimodal.decode_media(media)
     return multimodal.resize_plan(decoded)
+
+
+@register(
+    "sampling_train_val_test",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def sampling_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) as a pure function
+    of doc identity — a Knuth multiplicative hash reproduces
+    byte-identically in any engine (the oracle recomputes it in DuckDB),
+    unlike rand()/sample() whose seeds are per-partition."""
+    from stream_processing_project_spark.operators.sampling import train_val_test
+
+    return train_val_test(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@register(
+    "sampling_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM cum WHERE c <= 5000
+""",
+)
+def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: greedy prefix of documents (by id) whose
+    running token total stays within a 5k-token budget — the "fill a
+    training mix" primitive; the oracle runs the same running-total
+    window."""
+    from stream_processing_project_spark.operators.sampling import token_budget_select
+    from stream_processing_project_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return token_budget_select(docs, "n_tokens", budget=5000)

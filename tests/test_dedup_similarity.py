@@ -142,3 +142,46 @@ def test_ann_lsh_multiprobe_recall_monotone(spark):
     r1, r5 = recall(1), recall(5)
     assert r5 >= r1
     assert r5 > 0
+
+
+def test_split_is_partitioning_invariant(spark):
+    """The train/val/test split must be a pure function of doc identity:
+    repartitioning the input must not move any document between splits,
+    and proportions must be near 80/10/10."""
+    from stream_processing_project_spark.operators.sampling import train_val_test
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in train_val_test(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_val_test(docs.repartition(17)).collect()
+    }
+    assert a == b  # identical assignment under any partitioning
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert 0.05 < c["val"] / 2000 < 0.15
+    assert 0.05 < c["test"] / 2000 < 0.15
+
+
+def test_token_budget_greedy_prefix(spark):
+    """token_budget_select keeps the priority-ordered prefix whose
+    running total fits; the first overflowing doc is excluded."""
+    from stream_processing_project_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 40, 9), (2, 50, 8), (3, 20, 7), (4, 5, 6)],
+        ["doc_id", "n_tokens", "prio"],
+    )
+    got = sorted(
+        r.doc_id
+        for r in token_budget_select(
+            docs, "n_tokens", budget=100, priority_col="prio"
+        ).collect()
+    )
+    # prio order: 1(40) -> 2(90) -> 3 would hit 110 > 100 -> excluded, and
+    # the greedy prefix STOPS at the first overflow (4 is after 3 in order)
+    assert got == [1, 2]

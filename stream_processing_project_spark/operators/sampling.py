@@ -68,3 +68,24 @@ def token_budget_select(
         .filter(F.col("_cum") <= budget)
         .drop("_cum")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep `rates[stratum]` percent
+    of each stratum (class rebalancing — e.g. downsample the dominant
+    language). Uses the same identity-hash bucket as train_val_test, so
+    the selection is reproducible across runs/engines/partitionings —
+    sampleBy() cannot promise that (per-partition seeds). A row is kept
+    iff bucket(id) < pct(stratum); strata not in `rates` fall back to
+    default_pct."""
+    b = split_bucket(F.col(id_col))
+    pct = F.lit(default_pct)
+    for stratum, p in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == stratum, p).otherwise(pct)
+    return df.filter(b < pct)

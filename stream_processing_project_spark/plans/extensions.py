@@ -535,3 +535,27 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return token_budget_select(docs, "n_tokens", budget=5000)
+
+
+@register(
+    "sampling_stratified",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+      CASE WHEN lang = 'en' THEN 25 ELSE 75 END
+""",
+)
+def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: downsample English (the
+    dominant stratum) to 25% and keep 75% of every other language —
+    the class-rebalancing primitive, reproducible in any engine (the
+    oracle recomputes the identity-hash selection)."""
+    from stream_processing_project_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        t(spark, sf_dir, "documents"),
+        "lang",
+        rates={"en": 25},
+        default_pct=75,
+    ).select("doc_id", "lang")

@@ -185,3 +185,38 @@ def test_token_budget_greedy_prefix(spark):
     # prio order: 1(40) -> 2(90) -> 3 would hit 110 > 100 -> excluded, and
     # the greedy prefix STOPS at the first overflow (4 is after 3 in order)
     assert got == [1, 2]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """stratified_sample keeps ~rate% of each stratum, is invariant
+    under repartitioning, and a kept row stays kept when its stratum's
+    rate rises (nested selections — same hash, higher threshold)."""
+    from stream_processing_project_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept = stratified_sample(docs, "lang", rates={"en": 25}, default_pct=75)
+    rows = kept.collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in rows)
+    assert 0.15 < c["en"] / 1000 < 0.35
+    assert 0.65 < c["de"] / 3000 < 0.85
+    # partitioning-invariant: identical row set under a different layout
+    again = {
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(13), "lang", rates={"en": 25}, default_pct=75
+        ).collect()
+    }
+    assert {r.doc_id for r in rows} == again
+    # monotone: raising a stratum's rate only ADDS rows (threshold cut)
+    wider = {
+        r.doc_id
+        for r in stratified_sample(
+            docs, "lang", rates={"en": 50}, default_pct=75
+        ).collect()
+    }
+    assert {r.doc_id for r in rows} <= wider

@@ -290,3 +290,49 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .subtract(ev.filter(F.col("event_type") == "purchase").select("user_id"))
     )
+
+
+# --- S4: deterministic synthetic generator (oracle regenerates from range) ---
+@register(
+    "synthetic_events_gen",
+    oracle="""
+SELECT range AS event_id,
+       (range * 7919) % 997 AS user_id,
+       (range * 31) % 5000 AS content_id,
+       CASE range % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+            WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase'
+            ELSE 'error' END AS event_type,
+       ((range * 37) % 300000) / 1000.0 AS engagement_seconds,
+       strftime(TIMESTAMP '2026-01-01 00:00:00' + range * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM range(0, 10000)
+""",
+)
+def synthetic_events_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — engine-native synthetic event generator
+    (generate_data.py:106-128 analogue): spark.range + pure-function
+    columns, so any engine regenerates the identical corpus (the oracle
+    rebuilds it from DuckDB's range()). No source files, no shuffle —
+    the index space splits across executors directly."""
+    from stream_processing_project_spark.sources.synthetic import synthetic_events
+
+    return synthetic_events(spark, 10000)
+
+
+# --- P7: deterministic sampling filter ---------------------------------------
+@register(
+    "sample_filter",
+    oracle="SELECT event_id FROM events WHERE event_id % 100 < 10",
+)
+def sample_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — sampling predicate (EngagementProcessor.scala:188 uses
+    Random.nextInt(100) < rate; the engine's oracle-reproducible variant
+    is an id-residue cut, same selectivity). The filter is a pure
+    pushed-down predicate — no shuffle, prunes at the scan."""
+    from stream_processing_project_spark.functions.scalar import deterministic_sample
+
+    return (
+        t(spark, sf_dir, "events")
+        .filter(deterministic_sample(F.col("event_id"), 10))
+        .select("event_id")
+    )

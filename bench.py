@@ -113,14 +113,20 @@ def stream_bench(spark, sf_dir: str) -> dict:
         run_to_completion(
             minute_counts_stream(
                 enriched_stream(
-                    cdc_event_stream(spark, warm_dir), load_table(spark, warm_dir, "customer")
+                    cdc_event_stream(spark, warm_dir, min_partitions=16),
+                    load_table(spark, warm_dir, "customer"),
                 )
             )
         )
         run_to_completion(dedup_stream(file_event_stream(spark, warm_dir)))
     t0 = time.perf_counter()
+    # min_partitions=16: the Kafka-minPartitions analogue for the one-file
+    # fixture source — fans the JSON parse out across cores (measured
+    # best at 16 on local[32]; 32 pays more shuffle than it gains)
     run_to_completion(
-        minute_counts_stream(enriched_stream(cdc_event_stream(spark, sf_dir), dim))
+        minute_counts_stream(
+            enriched_stream(cdc_event_stream(spark, sf_dir, min_partitions=16), dim)
+        )
     )
     wall = time.perf_counter() - t0
     t1 = time.perf_counter()

@@ -79,8 +79,12 @@ def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are pinned in unit tests (the fixture has one version per
     key, so the oracle reduces to filtering deletes)."""
     from stream_processing_project_spark.sources.cdc import materialize_upserts
+    from stream_processing_project_spark.sources.fixtures import fan_out_if_narrow
 
-    raw = to_envelope_json(t(spark, sf_dir, "events"))
+    # fixture parquet is one row group → one split; fan out before the
+    # CPU-heavy JSON encode/parse so it uses every core (measured ~30%
+    # on the bench; no-op on a well-partitioned 100 TB source)
+    raw = to_envelope_json(fan_out_if_narrow(t(spark, sf_dir, "events")))
     changes = parse_envelope(raw)
     return materialize_upserts(changes).select(
         "id", "user_id", "event_type", "value", "__op"

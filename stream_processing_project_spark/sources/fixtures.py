@@ -44,3 +44,18 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out_if_narrow(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Ingest fan-out — the batch analogue of the Kafka source's
+    `minPartitions` (SURVEY.md §2.1 S2): when a source delivers fewer
+    splits than the cluster has cores (single-row-group parquet, a
+    low-partition topic), CPU-heavy decode work downstream serializes
+    on those few tasks. Round-robin repartition to defaultParallelism
+    BEFORE the decode so it parallelizes; a NO-OP when the source is
+    already wide — at 100 TB the scan yields thousands of splits and
+    no gratuitous shuffle is added."""
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

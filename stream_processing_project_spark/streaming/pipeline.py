@@ -62,24 +62,35 @@ def checkpoint_dir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"spe-ckpt-{tag}-")
 
 
-def file_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def file_event_stream(
+    spark: SparkSession, sf_dir: str, min_partitions: int | None = None
+) -> DataFrame:
     """Streaming scan of the fixture events table (file source — each
     parquet file is a micro-batch unit; Kafka swaps in transparently).
     The source needs a directory, so the sf dir is scanned with a glob
-    pinned to the events file; epoch-nanos ts → TimestampType (micros)."""
-    return (
+    pinned to the events file; epoch-nanos ts → TimestampType (micros).
+
+    `min_partitions` mirrors the Kafka source's `minPartitions` option
+    (KAFKA_SOURCE_OPTIONS): a one-file micro-batch is one task, so
+    downstream decode serializes; fanning out before the parse keeps
+    every core busy. Leave None when the source already has enough
+    splits per micro-batch."""
+    stream = (
         spark.readStream.schema(EVENTS_RAW)
         .option("maxFilesPerTrigger", "64")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return stream.repartition(min_partitions) if min_partitions else stream
 
 
-def cdc_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_event_stream(
+    spark: SparkSession, sf_dir: str, min_partitions: int | None = None
+) -> DataFrame:
     """Full ingest path: stream → envelope JSON → PERMISSIVE parse →
     op-filter → typed event rows with event-time column `ts` (P1+P2)."""
-    raw = to_envelope_json(file_event_stream(spark, sf_dir))
+    raw = to_envelope_json(file_event_stream(spark, sf_dir, min_partitions))
     return (
         parse_envelope(raw)
         .filter(F.col("__op").isin("r", "c"))

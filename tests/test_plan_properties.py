@@ -100,3 +100,17 @@ def test_custom_operators_avoid_nested_loop_joins(spark):
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Cartesian" not in plan, name
+
+
+def test_fan_out_is_conditional(spark):
+    """fan_out_if_narrow widens a narrow source to defaultParallelism but
+    must be a strict NO-OP (no added exchange) when the source already
+    has enough splits — a wide 100 TB scan never pays a gratuitous
+    shuffle."""
+    from stream_processing_project_spark.sources.fixtures import fan_out_if_narrow
+
+    narrow = spark.range(0, 1000, 1, 1)
+    wide = spark.range(0, 1000, 1, 64)
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out_if_narrow(narrow).rdd.getNumPartitions() == target
+    assert fan_out_if_narrow(wide) is wide  # identical plan object, no-op

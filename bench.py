@@ -138,6 +138,9 @@ def stream_bench(spark, sf_dir: str) -> dict:
         "events_per_sec": int(n / wall),
         "dedup_events_per_sec": int(n / dedup_wall),
         "reference_target_events_per_sec": 2000,
+        # BASELINE.md stress stages (offered load, events/s) — sustained
+        # full-replay throughput above a stage means that stage is handled
+        "reference_offered_load_stages": [100, 1000, 2500, 5000, 10000],
         "pipeline": "cdc_json_parse->op_filter->broadcast_enrich->1min_window->memory",
     }
 

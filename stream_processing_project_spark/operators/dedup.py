@@ -251,6 +251,64 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate clusters:
+    (doc_id, cluster_id) for every document that appears in a pair,
+    cluster_id = the minimum doc_id in its connected component — the
+    step that turns pairwise similarity output into a keep-one-per-
+    cluster decision.
+
+    Min-label propagation to a fixpoint: each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    diameter(component) rounds (near-dup components are shallow — dup
+    clusters, not social graphs). Each round is one shuffle of
+    (node, label) against the edge list; lineage is truncated per round
+    with localCheckpoint so plans stay flat. At extreme diameters switch
+    to large-star/small-star (O(log n) rounds) — same join shapes.
+    """
+    pairs = pairs.persist()  # the union below reads the pair pipeline twice
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    pairs.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame, corpus: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -100,6 +100,85 @@ def prefix_fingerprint(text: Column, prefix_len: int = 64) -> Column:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality features (the Gopher-style filters):
+    duplicate-word fraction and most-common-bigram fraction, plus a keep
+    flag. Everything is inline array work on the token array — O(distinct
+    × tokens) JVM ops per document, no explode, no shuffle — which holds
+    at 100 TB as long as documents are bounded (they are: a corpus is
+    many small documents, not one big one); the explode+groupBy
+    alternative would shuffle every bigram occurrence. Documents with <2
+    tokens are dropped (no bigrams; mirrors _bigrams in dedup.py)."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    out = (
+        df.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= 2)
+        .withColumn(
+            "_bi",
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"
+            ),
+        )
+        .withColumn(
+            "_top",
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("_bi")),
+                    lambda d: F.size(F.filter(F.col("_bi"), lambda x: x == d)),
+                )
+            ),
+        )
+    )
+    n_tokens = F.size("_toks")
+    dup_frac = (n_tokens - F.size(F.array_distinct("_toks"))) / n_tokens
+    top_frac = F.col("_top") / F.size("_bi")
+    return out.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        F.col("_top").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac <= 0.95) & (top_frac <= 0.1)).cast("int").alias("repetition_keep"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token chunks (the
+    context-window packing primitive: chunk_tokens per chunk, advancing
+    by stride, so consecutive chunks share chunk_tokens − stride tokens).
+    Chunk starts stop before n − overlap so a final fragment that is
+    entirely inside the previous chunk is never emitted. One narrow
+    stage: split + sequence + explode, no shuffle — output rows carry
+    only their own slice, so a 100 TB corpus chunks in a single pass."""
+    overlap = chunk_tokens - stride
+    exploded = (
+        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), " "))
+        .withColumn("_n", F.size("_toks"))
+        .select(
+            "doc_id",
+            "_toks",
+            "_n",
+            F.explode(
+                F.expr(f"sequence(0, greatest(_n - {overlap} - 1, 0), {stride})")
+            ).alias("chunk_start"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.expr(f"chunk_start div {stride}").cast("int").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.expr(f"array_join(slice(_toks, chunk_start + 1, {chunk_tokens}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+
+
 def fingerprint_docs(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -135,6 +135,62 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle="""
+WITH bi AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, len(ws) - 1),
+                        i -> concat(ws[i], ' ', ws[i + 1])) AS b
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(ws) AS INTEGER) AS n_tokens,
+         (len(ws) - len(list_distinct(ws))) / len(ws) AS dup_word_frac,
+         CAST(list_max(list_transform(list_distinct(b),
+                d -> len(list_filter(b, x -> x = d)))) AS INTEGER) AS top_bigram_count,
+         list_max(list_transform(list_distinct(b),
+                d -> len(list_filter(b, x -> x = d)))) / len(b) AS top_bigram_frac
+  FROM bi
+)
+SELECT doc_id, n_tokens, dup_word_frac, top_bigram_count, top_bigram_frac,
+       CASE WHEN dup_word_frac <= 0.95 AND top_bigram_frac <= 0.1
+            THEN 1 ELSE 0 END AS repetition_keep
+FROM feat
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-word fraction
+    and most-common-bigram fraction with a keep flag — all inline array
+    ops (no explode, no shuffle)."""
+    from stream_processing_project_spark.operators.text import repetition_features
+
+    return repetition_features(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk",
+    oracle="""
+SELECT doc_id,
+       CAST(s AS INTEGER) AS chunk_start,
+       CAST(s // 24 AS INTEGER) AS chunk_id,
+       CAST(least(32, len(ws) - s) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+     unnest(generate_series(0, greatest(len(ws) - 9, 0), 24)) AS u(s)
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks advancing by 24 (8-token
+    overlap), final fully-contained fragments suppressed — the packing
+    primitive between dedup/quality filtering and tokenization."""
+    from stream_processing_project_spark.operators.text import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"))
+
+
 # =========================== deduplication ===================================
 
 
@@ -212,6 +268,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df ≤ 100) — the scalable exact-verification stage of a dedup
     pipeline."""
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cluster_resolve",
+    oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> concat(ws[i], ' ', ws[i + 1])))) AS sh
+  FROM words
+),
+rare AS (
+  SELECT * FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (bigram Jaccard ≥ 0.1) resolved into duplicate
+    clusters by connected components (min-label propagation): doc_id →
+    min doc_id of its component — the keep-one-per-cluster decision
+    step. The oracle recomputes reachability with a DuckDB recursive
+    CTE, so the iterative Spark algorithm is value-checked end to end."""
+    pairs = dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.1)
+    return dedup.connected_components(pairs)
 
 
 @register("dedup_minhash_lsh", tags=("bench",))

@@ -220,3 +220,33 @@ def test_stratified_sample_rates_and_determinism(spark):
         ).collect()
     }
     assert {r.doc_id for r in rows} <= wider
+
+
+def test_connected_components_planted(spark):
+    """Chain 0-1-2-3 collapses to one cluster labeled by its min node even
+    though 0 and 3 share no edge; disjoint pair keeps its own label;
+    isolated docs never appear."""
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds — pins the
+    iterate-to-fixpoint loop, not just one round."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], ["doc_a", "doc_b"]
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert {r.cluster_id for r in got} == {0}
+    assert sorted(r.doc_id for r in got) == list(range(12))
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(pairs).count() == 0

@@ -201,3 +201,57 @@ def test_reference_wire_to_metrics_end_to_end(spark):
     assert rows[1]["engagement_pct"] == 15.5  # round(93/600*100, 2)
     assert rows[2]["content_type"] is None  # left-outer keeps the event
     assert rows[2]["engagement_pct"] is None
+
+
+def test_chunk_documents_coverage(spark):
+    """Every token lands in >=1 chunk; consecutive chunks overlap by
+    exactly chunk-stride tokens; no chunk is fully contained in the
+    previous one; reassembling stride-aligned prefixes rebuilds the doc."""
+    from stream_processing_project_spark.operators.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(70)),  # 3 chunks, short tail
+        1: " ".join(f"t{i}" for i in range(32)),  # exactly one chunk
+        2: " ".join(f"t{i}" for i in range(8)),   # shorter than overlap
+        3: " ".join(f"t{i}" for i in range(33)),  # 1 token past a chunk
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    chunks = {}
+    for r in chunk_documents(df).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        rows = sorted(chunks[doc_id], key=lambda r: r.chunk_start)
+        # starts advance by exactly the stride, from zero
+        assert [r.chunk_start for r in rows] == [24 * i for i in range(len(rows))]
+        # each chunk is the right slice of the source
+        for r in rows:
+            assert r.chunk_text.split(" ") == toks[r.chunk_start : r.chunk_start + 32]
+            assert r.n_chunk_tokens == len(toks[r.chunk_start : r.chunk_start + 32])
+        # full coverage: last chunk reaches the end of the doc
+        assert rows[-1].chunk_start + rows[-1].n_chunk_tokens == len(toks)
+        # no chunk adds zero new tokens
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.chunk_start + cur.n_chunk_tokens > prev.chunk_start + 32
+
+
+def test_repetition_features_planted(spark):
+    """A maximally repetitive doc scores dup_word_frac→1 and high
+    top-bigram fraction (dropped by the keep flag); an all-distinct doc
+    scores 0 and survives."""
+    from stream_processing_project_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam " * 19 + "spam"),          # 20x same token
+            (1, " ".join(f"w{i}" for i in range(20))),  # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[0].dup_word_frac == 19 / 20
+    assert got[0].top_bigram_count == 19  # "spam spam" x19
+    assert got[0].repetition_keep == 0
+    assert got[1].dup_word_frac == 0.0
+    assert got[1].top_bigram_count == 1
+    assert got[1].repetition_keep == 1

@@ -114,3 +114,11 @@ def test_fan_out_is_conditional(spark):
     target = spark.sparkContext.defaultParallelism
     assert fan_out_if_narrow(narrow).rdd.getNumPartitions() == target
     assert fan_out_if_narrow(wide) is wide  # identical plan object, no-op
+
+
+def test_text_narrow_ops_have_no_exchange(spark):
+    """Chunking and repetition scoring are single-pass corpus transforms —
+    any Exchange in their plans means a 100 TB scan started shuffling."""
+    for name in ["text_chunk", "text_repetition", "text_quality"]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"

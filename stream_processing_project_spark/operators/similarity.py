@@ -83,6 +83,47 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: each query's label is the most
+    frequent label among its k exact-cosine nearest neighbors (ties break
+    to the smallest label — deterministic). Built entirely from the
+    brute-force top-k (same scale envelope: corpus never shuffles, the
+    vote aggregation touches |queries|×k rows); swap in ann_lsh_topk /
+    ivf_topk for the candidate stage at corpus scale."""
+    topk = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    votes = (
+        topk.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -------------------------------------------
 
 N_PLANES = 8

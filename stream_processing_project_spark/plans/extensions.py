@@ -320,6 +320,64 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+@register(
+    "dedup_pipeline_keep",
+    oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> concat(ws[i], ' ', ws[i + 1])))) AS sh
+  FROM words
+),
+rare AS (
+  SELECT * FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+drops AS (
+  SELECT node FROM (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+  WHERE node <> cluster_id
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drops)
+""",
+)
+def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup decision end to end: candidate pairs
+    (bigram Jaccard ≥ 0.1) → connected components → drop every document
+    that is not its cluster's representative (min doc_id); untouched
+    documents pass through. Output is the kept corpus — what actually
+    feeds tokenization in a training pipeline."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    clusters = dedup.connected_components(pairs)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 @register("dedup_minhash_lsh", tags=("bench",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
@@ -396,6 +454,44 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force asserted in tests."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@register(
+    "similarity_knn_classify",
+    oracle="""
+WITH topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                      DESC NULLS LAST, c.vec_id) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT t.query_id, e.label AS nbr_label, count(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, nbr_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, nbr_label) AS rn
+  FROM votes
+)
+SELECT p.query_id, q.label AS true_label, p.nbr_label AS pred_label, p.votes
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+WHERE p.rn = 1
+""",
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction (k=5, exact cosine neighbors,
+    deterministic tie-break) for 10 query vectors — the classification
+    use of the similarity stack."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 # =========================== multimodal ========================================

@@ -250,3 +250,34 @@ def test_connected_components_long_chain_converges(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.connected_components(pairs).count() == 0
+
+
+def test_knn_classify_planted_clusters(spark):
+    """Queries sitting inside a tight label cluster must be assigned that
+    label unanimously; the tie-break picks the smaller label when votes
+    split evenly."""
+    rows = [
+        # label-0 cluster along axis 0, label-1 cluster along axis 1
+        (0, [1.0, 0.01, 0.0], 0), (1, [0.99, 0.02, 0.0], 0), (2, [1.01, 0.0, 0.01], 0),
+        (10, [0.01, 1.0, 0.0], 1), (11, [0.0, 0.99, 0.02], 1), (12, [0.02, 1.01, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        r.query_id: r
+        for r in similarity.knn_classify(
+            emb, emb.filter(F.col("vec_id").isin(0, 10)), k=2
+        ).collect()
+    }
+    assert got[0].pred_label == 0 and got[0].votes == 2 and got[0].true_label == 0
+    assert got[10].pred_label == 1 and got[10].votes == 2
+
+    # even split: k=2 neighbors of a midpoint query carry labels {0, 1}
+    mid = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0], 9)], "vec_id long, embedding array<double>, label int"
+    )
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], 1), (1, [0.0, 1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    pred = similarity.knn_classify(corpus, mid, k=2).collect()[0]
+    assert pred.votes == 1 and pred.pred_label == 0  # tie → smaller label

@@ -212,6 +212,49 @@ def olap_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "olap_unpivot",
+    oracle="""
+SELECT l_returnflag, measure, round(sum(val), 2) AS total
+FROM (
+  SELECT l_returnflag, 'qty' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', l_tax FROM lineitem
+)
+GROUP BY l_returnflag, measure
+""",
+)
+def olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the four lineitem measures rotated into
+    (measure, value) rows then re-aggregated — the inverse of the pivot
+    query. Spark's native unpivot expands in-place (one narrow stage,
+    no UNION re-scan like the SQL spelling), then one partial-agg
+    shuffle."""
+    mapping = {
+        "l_quantity": "qty",
+        "l_extendedprice": "price",
+        "l_discount": "discount",
+        "l_tax": "tax",
+    }
+    melted = (
+        t(spark, sf_dir, "lineitem")
+        .unpivot(
+            ids=["l_returnflag"],
+            values=list(mapping),
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .replace(mapping, subset=["measure"])
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
 # --- rollup (grouping sets) ----------------------------------------------------------
 @register(
     "olap_rollup_lineitem",

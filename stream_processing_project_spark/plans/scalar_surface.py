@@ -91,6 +91,54 @@ def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CDC SCD2: change log → full version history ------------------------------
+@register(
+    "cdc_scd2_history",
+    oracle="""
+WITH env AS (
+  SELECT event_id AS id, user_id, event_type, value,
+         epoch_ms(ts) AS ts_ms,
+         CASE WHEN event_id % 20 = 0 THEN 'u'
+              WHEN event_id % 20 = 1 THEN 'd'
+              WHEN event_id % 2 = 0 THEN 'c'
+              ELSE 'r' END AS op
+  FROM events
+),
+v AS (
+  SELECT user_id, id, event_type, value, op,
+         ts_ms AS valid_from,
+         lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, id) AS valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, id)
+              AS INTEGER) AS version
+  FROM env
+)
+SELECT user_id, id, event_type, value, valid_from, valid_to, version,
+       CASE WHEN valid_to IS NULL AND op <> 'd' THEN 1 ELSE 0 END AS is_current
+FROM v WHERE op <> 'd'
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history from the CDC stream: every change versioned per
+    entity (user) with [valid_from, valid_to) millisecond bounds; deletes
+    close the prior version and emit nothing; open versions flagged
+    current. The as-of-queryable complement of cdc_upsert_materialize."""
+    from stream_processing_project_spark.sources.cdc import scd2_history
+    from stream_processing_project_spark.sources.fixtures import fan_out_if_narrow
+
+    raw = to_envelope_json(fan_out_if_narrow(t(spark, sf_dir, "events")))
+    changes = parse_envelope(raw)
+    return scd2_history(changes).select(
+        "user_id",
+        "id",
+        "event_type",
+        "value",
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    )
+
+
 # --- JSONB surface: opaque JSON column extraction ----------------------------
 @register(
     "json_extract_props",

@@ -14,7 +14,7 @@ with file/memory sources (no broker in this container).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -87,6 +87,36 @@ def parse_envelope(
 def parse_reference_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Same parse against the reference-shaped envelope (schemas.CDC_ENVELOPE)."""
     return parse_envelope(raw, CDC_ENVELOPE, value_col)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "__ts_ms",
+    order_col: str = "id",
+    op_col: str = "__op",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    every non-delete change becomes a version row with [valid_from,
+    valid_to) bounds; the next change (including a delete) closes the
+    previous version; the open version of a live key is flagged current.
+
+    The complement of materialize_upserts (current state): this keeps
+    ALL states for as-of queries against the warehouse. One shuffle on
+    the key; the per-key sort is inherent to versioning (lead/row_number
+    need total order within key). At 100 TB, partition the output by
+    key-hash buckets and valid_from date so as-of reads prune."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(order_col))
+    nxt = F.lead(ts_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("version", F.row_number().over(w))
+        .withColumn(
+            "is_current", (nxt.isNull() & (F.col(op_col) != "d")).cast("int")
+        )
+        .filter(F.col(op_col) != "d")
+    )
 
 
 def materialize_upserts(

@@ -42,3 +42,36 @@ def test_materialize_upserts_matches_model(spark, rows):
         for r in materialize_upserts(df).collect()
     }
     assert got == model(rows)
+
+
+def test_scd2_history_versions_and_deletes(spark):
+    """SCD2: versions chain per key in (ts, id) order; a delete closes
+    the prior version's valid_to but emits no row; only a live key's
+    last version is current."""
+    from stream_processing_project_spark.sources.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: create → update → delete  (no current version)
+            (10, 1, "c", 100), (11, 1, "u", 200), (12, 1, "d", 300),
+            # key 2: create → update           (second version current)
+            (20, 2, "c", 150), (21, 2, "u", 250),
+            # key 3: same-ts tie broken by id
+            (30, 3, "c", 500), (31, 3, "u", 500),
+        ],
+        "id long, user_id long, __op string, __ts_ms long",
+    )
+    rows = {
+        (r.user_id, r.version): r
+        for r in scd2_history(changes).collect()
+    }
+    assert set(rows) == {(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)}
+    # delete closes key 1's last surviving version; nothing is current
+    assert rows[(1, 2)].valid_to == 300 and rows[(1, 2)].is_current == 0
+    assert rows[(1, 1)].valid_to == 200
+    # key 2's open version is current
+    assert rows[(2, 2)].valid_to is None and rows[(2, 2)].is_current == 1
+    assert rows[(2, 1)].valid_to == 250 and rows[(2, 1)].is_current == 0
+    # tie at ts=500 ordered by id: 30 before 31
+    assert rows[(3, 1)].id == 30 and rows[(3, 1)].valid_to == 500
+    assert rows[(3, 2)].id == 31 and rows[(3, 2)].is_current == 1

@@ -397,3 +397,105 @@ def olap_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_cascade(
         t(spark, sf_dir, "events"), "ts", "event_type", "value"
     )
+
+
+# --- cohort retention ---------------------------------------------------------
+@register(
+    "olap_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def olap_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort — the
+    standard engagement-retention read. Two aggregations and one join,
+    all keyed on user_id so AQE can keep the exchanges aligned."""
+    events = t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- ordered funnel ------------------------------------------------------------
+@register(
+    "olap_funnel_stages",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ct
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.vt
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM p
+)
+""",
+)
+def olap_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (view → click → purchase): a user reaches
+    stage n+1 only with an event AFTER their earliest stage-n time —
+    each stage is a min-aggregate joined forward, so the whole funnel is
+    aggregate/join relational algebra (no per-user Python, no window
+    sort), which is what survives at 100 TB of events."""
+    events = t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = first_after("click", v, "vt", "ct")
+    p = first_after("purchase", c, "ct", "pt")
+
+    def stage(n: int, etype: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(1, "view", v).unionAll(stage(2, "click", c)).unionAll(
+        stage(3, "purchase", p)
+    )

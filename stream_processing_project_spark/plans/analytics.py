@@ -499,3 +499,79 @@ def olap_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(1, "view", v).unionAll(stage(2, "click", c)).unionAll(
         stage(3, "purchase", p)
     )
+
+
+# --- z-score outliers ----------------------------------------------------------
+@register(
+    "olap_outlier_zscore",
+    oracle="""
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         round(sum(value), 2) AS s1,
+         round(sum(value * value), 4) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE n > 1
+  AND abs(e.value - s1 / n) > 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))
+""",
+)
+def olap_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outliers — the training-data value-clipping
+    primitive. Mean/std derive from ROUNDED sum and sum-of-squares (the
+    only order-dependent floats), so every downstream division is
+    engine-deterministic; built-in stddev is avoided deliberately (its
+    merge formula differs per engine in the last ulps). One partial-agg
+    shuffle for stats, broadcast join back, narrow filter."""
+    events = t(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s1"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (F.abs(F.col("value") - mean) > 3 * std))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - mean) / std).alias("z"),
+        )
+    )
+
+
+# --- rolling time-range window --------------------------------------------------
+@register(
+    "olap_rolling_1h_avg",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) / count(*) OVER w AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def olap_rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour average per user — a RANGE (time-interval) window
+    frame, not a row-count frame: the frame is ts-value-bounded, so ties
+    and gaps behave identically in any engine. Spark orders by epoch
+    micros with rangeBetween; the rounded-sum/count quotient keeps float
+    parity. One shuffle on user_id + per-key sort (inherent to the
+    frame)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)).alias("avg_1h"),
+    )

@@ -124,6 +124,28 @@ def knn_classify(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid in long format (label, pos, centroid): explode
+    each vector by position, partial-agg sum per (label, dimension),
+    divide by the label count. The shuffle carries |labels|×dim rows
+    after map-side combine regardless of corpus size — the scalable
+    shape (a collect_list fold would hold whole label groups in memory).
+    The per-dimension sum is rounded before the division so the
+    order-dependent float accumulation can't leak into results."""
+    return (
+        corpus.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg((F.round(F.sum("v"), 6) / F.count(F.lit(1))).alias("centroid"))
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -------------------------------------------
 
 N_PLANES = 8

@@ -494,6 +494,24 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "similarity_label_centroids",
+    oracle="""
+SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+       round(sum(v), 6) / count(*) AS centroid
+FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings)
+GROUP BY 1, 2
+""",
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the cluster-summary / classifier-
+    prototype primitive) in long (label, dimension) format — partial-agg
+    shuffle of |labels|×dim rows only."""
+    return similarity.label_centroids(t(spark, sf_dir, "embeddings"))
+
+
 # =========================== multimodal ========================================
 
 

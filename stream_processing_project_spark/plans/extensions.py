@@ -36,9 +36,7 @@ _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 # =========================== text analysis ===================================
 
 
-@register(
-    "text_quality",
-    oracle=f"""
+TEXT_QUALITY_ORACLE = f"""
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars,
        CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
@@ -51,9 +49,10 @@ SELECT doc_id,
               AND len(list_filter(string_split(trim(text), ' '), w -> w IN ({_SW_EN}))) > 0
             THEN 1 ELSE 0 END AS quality_keep
 FROM documents
-""",
-    tags=("bench",),
-)
+"""
+
+
+@register("text_quality", oracle=TEXT_QUALITY_ORACLE, tags=("bench",))
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring features per document — pretraining-filter style
     (length/punct/stopword ratios, keep flag); all codegen'd array ops."""

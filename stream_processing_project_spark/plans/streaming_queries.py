@@ -145,6 +145,29 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_quality_oracle() -> str:
+    from stream_processing_project_spark.plans.extensions import TEXT_QUALITY_ORACLE
+
+    return TEXT_QUALITY_ORACLE
+
+
+@register(
+    "streaming_text_quality",
+    oracle=_text_quality_oracle(),
+)
+def streaming_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter extension as a real streaming run: documents
+    arrive as a file stream (crawl shards landing in a directory) and
+    flow through the SAME quality_features transform the batch query
+    uses — map-only, so append mode needs no watermark and the batch
+    oracle is exact. Batch/streaming unification applied to the
+    training-data surface, not just the reference pipeline."""
+    from stream_processing_project_spark.operators.text import quality_features
+
+    docs = pipeline.file_document_stream(spark, sf_dir)
+    return pipeline.run_to_completion(quality_features(docs))
+
+
 @register("streaming_fanout_snapshot")
 def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — the three-sink fan-out run end-to-end: serving top-k

@@ -46,6 +46,16 @@ EVENTS_RAW = T.StructType(
     ]
 )
 
+DOCUMENTS_RAW = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
 # Reference Kafka consumer tuning (EngagementProcessor.scala:158-161,
 # .env:14-17) — passed through when the source is kafka.
 KAFKA_SOURCE_OPTIONS = {
@@ -83,6 +93,18 @@ def file_event_stream(
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return stream.repartition(min_partitions) if min_partitions else stream
+
+
+def file_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents fixture — the corpus as an
+    unbounded arrival stream (new crawl shards landing in a directory is
+    exactly this shape at production scale)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .option("maxFilesPerTrigger", "64")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def cdc_event_stream(

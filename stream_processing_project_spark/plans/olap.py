@@ -544,3 +544,25 @@ def olap_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(li, bands, "l_extendedprice", bucket_width=100.0).select(
         "l_orderkey", "l_linenumber", "band_part", "l_extendedprice"
     )
+
+
+@register(
+    "olap_skew_salted_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def olap_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join (operators/skew.py) on the driver-checked
+    surface: facts scattered across 8 salt buckets, the dimension
+    replicated per salt, equi-join on (key, salt). The oracle is the
+    PLAIN join — salting must be result-invariant, which is exactly what
+    the value-hash proves."""
+    from stream_processing_project_spark.operators.skew import salted_join
+
+    big = t(spark, sf_dir, "events").select("event_id", "user_id")
+    small = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return salted_join(big, small, "user_id").select("event_id", "user_id", "segment")

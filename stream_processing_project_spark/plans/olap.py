@@ -566,3 +566,56 @@ def olap_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     return salted_join(big, small, "user_id").select("event_id", "user_id", "segment")
+
+
+@register(
+    "olap_cube_order_totals",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def olap_cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 key combinations incl. grand total) —
+    completes the grouping-set surface next to rollup. Spark expands the
+    cube before the partial aggregation, so the shuffle still carries
+    only |groups| rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "olap_ntile_value_quartiles",
+    oracle="""
+SELECT event_type, quartile,
+       count(*) AS n,
+       round(sum(value), 2) AS q_sum
+FROM (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events
+)
+GROUP BY event_type, quartile
+""",
+)
+def olap_ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile assignment per event type, re-aggregated — window
+    bucketing for distribution analysis (deterministic: ties broken by
+    event_id in the ORDER BY)."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("q_sum"))
+    )

@@ -1,0 +1,75 @@
+"""Property-based checks (hypothesis): connected components against a
+union-find reference model on random edge lists, and chunking coverage
+invariants across random document lengths and chunk geometries."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from stream_processing_project_spark.operators.dedup import connected_components
+from stream_processing_project_spark.operators.text import chunk_documents
+
+edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def union_find_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges)
+def test_connected_components_matches_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == union_find_labels(pairs)
+
+
+doc_lengths = st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=6)
+geometry = st.tuples(
+    st.integers(min_value=2, max_value=40),  # chunk_tokens
+    st.integers(min_value=1, max_value=40),  # stride
+).filter(lambda g: g[1] <= g[0])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(doc_lengths, geometry)
+def test_chunk_documents_invariants(spark, lengths, geom):
+    chunk_tokens, stride = geom
+    docs = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    by_doc = {}
+    for r in chunk_documents(df, chunk_tokens=chunk_tokens, stride=stride).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (doc_id, text), n in zip(docs, lengths):
+        toks = text.split(" ")
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_start)
+        assert [r.chunk_start for r in rows] == [stride * i for i in range(len(rows))]
+        for r in rows:
+            assert r.chunk_text.split(" ") == toks[r.chunk_start : r.chunk_start + chunk_tokens]
+            assert r.n_chunk_tokens == min(chunk_tokens, n - r.chunk_start)
+        # full coverage, no trailing fully-contained fragment
+        assert rows[-1].chunk_start + rows[-1].n_chunk_tokens == n
+        if len(rows) > 1:
+            for prev, cur in zip(rows, rows[1:]):
+                assert cur.chunk_start + cur.n_chunk_tokens > prev.chunk_start + chunk_tokens

@@ -169,9 +169,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(t(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_chunk",
-    oracle="""
+TEXT_CHUNK_ORACLE = """
 SELECT doc_id,
        CAST(s AS INTEGER) AS chunk_start,
        CAST(s // 24 AS INTEGER) AS chunk_id,
@@ -179,8 +177,10 @@ SELECT doc_id,
        array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text
 FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
      unnest(generate_series(0, greatest(len(ws) - 9, 0), 24)) AS u(s)
-""",
-)
+"""
+
+
+@register("text_chunk", oracle=TEXT_CHUNK_ORACLE)
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 32-token chunks advancing by 24 (8-token
     overlap), final fully-contained fragments suppressed — the packing

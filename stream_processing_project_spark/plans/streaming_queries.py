@@ -168,6 +168,27 @@ def streaming_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(quality_features(docs))
 
 
+def _text_chunk_oracle() -> str:
+    from stream_processing_project_spark.plans.extensions import TEXT_CHUNK_ORACLE
+
+    return TEXT_CHUNK_ORACLE
+
+
+@register(
+    "streaming_text_chunk",
+    oracle=_text_chunk_oracle(),
+)
+def streaming_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking over the document arrival stream — a
+    stateless explode, so append mode emits each chunk exactly once and
+    the batch chunker's oracle is exact. With streaming_text_quality
+    this is the streaming half of the corpus-preparation path."""
+    from stream_processing_project_spark.operators.text import chunk_documents
+
+    docs = pipeline.file_document_stream(spark, sf_dir)
+    return pipeline.run_to_completion(chunk_documents(docs))
+
+
 @register("streaming_fanout_snapshot")
 def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — the three-sink fan-out run end-to-end: serving top-k

@@ -281,6 +281,7 @@ def connected_components(
     labels = (
         edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -301,8 +302,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — returning partial labels "
+            "would silently split clusters; raise max_iter or switch to "
+            "large-star/small-star"
+        )
     pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

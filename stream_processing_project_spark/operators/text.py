@@ -109,9 +109,8 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     many small documents, not one big one); the explode+groupBy
     alternative would shuffle every bigram occurrence. Documents with <2
     tokens are dropped (no bigrams; mirrors _bigrams in dedup.py)."""
-    toks = F.split(F.trim(F.col(text_col)), " ")
     out = (
-        df.withColumn("_toks", toks)
+        df.withColumn("_toks", words(F.col(text_col)))
         .filter(F.size("_toks") >= 2)
         .withColumn(
             "_bi",
@@ -148,21 +147,26 @@ def chunk_documents(
 ) -> DataFrame:
     """Split documents into fixed-size overlapping token chunks (the
     context-window packing primitive: chunk_tokens per chunk, advancing
-    by stride, so consecutive chunks share chunk_tokens − stride tokens).
-    Chunk starts stop before n − overlap so a final fragment that is
-    entirely inside the previous chunk is never emitted. One narrow
-    stage: split + sequence + explode, no shuffle — output rows carry
-    only their own slice, so a 100 TB corpus chunks in a single pass."""
+    by stride, so consecutive chunks share chunk_tokens − stride tokens;
+    stride > chunk_tokens gives gapped sampling). Chunk starts stop
+    before n − overlap so a final fragment entirely inside the previous
+    chunk is never emitted — and never past the last token, so gapped
+    geometries can't emit empty chunks. One narrow stage: split +
+    sequence + explode, no shuffle — output rows carry only their own
+    slice, so a 100 TB corpus chunks in a single pass."""
     overlap = chunk_tokens - stride
     exploded = (
-        df.withColumn("_toks", F.split(F.trim(F.col(text_col)), " "))
+        df.withColumn("_toks", words(F.col(text_col)))
         .withColumn("_n", F.size("_toks"))
         .select(
             "doc_id",
             "_toks",
             "_n",
             F.explode(
-                F.expr(f"sequence(0, greatest(_n - {overlap} - 1, 0), {stride})")
+                F.expr(
+                    f"sequence(0, greatest(least(_n - {overlap} - 1, _n - 1), 0),"
+                    f" {stride})"
+                )
             ).alias("chunk_start"),
         )
     )

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.extensions import (
+    TEXT_CHUNK_ORACLE,
+    TEXT_QUALITY_ORACLE,
+)
 from stream_processing_project_spark.plans.registry import register
 from stream_processing_project_spark.streaming import pipeline, sinks
 
@@ -145,16 +149,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_quality_oracle() -> str:
-    from stream_processing_project_spark.plans.extensions import TEXT_QUALITY_ORACLE
-
-    return TEXT_QUALITY_ORACLE
-
-
-@register(
-    "streaming_text_quality",
-    oracle=_text_quality_oracle(),
-)
+@register("streaming_text_quality", oracle=TEXT_QUALITY_ORACLE)
 def streaming_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quality-filter extension as a real streaming run: documents
     arrive as a file stream (crawl shards landing in a directory) and
@@ -168,16 +163,7 @@ def streaming_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(quality_features(docs))
 
 
-def _text_chunk_oracle() -> str:
-    from stream_processing_project_spark.plans.extensions import TEXT_CHUNK_ORACLE
-
-    return TEXT_CHUNK_ORACLE
-
-
-@register(
-    "streaming_text_chunk",
-    oracle=_text_chunk_oracle(),
-)
+@register("streaming_text_chunk", oracle=TEXT_CHUNK_ORACLE)
 def streaming_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking over the document arrival stream — a
     stateless explode, so append mode emits each chunk exactly once and

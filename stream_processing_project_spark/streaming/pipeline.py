@@ -46,16 +46,6 @@ EVENTS_RAW = T.StructType(
     ]
 )
 
-DOCUMENTS_RAW = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("lang", T.StringType(), True),
-        T.StructField("source", T.StringType(), True),
-        T.StructField("n_chars", T.LongType(), True),
-    ]
-)
-
 # Reference Kafka consumer tuning (EngagementProcessor.scala:158-161,
 # .env:14-17) — passed through when the source is kafka.
 KAFKA_SOURCE_OPTIONS = {
@@ -98,9 +88,12 @@ def file_event_stream(
 def file_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the documents fixture — the corpus as an
     unbounded arrival stream (new crawl shards landing in a directory is
-    exactly this shape at production scale)."""
+    exactly this shape at production scale). Unlike events (nanos ts),
+    the documents schema streams as-is — reuse the canonical one."""
+    from stream_processing_project_spark.schemas import DOCUMENTS
+
     return (
-        spark.readStream.schema(DOCUMENTS_RAW)
+        spark.readStream.schema(DOCUMENTS)
         .option("maxFilesPerTrigger", "64")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)

@@ -48,8 +48,8 @@ def test_connected_components_matches_union_find(spark, pairs):
 doc_lengths = st.lists(st.integers(min_value=1, max_value=90), min_size=1, max_size=6)
 geometry = st.tuples(
     st.integers(min_value=2, max_value=40),  # chunk_tokens
-    st.integers(min_value=1, max_value=40),  # stride
-).filter(lambda g: g[1] <= g[0])
+    st.integers(min_value=1, max_value=40),  # stride (> chunk_tokens = gapped)
+)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -68,8 +68,25 @@ def test_chunk_documents_invariants(spark, lengths, geom):
         for r in rows:
             assert r.chunk_text.split(" ") == toks[r.chunk_start : r.chunk_start + chunk_tokens]
             assert r.n_chunk_tokens == min(chunk_tokens, n - r.chunk_start)
-        # full coverage, no trailing fully-contained fragment
-        assert rows[-1].chunk_start + rows[-1].n_chunk_tokens == n
-        if len(rows) > 1:
+            assert r.n_chunk_tokens >= 1  # never an empty chunk (gapped incl.)
+            assert r.chunk_start < n  # never a start past the last token
+        if stride <= chunk_tokens:
+            # overlapping mode: full coverage, no fully-contained fragment
+            assert rows[-1].chunk_start + rows[-1].n_chunk_tokens == n
             for prev, cur in zip(rows, rows[1:]):
                 assert cur.chunk_start + cur.n_chunk_tokens > prev.chunk_start + chunk_tokens
+        else:
+            # gapped sampling: one chunk at the head of every stride window
+            assert len(rows) == (n + stride - 1) // stride
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exhausting max_iter with labels still moving must raise — partial
+    labels would silently split one cluster into several."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)

@@ -139,3 +139,24 @@ def resize_plan(
         (F.lit(target_w) - out_w).alias("pad_w"),
         (F.lit(target_h) - out_h).alias("pad_h"),
     )
+
+
+def feature_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Pseudo feature-embedding from the binary payload: byte i of the
+    payload scaled to [0, 1) for the first `dim` bytes — the
+    deterministic stand-in for a real vision/audio encoder (same
+    STUB-the-codec contract as decode_media: the column plumbing,
+    normalization, and downstream retrieval are real; swap in a model
+    UDF and nothing else changes). Payloads shorter than dim are
+    dropped (a real encoder has a minimum input size too)."""
+    return (
+        media.filter(F.octet_length("payload") >= dim)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, {dim}),"
+                f" i -> cast(ascii(substring(cast(payload AS string), i, 1)) AS double)"
+                f"      / 256.0)"
+            ).alias("embedding"),
+        )
+    )

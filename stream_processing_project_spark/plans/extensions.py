@@ -13,7 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -188,6 +188,52 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_project_spark.operators.text import chunk_documents
 
     return chunk_documents(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * n.n / d.df AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf * n.n / d.df DESC, t.term) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+) WHERE rank <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with a LINEAR
+    idf (tf × N / df): log-idf would rank identically (log is monotone)
+    but its libm rounding differs across engines, so the linear variant
+    keeps the oracle exact. Two partial-agg shuffles (term counts, doc
+    frequencies) + a broadcast scalar N — no quadratic work."""
+    from stream_processing_project_spark.operators.text import words as _words
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.col("n") / F.col("df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
 
 
 # =========================== deduplication ===================================
@@ -778,3 +824,37 @@ def sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 25},
         default_pct=75,
     ).select("doc_id", "lang")
+
+
+@register(
+    "multimodal_embed_topk",
+    oracle="""
+WITH emb AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16),
+                        i -> ord(substr(text, i, 1)) / 256.0) AS e
+  FROM documents WHERE octet_length(encode(text)) >= 16
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_cosine_similarity(q.e, c.e), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY round(list_cosine_similarity(q.e, c.e), 6)
+                    DESC NULLS LAST, c.doc_id) AS rank
+  FROM emb q, emb c
+  WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+) WHERE rank <= 3
+""",
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval composition: catalog → binary
+    payload → feature embedding (deterministic encoder stub) → exact
+    cosine top-3 — media similarity search end to end on the engine's
+    own operators. The oracle recomputes the byte-wise embedding and
+    ranking in SQL."""
+    media = multimodal.attach_binary_payload(t(spark, sf_dir, "documents"))
+    emb = multimodal.feature_embedding(media)
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("doc_id") < 5), k=3, id_col="doc_id"
+    )

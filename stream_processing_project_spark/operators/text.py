@@ -183,6 +183,61 @@ def chunk_documents(
     )
 
 
+def ngram_hash_set(text: Column, n: int) -> Column:
+    """Distinct xxhash64 hashes of all word n-grams of a document, as an
+    array — empty for documents shorter than n tokens. The size guard
+    matters: `sequence(1, size - (n-1))` with size < n would COUNT DOWN
+    (Spark's sequence defaults to step -1 when start > stop) and emit
+    bogus grams. Inline higher-order functions — no explode here, so the
+    caller chooses when to go wide."""
+    w = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM training-hygiene step):
+    find corpus documents sharing any word n-gram (n=13 is the published
+    convention) with a held-out benchmark document, so they can be
+    dropped before training. Returns (doc_id, n_hit_grams) for
+    contaminated corpus docs only — n_hit_grams = number of DISTINCT
+    benchmark n-grams the document contains.
+
+    Plan shape for 100 TB: grams travel as 64-bit hashes, never strings.
+    The benchmark side is fixed and small (eval sets are MBs even when
+    the corpus is 100 TB), so its distinct gram-hash set is BROADCAST —
+    the corpus side stays a narrow scan+explode+broadcast-hash-join with
+    a partial count-aggregate; the only exchange is the final per-doc
+    count shuffle on contaminated docs (a tiny fraction of the corpus).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngram_hash_set(F.col(text_col), n)).alias("gram"),
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        # grams are distinct per document before the explode, so a plain
+        # count IS the distinct-gram hit count — no count_distinct state
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
 def fingerprint_docs(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:

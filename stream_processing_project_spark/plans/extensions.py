@@ -191,6 +191,39 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 12),
+           i -> array_to_string(ws[i:i+12], ' ')))) AS g
+  FROM toks WHERE len(ws) >= 13
+)
+SELECT c.doc_id, count(*) AS n_hit_grams
+FROM (SELECT * FROM grams WHERE doc_id % 17 <> 0) c
+JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0) b USING (g)
+GROUP BY c.doc_id
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 13-token gram
+    with the 'benchmark' slice (doc_id % 17 == 0 stands in for a held-out
+    eval set). Gram hashes broadcast from the small benchmark side; the
+    oracle joins the gram STRINGS — hash-collision-free ground truth the
+    hashed plan must reproduce."""
+    from stream_processing_project_spark.operators.text import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(corpus, benchmark, n=13)
+
+
+@register(
     "text_tfidf_top_terms",
     oracle="""
 WITH tf AS (

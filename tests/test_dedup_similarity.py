@@ -281,3 +281,43 @@ def test_knn_classify_planted_clusters(spark):
     )
     pred = similarity.knn_classify(corpus, mid, k=2).collect()[0]
     assert pred.votes == 1 and pred.pred_label == 0  # tie → smaller label
+
+
+def test_decontaminate_pins_ngram_overlap_semantics(spark):
+    from stream_processing_project_spark.operators.text import decontaminate
+
+    twelve = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    thirteen = twelve + " w13"
+    rows_bench = [(100, thirteen + " tailA tailB")]
+    rows_corpus = [
+        (0, thirteen),                      # shares exactly one 13-gram
+        (1, twelve),                        # 12 tokens: no 13-gram, never flagged
+        (2, "x " + thirteen + " y"),        # contains the shared gram mid-doc
+        (3, thirteen + " " + thirteen),     # repeats the gram: still counted once
+        (4, "a b c d e f g h i j k l m"),   # 13 tokens, disjoint vocabulary
+    ]
+    corpus = spark.createDataFrame(rows_corpus, ["doc_id", "text"])
+    bench = spark.createDataFrame(rows_bench, ["doc_id", "text"])
+    got = {r.doc_id: r.n_hit_grams for r in decontaminate(corpus, bench).collect()}
+    assert got[0] == 1
+    assert 1 not in got and 4 not in got
+    assert got[2] == 1
+    # doc 3 shares the w1..w13 gram plus grams that wrap around the seam
+    # only if the benchmark also has them — it doesn't, and the repeated
+    # gram is deduped per document
+    assert got[3] == 1
+
+
+def test_decontaminate_short_and_empty_docs_yield_no_grams(spark):
+    from stream_processing_project_spark.operators.text import ngram_hash_set
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "a b c")], ["doc_id", "text"]
+    )
+    sizes = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(ngram_hash_set(F.col("text"), 13)).alias("n")
+        ).collect()
+    }
+    assert sizes == {0: 0, 1: 0, 2: 0}

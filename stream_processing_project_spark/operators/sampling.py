@@ -70,6 +70,50 @@ def token_budget_select(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    capacity: int = 256,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-capacity
+    training sequences ("bins" of `capacity` tokens) without splitting a
+    document. Within each `key_col` group documents are taken in id
+    order; a new bin opens whenever the next document would overflow the
+    current one (a document larger than `capacity` gets a bin of its
+    own). Output adds `pack_id` (0-based per key).
+
+    Packing is a sequential recurrence BY DEFINITION (each assignment
+    depends on the running fill), so it cannot be a window function; it
+    runs as an Arrow-batched `applyInPandas` per key — a few microseconds
+    per document. At 100 TB the parallelism lever is the key: pack per
+    (lang, shard) with shard = pmod(hash(id), K) for any K — bins never
+    span shards, so the semantics stay per-shard-exact and the recurrence
+    never becomes a global bottleneck."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    sel = df.select(id_col, key_col, token_col)
+    out_schema = T.StructType(
+        list(sel.schema.fields) + [T.StructField("pack_id", T.IntegerType())]
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        acc, pid, ids = 0, 0, []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if acc > 0 and acc + tok > capacity:
+                pid, acc = pid + 1, 0
+            acc += tok
+            ids.append(pid)
+        return pdf.assign(pack_id=pd.Series(ids, dtype="int32"))
+
+    return sel.groupBy(key_col).applyInPandas(_pack, schema=out_schema)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

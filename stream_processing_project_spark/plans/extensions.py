@@ -836,6 +836,44 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sampling_pack_sequences",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens, rn, n_tokens AS acc, 0 AS pack_id
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.lang, t.n_tokens, t.rn,
+         CASE WHEN p.acc + t.n_tokens > 256 THEN t.n_tokens
+              ELSE p.acc + t.n_tokens END,
+         CASE WHEN p.acc + t.n_tokens > 256 THEN p.pack_id + 1
+              ELSE p.pack_id END
+  FROM toks t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT doc_id, lang, n_tokens, CAST(pack_id AS INTEGER) AS pack_id FROM packed
+""",
+)
+def sampling_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training bins, per
+    language — the pre-tokenization batching step that turns filtered
+    documents into fixed-capacity sequences. The recurrence runs in
+    Arrow-batched pandas per key; the oracle replays it as a DuckDB
+    recursive CTE over the same id order."""
+    from stream_processing_project_spark.operators.sampling import pack_sequences
+    from stream_processing_project_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", capacity=256, key_col="lang")
+
+
+@register(
     "sampling_stratified",
     oracle="""
 SELECT doc_id, lang

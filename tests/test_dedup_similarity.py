@@ -321,3 +321,32 @@ def test_decontaminate_short_and_empty_docs_yield_no_grams(spark):
         ).collect()
     }
     assert sizes == {0: 0, 1: 0, 2: 0}
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Exact fit stays in the bin (> capacity opens a new one, == does
+    not); an oversize document gets a bin of its own; keys pack
+    independently; repartitioning doesn't change assignments."""
+    from stream_processing_project_spark.operators.sampling import pack_sequences
+
+    rows = [
+        # lang a, capacity 10: 4+6 fill bin 0 exactly; 1 opens bin 1;
+        # 25 (oversize) gets bin 2 alone; 3 opens bin 3
+        (0, "a", 4), (1, "a", 6), (2, "a", 1), (3, "a", 25), (4, "a", 3),
+        # lang b packs from 0 again
+        (5, "b", 9), (6, "b", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, "n_tokens", capacity=10, key_col="lang").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 1}
+
+    shuffled = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(
+            df.repartition(7), "n_tokens", capacity=10, key_col="lang"
+        ).collect()
+    }
+    assert shuffled == got

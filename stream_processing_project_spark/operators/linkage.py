@@ -1,0 +1,59 @@
+"""Record linkage: blocked fuzzy matching on string similarity.
+
+The reference joins only on exact keys (J1/J2, SURVEY.md §2.3); a
+training-data / entity-resolution pipeline also needs approximate
+matching — "are these two records the same thing despite typos". The
+classic scalable shape is BLOCK → COMPARE:
+
+  1. Block: equi-join on a cheap deterministic key (here an exact
+     attribute; in general a phonetic code, sorted-neighborhood window,
+     or LSH bucket — see operators/dedup.py for the MinHash variant).
+     This is a hash join Catalyst handles natively; the block key
+     bounds the quadratic comparison space to within-block pairs.
+  2. Compare: exact edit distance (`levenshtein`, JVM codegen'd) only
+     on the blocked candidate pairs, keep pairs under the threshold.
+
+Scale: the cost driver is the largest block (sum of |block|²). At
+100 TB, pick block keys with bounded frequency (add a second attribute
+to split hot blocks — the same salting idea as operators/skew.py), run
+multiple complementary blocking passes, and union the pair sets;
+never compare across blocks. The `a.id < b.id` predicate sits in the
+join condition so each unordered pair is generated once, not twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int,
+) -> DataFrame:
+    """Candidate duplicate pairs (id_a, id_b, <texts>, dist) where both
+    records share the blocking key(s) and edit distance <= threshold.
+    Self-join de-duplicated by id_a < id_b inside the join condition."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias(f"{text_col}_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias(f"{text_col}_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"{c}_b"))
+    dist = F.levenshtein(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", f"{text_col}_a", f"{text_col}_b", "dist")
+    )

@@ -1,0 +1,92 @@
+"""Dataset profiling: per-column statistics and value histograms.
+
+The reference's only profiling surface is the monitor's COUNT(*) scans
+(SURVEY.md S5/A8, monitor.py:82-154); a training-data pipeline needs the
+fuller version — null counts, cardinalities, ranges, distributions — to
+validate a corpus before spending GPU-hours on it. Both operators here
+are single-scan aggregations: all metrics for all columns come out of
+ONE pass over the table (map-side partial aggregation), then a constant
+-size reshape to long format. Nothing here is per-row Python.
+
+Scale notes:
+  * `count(distinct)` over several columns compiles to an Expand (one
+    duplicated stream per distinct aggregate) — exact, one scan, but
+    the shuffle carries |cols| × rows. At 100 TB flip `exact=False` to
+    use `approx_count_distinct` (HyperLogLog++, fixed-size sketch,
+    mergeable map-side) — the profile stays one scan with O(1) state.
+  * The histogram is a plain groupBy on a computed bucket — partial
+    aggregation makes the shuffle O(n_buckets), independent of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str] = (),
+    exact: bool = True,
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (column, n_rows, n_nulls, n_distinct, min_val, max_val). Numeric
+    columns report min/max of the value; string columns report min/max
+    of the character length (a uniform DOUBLE schema — no cross-engine
+    float-formatting issues from casting doubles to strings).
+
+    Implementation: a single global `agg` computes every metric in one
+    scan, then a `stack` reshapes the 1-row wide result to long format
+    (constant-size, driver-free)."""
+    aggs, n = [], F.count(F.lit(1))
+    distinct = (
+        F.countDistinct if exact else (lambda c: F.approx_count_distinct(c))
+    )
+    for c in numeric_cols:
+        col = F.col(c)
+        aggs += [
+            (n - F.count(col)).alias(f"{c}__nulls"),
+            distinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+        ]
+    for c in string_cols:
+        col, ln = F.col(c), F.length(F.col(c))
+        aggs += [
+            (n - F.count(col)).alias(f"{c}__nulls"),
+            distinct(col).alias(f"{c}__distinct"),
+            F.min(ln).cast("double").alias(f"{c}__min"),
+            F.max(ln).cast("double").alias(f"{c}__max"),
+        ]
+    wide = df.agg(n.alias("n_rows"), *aggs)
+    cols = list(numeric_cols) + list(string_cols)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def value_histogram(
+    df: DataFrame, col: str, bucket_width: float
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: bucket id
+    (floor(value / width)), row count, and the exact min/max observed in
+    the bucket. Pure groupBy — O(n_buckets) shuffle after map-side
+    partials; floor() keeps bucket assignment float-exact across
+    engines (no rounding of a division result is emitted)."""
+    v = F.col(col)
+    return (
+        df.groupBy(
+            F.floor(v / F.lit(bucket_width)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+        )
+    )

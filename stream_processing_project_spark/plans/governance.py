@@ -1,0 +1,300 @@
+"""Data-governance & pipeline-composition queries: dataset profiling,
+PII redaction, fuzzy record linkage, full-outer reconciliation, and the
+end-to-end corpus-build composition.
+
+The reference's governance surface is thin — COUNT(*) monitor scans
+(SURVEY.md S5/A8) and Python row templating in the sinks (P11). A
+training-data platform needs the fuller set; everything here is exact
+column expressions with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators.linkage import blocked_fuzzy_pairs
+from stream_processing_project_spark.operators.profiling import (
+    profile_columns,
+    value_histogram,
+)
+from stream_processing_project_spark.operators.text import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    STOPWORDS,
+    redact_pii,
+)
+from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.registry import register
+
+_SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+# =========================== profiling ======================================
+
+
+@register(
+    "profile_events_columns",
+    oracle="""
+WITH base AS (SELECT * FROM events)
+SELECT 'value' AS col_name, count(*) AS n_rows,
+       count(*) - count(value) AS n_nulls,
+       count(DISTINCT value) AS n_distinct,
+       CAST(min(value) AS DOUBLE) AS min_val,
+       CAST(max(value) AS DOUBLE) AS max_val
+FROM base
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM base
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type),
+       CAST(min(length(event_type)) AS DOUBLE),
+       CAST(max(length(event_type)) AS DOUBLE)
+FROM base
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+       count(DISTINCT props),
+       CAST(min(length(props)) AS DOUBLE),
+       CAST(max(length(props)) AS DOUBLE)
+FROM base
+""",
+    tags=("bench",),
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the event stream (nulls,
+    cardinality, range per column; string columns profile length) —
+    the corpus-validation step before training. One global aggregation
+    with map-side partials; `stack` reshapes the 1-row result to long
+    format with no extra scan. At 100 TB flip exact=False for
+    HyperLogLog cardinalities (operators/profiling.py)."""
+    return profile_columns(
+        t(spark, sf_dir, "events"),
+        numeric_cols=["value", "user_id"],
+        string_cols=["event_type", "props"],
+    )
+
+
+@register(
+    "profile_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 50.0) AS INTEGER) AS bucket,
+       count(*) AS cnt, min(value) AS lo, max(value) AS hi
+FROM events
+GROUP BY 1
+""",
+)
+def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(v/50)) —
+    distribution profiling as a pure groupBy: O(n_buckets) shuffle
+    after partial aggregation, float-exact bucket edges (floor of a
+    division, never a rounded division)."""
+    return value_histogram(t(spark, sf_dir, "events"), "value", 50.0)
+
+
+# =========================== reconciliation =================================
+
+
+@register(
+    "recon_full_outer_activity",
+    oracle="""
+SELECT coalesce(o.o_custkey, e.user_id) AS custkey,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(e.n_events, 0) AS n_events
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+ON o.o_custkey = e.user_id
+""",
+)
+def recon_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two activity ledgers (order counts
+    vs event counts per customer) — the lag/coverage comparison the
+    reference's monitor does with separate scalar scans (SURVEY.md
+    A8/A10), done relationally so unmatched keys on EITHER side
+    surface as zero-filled rows. Aggregate-then-join: the full-outer
+    join runs on two pre-aggregated O(|keys|) sides, not on raw facts."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, o["o_custkey"] == e["user_id"], "full_outer")
+        .select(
+            F.coalesce("o_custkey", "user_id").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+# =========================== PII redaction ==================================
+
+_RAW_CONTACT_SQL = """
+SELECT doc_id,
+       concat(substr(text, 1, 40), ' contact user', CAST(doc_id AS VARCHAR),
+              '@mail.', source, '.com, tel +1-555-',
+              lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0'),
+              ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.',
+              CAST(doc_id * 3 % 256 AS VARCHAR)) AS text
+FROM documents
+"""
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH raw AS ({_RAW_CONTACT_SQL}),
+no_mail AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS text1
+  FROM raw
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text1, '{IPV4_RE}', '<IP>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text1, '{IPV4_RE}')) AS INTEGER) AS n_ips
+FROM no_mail
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with an audit count: emails, phone numbers, and
+    IPv4 addresses replaced by typed placeholders. The contact-laden
+    input is built deterministically from fixture columns (the fixture
+    corpus contains no organic PII), so both engines redact the exact
+    same strings. Codegen'd regexp_replace/regexp_count — runs at scan
+    speed, no shuffle (operators/text.py::redact_pii)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail."),
+            F.col("source"),
+            F.lit(".com, tel +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id") * 7, F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".0."),
+            F.pmod(F.col("doc_id") * 3, F.lit(256)).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "text", "n_emails", "n_phones", "n_ips")
+
+
+# =========================== record linkage =================================
+
+
+@register(
+    "linkage_fuzzy_parts",
+    oracle="""
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS p_name_a, b.p_name AS p_name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def linkage_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate duplicate part records
+    sharing a blocking key (p_size) within edit distance 3 — BLOCK →
+    COMPARE, the scalable entity-resolution shape
+    (operators/linkage.py). The equi-join on the block key is a plain
+    hash join; levenshtein runs only on within-block pairs."""
+    return blocked_fuzzy_pairs(
+        t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size"),
+        id_col="p_partkey",
+        text_col="p_name",
+        block_cols=["p_size"],
+        max_distance=3,
+    )
+
+
+# =========================== corpus build (composition) =====================
+
+
+@register(
+    "corpus_build_pipeline",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) BETWEEN 10 AND 100000
+    AND len(list_filter(string_split(trim(text), ' '),
+                        w -> w IN ({_SW_EN}))) > 0
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM q)
+  GROUP BY fp
+)
+SELECT q.doc_id, q.lang, q.n_tokens,
+       CASE WHEN (q.doc_id * 2654435761) % 4294967296 % 100 < 10 THEN 'test'
+            WHEN (q.doc_id * 2654435761) % 4294967296 % 100 < 20 THEN 'val'
+            ELSE 'train' END AS split
+FROM q JOIN keep USING (doc_id)
+""",
+    tags=("bench",),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction — the training-data pipeline's
+    stages composed into ONE declarative plan: quality filter
+    (pretraining heuristics) → exact dedup keep-first → deterministic
+    train/val/test split.
+
+    Composed for scan economy, not by chaining the standalone query
+    shapes: documents is read ONCE (quality + fingerprint computed in
+    the same projection, filter applied before any exchange), the text
+    column is dropped BEFORE the one shuffle (dedup = min(doc_id) over
+    a fingerprint-partitioned window on slim (fp, id, lang, n_tokens)
+    rows — no self-join, so no second scan), and the split is a pure
+    projection. The plan-property test pins exactly one ReadSchema.
+    Each stage is individually oracled elsewhere (text_quality,
+    dedup_exact_keep_first, sampling_train_val_test); this query pins
+    that the COMPOSITION stays exact."""
+    from pyspark.sql import Window
+
+    from stream_processing_project_spark.operators.sampling import train_val_test
+    from stream_processing_project_spark.operators.text import (
+        fingerprint,
+        stopword_hits,
+        token_count,
+    )
+
+    text = F.col("text")
+    slim = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            token_count(text).alias("n_tokens"),
+            stopword_hits(text, "en").alias("_en_hits"),
+            fingerprint(text).alias("_fp"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100000)
+            & (F.col("_en_hits") > 0)
+        )
+    )
+    deduped = (
+        slim.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("_fp"))
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+    )
+    return train_val_test(deduped).select("doc_id", "lang", "n_tokens", "split")

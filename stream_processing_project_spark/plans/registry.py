@@ -74,6 +74,7 @@ def _load() -> None:
     from stream_processing_project_spark.plans import (  # noqa: F401
         analytics,
         extensions,
+        governance,
         olap,
         scalar_surface,
         streaming_queries,

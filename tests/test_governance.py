@@ -1,0 +1,91 @@
+"""Unit pins for the governance operators (profiling, PII redaction,
+fuzzy linkage) — the edge cases the fixture-table oracles can't show:
+null counting, negative-bucket histograms, redaction ordering, and
+block isolation."""
+
+from __future__ import annotations
+
+from stream_processing_project_spark.operators.linkage import blocked_fuzzy_pairs
+from stream_processing_project_spark.operators.profiling import (
+    profile_columns,
+    value_histogram,
+)
+from stream_processing_project_spark.operators.text import redact_pii
+
+
+def test_profile_counts_nulls_distinct_and_string_lengths(spark):
+    df = spark.createDataFrame(
+        [(1.0, "aa"), (2.0, None), (None, "bbbb"), (2.0, "aa")],
+        "v double, s string",
+    )
+    got = {
+        r.col_name: r
+        for r in profile_columns(df, ["v"], ["s"]).collect()
+    }
+    v, s = got["v"], got["s"]
+    assert (v.n_rows, v.n_nulls, v.n_distinct) == (4, 1, 2)
+    assert (v.min_val, v.max_val) == (1.0, 2.0)
+    # string column profiles LENGTH; nulls excluded from distinct/min/max
+    assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
+    assert (s.min_val, s.max_val) == (2.0, 4.0)
+
+
+def test_profile_approx_mode_still_one_row_per_column(spark):
+    df = spark.createDataFrame([(float(i), str(i)) for i in range(50)],
+                               "v double, s string")
+    rows = profile_columns(df, ["v"], ["s"], exact=False).collect()
+    assert sorted(r.col_name for r in rows) == ["s", "v"]
+    for r in rows:  # HLL estimates are near-exact at this cardinality
+        assert abs(r.n_distinct - 50) <= 3
+
+
+def test_histogram_handles_negative_values_and_exact_edges(spark):
+    df = spark.createDataFrame(
+        [(-0.5,), (0.0,), (9.9,), (10.0,), (25.0,)], "v double"
+    )
+    got = {r.bucket: (r.cnt, r.lo, r.hi) for r in
+           value_histogram(df, "v", 10.0).collect()}
+    # floor(-0.5/10) = -1; 10.0 lands in bucket 1, not 0
+    assert got == {-1: (1, -0.5, -0.5), 0: (2, 0.0, 9.9),
+                   1: (1, 10.0, 10.0), 2: (1, 25.0, 25.0)}
+
+
+def test_redact_pii_replaces_and_counts_each_kind(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@ex.com from 1.2.3.4 call +1-555-1234 now")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.text == "mail <EMAIL> from <IP> call <PHONE> now"
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 1)
+
+
+def test_redact_pii_email_with_ip_like_domain_not_double_counted(spark):
+    # user@10.0.0.1 is NOT an email (TLD must be alphabetic); the IP part
+    # is still scrubbed, and because emails are replaced first, a real
+    # mail's dotted domain is never counted as an IP.
+    df = spark.createDataFrame(
+        [(1, "a@10.0.0.1 and real@a.bc"), (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].text == "a@<IP> and <EMAIL>"
+    assert (rows[1].n_emails, rows[1].n_ips) == (1, 1)
+    assert rows[2].text == "no pii here"
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 0, 0)
+
+
+def test_fuzzy_pairs_respect_blocks_threshold_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "x"),
+            (2, "red gadget", "x"),   # dist 2 from 1, same block
+            (3, "red widget", "y"),   # identical text, DIFFERENT block
+            (4, "blue widget", "x"),  # dist 4 from 1 — over threshold
+        ],
+        "id long, name string, blk string",
+    )
+    pairs = blocked_fuzzy_pairs(
+        df, "id", "name", ["blk"], max_distance=3
+    ).collect()
+    assert [(p.id_a, p.id_b, p.dist) for p in pairs] == [(1, 2, 2)]

@@ -122,3 +122,34 @@ def test_text_narrow_ops_have_no_exchange(spark):
     for name in ["text_chunk", "text_repetition", "text_quality"]:
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_corpus_pipeline_single_scan_single_shuffle(spark):
+    """The corpus-build composition must read documents ONCE (quality +
+    fingerprint fused into the scan projection) and shuffle ONCE (the
+    dedup window on slim rows, text already dropped) — the whole point
+    of composing the stages instead of chaining the standalone queries.
+    A second ReadSchema or Exchange means a 100 TB corpus gets re-read."""
+    plan = formatted_plan(
+        all_queries()["corpus_build_pipeline"].builder(spark, SF_SMOKE)
+    )
+    assert len(read_schemas(plan)) == 1, plan
+    # formatted output mentions each operator twice (tree + details):
+    # count the numbered detail headers, one per physical Exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # and the one scan must not carry text into the shuffle:
+    assert "text" not in read_schemas(plan)[0] or "n_tokens" in plan
+
+
+def test_governance_ops_scan_shapes(spark):
+    """Profile: one pruned scan (only profiled columns). Redaction: pure
+    narrow map, zero exchanges. Linkage: hash join on the block key,
+    never a nested loop."""
+    qs = all_queries()
+    prof = formatted_plan(qs["profile_events_columns"].builder(spark, SF_SMOKE))
+    assert len(read_schemas(prof)) == 1
+    assert "ts" not in read_schemas(prof)[0]  # unprofiled cols pruned
+    red = formatted_plan(qs["text_redact_pii"].builder(spark, SF_SMOKE))
+    assert "Exchange" not in red
+    link = formatted_plan(qs["linkage_fuzzy_parts"].builder(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in link and "CartesianProduct" not in link

@@ -309,3 +309,26 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+CONTROL_RE = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"  # control chars except \t \n
+WS_RUN_RE = "[ \\t\\n\\r]+"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus cleaning: strip control characters, collapse whitespace
+    runs (spaces/tabs/newlines) to single spaces, trim, and report how
+    many characters were removed per document. The canonicalization
+    step before fingerprint-based dedup — two documents differing only
+    in whitespace/control noise normalize to identical bytes. Pure
+    codegen'd regexp_replace chain: narrow, no shuffle, scan-speed at
+    100 TB."""
+    raw = F.col(text_col)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, CONTROL_RE, ""), WS_RUN_RE, " "
+        )
+    )
+    return df.withColumn("n_removed", F.length(raw) - F.length(clean)).withColumn(
+        text_col, clean
+    )

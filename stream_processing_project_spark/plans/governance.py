@@ -298,3 +298,43 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("_keep"))
     )
     return train_val_test(deduped).select("doc_id", "lang", "n_tokens", "split")
+
+
+@register(
+    "text_normalize",
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 30), '  ', chr(9), 'mid', chr(7), chr(10),
+                ' tail ') AS text
+  FROM documents
+),
+clean AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text,
+              '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+              '[ \\t\\n\\r]+', ' ', 'g')) AS cleaned
+  FROM dirty
+)
+SELECT doc_id, cleaned AS text,
+       CAST(length(text) - length(cleaned) AS INTEGER) AS n_removed
+FROM clean
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-character canonicalization with a removed-char
+    audit count — the cleaning pass before exact dedup (identical
+    content modulo noise → identical bytes). The dirty input is built
+    deterministically from fixture columns (tabs, BEL, newline, runs of
+    spaces) so both engines normalize the exact same strings; the
+    operator itself is a codegen'd regexp chain with no shuffle
+    (operators/text.py::normalize_text)."""
+    from stream_processing_project_spark.operators.text import normalize_text
+
+    dirty = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30), F.lit("  \tmid\x07\n tail ")
+        ).alias("text"),
+    )
+    return normalize_text(dirty).select("doc_id", "text", "n_removed")

@@ -619,3 +619,59 @@ def olap_ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "quartile")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("q_sum"))
     )
+
+
+@register(
+    "olap_session_window_native",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def olap_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregation via Spark's NATIVE session_window (gap
+    30 min): dynamic-width windows [first_ts, last_ts + gap) merged by
+    the engine — the operator behind streaming sessionization
+    (streaming/pipeline.py), here oracle-checked in batch against the
+    gaps-and-islands formulation (new session iff the gap is >= 30 min
+    in integer microseconds; session_window's half-open windows merge
+    only strictly-overlapping events). One shuffle on the grouping key;
+    session merging is engine-side, never per-row Python."""
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -150,9 +150,7 @@ FROM documents
 """
 
 
-@register(
-    "text_redact_pii",
-    oracle=f"""
+TEXT_REDACT_ORACLE = f"""
 WITH raw AS ({_RAW_CONTACT_SQL}),
 no_mail AS (
   SELECT doc_id, text,
@@ -166,16 +164,14 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
        CAST(len(regexp_extract_all(text1, '{IPV4_RE}')) AS INTEGER) AS n_ips
 FROM no_mail
-""",
-)
-def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing with an audit count: emails, phone numbers, and
-    IPv4 addresses replaced by typed placeholders. The contact-laden
-    input is built deterministically from fixture columns (the fixture
-    corpus contains no organic PII), so both engines redact the exact
-    same strings. Codegen'd regexp_replace/regexp_count — runs at scan
-    speed, no shuffle (operators/text.py::redact_pii)."""
-    docs = t(spark, sf_dir, "documents").select(
+"""
+
+
+def contact_text_projection(docs: DataFrame) -> DataFrame:
+    """Deterministic contact-laden text from fixture columns (the
+    fixture corpus has no organic PII) — shared by the batch and
+    streaming redaction queries so both redact identical strings."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.substring("text", 1, 40),
@@ -191,6 +187,17 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("doc_id") * 3, F.lit(256)).cast("string"),
         ).alias("text"),
     )
+
+
+@register("text_redact_pii", oracle=TEXT_REDACT_ORACLE)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with an audit count: emails, phone numbers, and
+    IPv4 addresses replaced by typed placeholders. The contact-laden
+    input is built deterministically from fixture columns (the fixture
+    corpus contains no organic PII), so both engines redact the exact
+    same strings. Codegen'd regexp_replace/regexp_count — runs at scan
+    speed, no shuffle (operators/text.py::redact_pii)."""
+    docs = contact_text_projection(t(spark, sf_dir, "documents"))
     return redact_pii(docs).select("doc_id", "text", "n_emails", "n_phones", "n_ips")
 
 
@@ -338,3 +345,38 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return normalize_text(dirty).select("doc_id", "text", "n_removed")
+
+
+@register(
+    "text_heavy_hitters",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS n FROM counts)
+SELECT token, CAST(cnt AS BIGINT) AS cnt
+FROM counts, tot
+WHERE cnt * 30 >= n
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining: tokens above a 1/30 frequency share of
+    the corpus — the hot-key / boilerplate detector a training pipeline
+    runs before dedup (over-represented tokens signal template spam).
+    Shape for scale: ONE scan explodes tokens into a map-side-combined
+    groupBy (shuffle is O(|vocab|)); the corpus total re-aggregates
+    from the tiny grouped result — never a second scan — and joins back
+    as a broadcast single row. The share test is integer arithmetic
+    (cnt * 30 >= n), no float threshold to diverge cross-engine."""
+    tokens = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 30 >= F.col("n"))
+        .select("token", "cnt")
+    )

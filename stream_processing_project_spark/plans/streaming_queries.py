@@ -23,6 +23,7 @@ from stream_processing_project_spark.plans.extensions import (
     TEXT_CHUNK_ORACLE,
     TEXT_QUALITY_ORACLE,
 )
+from stream_processing_project_spark.plans.governance import TEXT_REDACT_ORACLE
 from stream_processing_project_spark.plans.registry import register
 from stream_processing_project_spark.streaming import pipeline, sinks
 
@@ -198,3 +199,24 @@ def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in queries:
             q.stop()
     return spark.read.parquet(serving)
+
+
+@register("streaming_redact_pii", oracle=TEXT_REDACT_ORACLE)
+def streaming_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing on the document arrival stream — the SAME
+    contact-text projection and redact_pii transform as the batch query
+    (plans/governance.py), run as a real streaming query. Map-only, so
+    append mode needs no watermark and the batch oracle is exact: the
+    compliance pass runs in-flight, before data ever lands in the lake,
+    at scan speed (no state, no shuffle)."""
+    from stream_processing_project_spark.operators.text import redact_pii
+    from stream_processing_project_spark.plans.governance import (
+        contact_text_projection,
+    )
+
+    docs = pipeline.file_document_stream(spark, sf_dir)
+    return pipeline.run_to_completion(
+        redact_pii(contact_text_projection(docs)).select(
+            "doc_id", "text", "n_emails", "n_phones", "n_ips"
+        )
+    )

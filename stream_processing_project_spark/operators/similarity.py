@@ -291,3 +291,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------- int8 quantization ------------------------------
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column:
+    q[i] = clamp(round(double(x[i]) * scale), -127, 127) — the standard
+    memory/bandwidth optimization for billion-vector retrieval (4× 
+    smaller than float32, SIMD-friendly integer dot products).
+
+    Determinism: with a power-of-two scale, double(x) * scale is EXACT
+    (float→double widening and ×2^k change only the exponent), so the
+    round() sees the identical value in every engine; Spark HALF_UP and
+    DuckDB half-away-from-zero agree on all non-negative-exponent
+    cases. Codegen'd transform() — narrow, no shuffle."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.least(
+            F.greatest(
+                F.round(x.cast("double") * scale, 0).cast("int"), F.lit(-127)
+            ),
+            F.lit(127),
+        ),
+    )
+    return df.withColumn("q8", q)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Top-k retrieval by INTEGER dot product over int8-quantized
+    vectors — the quantized serving path (brute_force_topk's cheaper
+    sibling). Every score is a bounded integer (|q|≤127, 64 dims →
+    |dot| ≤ ~10^6), so ranking is exactly reproducible cross-engine —
+    no float tie ambiguity at all. Same broadcast-queries shape as the
+    exact path: corpus never shuffles; only score rows rank."""
+    qz = quantize_int8(queries, vec_col, scale).select(
+        F.col(id_col).alias("query_id"), F.col("q8").alias("qa")
+    )
+    cz = quantize_int8(corpus, vec_col, scale).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q8").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+        .select("query_id", "neighbor_id", "dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

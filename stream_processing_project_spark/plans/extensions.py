@@ -929,3 +929,37 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb, emb.filter(F.col("doc_id") < 5), k=3, id_col="doc_id"
     )
+
+
+_Q8 = (
+    "list_transform(embedding, x -> least(greatest("
+    "CAST(round(CAST(x AS DOUBLE) * 64, 0) AS INTEGER), -127), 127))"
+)
+
+
+@register(
+    "similarity_quantized_topk",
+    oracle=f"""
+WITH z AS (SELECT vec_id, {_Q8} AS q8 FROM embeddings)
+SELECT query_id, neighbor_id, dot, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[]) AS BIGINT) AS dot,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[]) DESC,
+                    c.vec_id) AS rank
+  FROM z q, z c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-5 retrieval for 10 query vectors: symmetric
+    ×64 quantization (exact — power-of-two scale) then INTEGER dot
+    products, so scores and ranking are bit-reproducible cross-engine
+    (the oracle's double-cast dot product is exact below 2^53). The
+    production memory/bandwidth path for billion-vector serving —
+    4× smaller vectors, SIMD integer arithmetic
+    (operators/similarity.py::quantized_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -350,3 +350,44 @@ def test_pack_sequences_greedy_semantics(spark):
         ).collect()
     }
     assert shuffled == got
+
+
+def test_quantize_int8_rounds_and_clips(spark):
+    from stream_processing_project_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 3.0, -3.0, 0.0078125, 0.004])],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_int8(df).collect()[0].q8
+    # 0.5*64=32; -0.5*64=-32; 3*64=192→clip 127; -192→-127;
+    # 0.0078125*64=0.5→HALF_UP→1; 0.004*64=0.256→0
+    assert q == [32, -32, 127, -127, 1, 0]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 retrieval must broadly agree with exact cosine — ≥ 3 of the
+    exact top-5 appear in the quantized top-5 for every probe query.
+    (Quantized dot product is unnormalized; fixture vectors are roughly
+    unit-norm so ranking stays comparable.)"""
+    from stream_processing_project_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from stream_processing_project_spark.sources.fixtures import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_topk(emb, probes, k=5).collect()
+    }
+    for qid in range(5):
+        overlap = len({n for q, n in exact if q == qid}
+                      & {n for q, n in quant if q == qid})
+        assert overlap >= 3, f"query {qid}: overlap {overlap}"

@@ -153,3 +153,51 @@ def test_governance_ops_scan_shapes(spark):
     assert "Exchange" not in red
     link = formatted_plan(qs["linkage_fuzzy_parts"].builder(spark, SF_SMOKE))
     assert "BroadcastNestedLoop" not in link and "CartesianProduct" not in link
+
+
+def test_runtime_bloom_filter_injected_on_selective_fact_join(spark):
+    """Catalyst's runtime bloom filter: a selective dimension-side
+    predicate materializes a bloom_filter_agg subquery that pre-filters
+    the FACT scan (`might_contain` on the join key) before the shuffle
+    — at 100 TB this is the difference between shuffling the whole
+    lineitem table and shuffling only rows that can possibly join. The
+    session enables the feature (on by default); thresholds are lowered
+    here only because the fixture is tiny."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    tweaks = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # the filter must sit on the fact (lineitem) scan's condition
+        fact_cond = [
+            l for l in plan.splitlines()
+            if "might_contain" in l and "l_orderkey" in l
+        ]
+        assert fact_cond, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -740,3 +740,40 @@ def olap_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "olap_percent_rank_spend",
+    oracle="""
+WITH spend AS (
+  SELECT user_id, round(sum(value), 2) AS total
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total,
+       percent_rank() OVER (ORDER BY total) AS pct_rank,
+       cume_dist() OVER (ORDER BY total) AS cume
+FROM spend
+""",
+)
+def olap_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions (percent_rank / cume_dist)
+    over per-user spend — peer-group ranks are engine-independent and
+    the quotients are raw divisions of exact integers (never rounded,
+    per the determinism rules), so cross-engine parity is exact. The
+    pre-aggregation shrinks the window input to |users| rows; the
+    single-partition ordered window is fine at that cardinality (for
+    billion-key ranking, switch to a two-pass histogram rank)."""
+    from pyspark.sql import Window
+
+    spend = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+    )
+    w = Window.orderBy("total")
+    return spend.select(
+        "user_id",
+        "total",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

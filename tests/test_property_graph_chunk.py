@@ -90,3 +90,55 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # key (2 groups)
+        st.integers(min_value=1, max_value=40),  # n_tokens
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def greedy_pack_reference(tokens, capacity):
+    """Driver-side replay of the greedy recurrence."""
+    out, acc, pid = [], 0, 0
+    for tok in tokens:
+        if acc > 0 and acc + tok > capacity:
+            pid, acc = pid + 1, 0
+        acc += tok
+        out.append(pid)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pack_rows, st.integers(min_value=5, max_value=30))
+def test_pack_sequences_matches_reference_and_invariants(spark, rows, capacity):
+    from collections import defaultdict
+
+    from stream_processing_project_spark.operators.sampling import pack_sequences
+
+    data = [(i, f"k{key}", tok) for i, (key, tok) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, n_tokens int")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, "n_tokens", capacity=capacity).collect()
+    }
+    # 1. exact match vs the sequential reference, per key in id order
+    per_key = defaultdict(list)
+    for i, (key, tok) in enumerate(rows):
+        per_key[key].append((i, tok))
+    for key, items in per_key.items():
+        ref = greedy_pack_reference([tok for _, tok in items], capacity)
+        assert [got[i] for i, _ in items] == ref
+    # 2. invariants: bins are contiguous from 0; fill ≤ capacity unless
+    # the bin holds a single oversize document
+    for key, items in per_key.items():
+        fills = defaultdict(list)
+        for i, tok in items:
+            fills[got[i]].append(tok)
+        assert sorted(fills) == list(range(len(fills)))
+        for toks in fills.values():
+            assert sum(toks) <= capacity or len(toks) == 1

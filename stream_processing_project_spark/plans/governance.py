@@ -380,3 +380,53 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * 30 >= F.col("n"))
         .select("token", "cnt")
     )
+
+
+@register(
+    "sampling_domain_mix",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+),
+nl AS (SELECT count(*) AS n_langs FROM per_lang)
+SELECT lang, n_docs, total_tokens,
+       1000000.0 / n_langs AS target_tokens,
+       (1000000.0 / n_langs) / total_tokens AS epochs
+FROM per_lang, nl
+""",
+)
+def sampling_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: under a 1M-token budget split
+    uniformly across languages, how many epochs (repetitions) of each
+    language bucket are needed — the domain-weighting step that turns a
+    raw corpus into a sampling schedule. Token totals are exact integer
+    sums; the two divisions stay RAW doubles (identical operands →
+    identical IEEE results in any engine — the determinism rule is
+    never to ROUND a division, not to avoid one). Per-group totals are
+    O(|langs|) rows; the language count joins back as a broadcast
+    single row, so the fact table is scanned once."""
+    from stream_processing_project_spark.operators.text import token_count
+
+    per_lang = (
+        t(spark, sf_dir, "documents")
+        .select("lang", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+    nl = per_lang.agg(F.count(F.lit(1)).alias("n_langs"))
+    target = F.lit(1000000.0) / F.col("n_langs")
+    return (
+        per_lang.crossJoin(F.broadcast(nl))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            target.alias("target_tokens"),
+            (target / F.col("total_tokens")).alias("epochs"),
+        )
+    )

@@ -57,3 +57,27 @@ def blocked_fuzzy_pairs(
         .filter(F.col("dist") <= max_distance)
         .select("id_a", "id_b", f"{text_col}_a", f"{text_col}_b", "dist")
     )
+
+
+def multi_pass_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passes: list[list],
+    max_distance: int,
+) -> DataFrame:
+    """Union of several complementary blocking passes, de-duplicated on
+    the pair key — the production record-linkage shape: each pass uses
+    a CHEAP high-selectivity key (here different name tokens + an exact
+    attribute) so every block stays small, and the union restores the
+    recall a single coarse key would need quadratic work to reach. Pair
+    dedup is an aggregation on (id_a, id_b) — exact, one shuffle over
+    candidate pairs only."""
+    parts = [
+        blocked_fuzzy_pairs(df, id_col, text_col, cols, max_distance)
+        for cols in passes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -76,26 +76,41 @@ def pack_sequences(
     capacity: int = 256,
     key_col: str = "lang",
     id_col: str = "doc_id",
+    shards: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-capacity
     training sequences ("bins" of `capacity` tokens) without splitting a
-    document. Within each `key_col` group documents are taken in id
+    document. Within each packing group documents are taken in id
     order; a new bin opens whenever the next document would overflow the
     current one (a document larger than `capacity` gets a bin of its
-    own). Output adds `pack_id` (0-based per key).
+    own). Output adds `pack_id` (0-based per group) and, when sharded,
+    the `_shard` column identifying the group.
 
     Packing is a sequential recurrence BY DEFINITION (each assignment
     depends on the running fill), so it cannot be a window function; it
-    runs as an Arrow-batched `applyInPandas` per key — a few microseconds
-    per document. At 100 TB the parallelism lever is the key: pack per
-    (lang, shard) with shard = pmod(hash(id), K) for any K — bins never
-    span shards, so the semantics stay per-shard-exact and the recurrence
-    never becomes a global bottleneck."""
+    runs as an Arrow-batched `applyInPandas` per group — a few
+    microseconds per document. At 100 TB the parallelism lever is the
+    GROUPING: `shards=K` packs per (key, pmod(id-hash, K)) so one giant
+    language never serializes on a single task — bins never span
+    shards, every shard is independently exact and deterministic
+    (identity-hash sharding, engine- and partitioning-invariant), and
+    K scales the recurrence to the cluster. Padding overhead rises only
+    marginally (one partially-filled final bin per shard instead of one
+    per key)."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
     sel = df.select(id_col, key_col, token_col)
+    group_cols = [key_col]
+    if shards is not None:
+        sel = sel.withColumn(
+            "_shard",
+            (F.col(id_col).cast("long") * F.lit(2654435761))
+            % F.lit(4294967296)
+            % shards,
+        )
+        group_cols.append("_shard")
     out_schema = T.StructType(
         list(sel.schema.fields) + [T.StructField("pack_id", T.IntegerType())]
     )
@@ -111,7 +126,7 @@ def pack_sequences(
             ids.append(pid)
         return pdf.assign(pack_id=pd.Series(ids, dtype="int32"))
 
-    return sel.groupBy(key_col).applyInPandas(_pack, schema=out_schema)
+    return sel.groupBy(*group_cols).applyInPandas(_pack, schema=out_schema)
 
 
 def stratified_sample(

@@ -952,6 +952,7 @@ SELECT query_id, neighbor_id, dot, CAST(rank AS INTEGER) AS rank FROM (
   WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
 ) WHERE rank <= 5
 """,
+    tags=("bench",),
 )
 def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized top-5 retrieval for 10 query vectors: symmetric

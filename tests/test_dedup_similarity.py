@@ -391,3 +391,33 @@ def test_quantized_topk_recall_vs_exact(spark):
         overlap = len({n for q, n in exact if q == qid}
                       & {n for q, n in quant if q == qid})
         assert overlap >= 3, f"query {qid}: overlap {overlap}"
+
+
+def test_pack_sequences_sharded_is_exact_per_shard_and_deterministic(spark):
+    """shards=K: every (key, shard) group packs independently with the
+    same greedy semantics (capacity respected except single-oversize
+    bins), shard assignment is an identity hash (partitioning-proof),
+    and a repartitioned input yields identical assignments."""
+    from collections import defaultdict
+
+    from stream_processing_project_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "a" if i % 3 else "b", 1 + (i * 7) % 12) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    out = pack_sequences(df, "n_tokens", capacity=16, key_col="lang", shards=4)
+    got = {(r.doc_id): (r.lang, r._shard, r.pack_id) for r in out.collect()}
+    assert len(got) == 40
+    fills = defaultdict(list)
+    toks = dict((i, t) for i, _, t in rows)
+    for doc, (lang, shard, pid) in got.items():
+        assert shard == (doc * 2654435761) % 4294967296 % 4
+        fills[(lang, shard, pid)].append(toks[doc])
+    for group in fills.values():
+        assert sum(group) <= 16 or len(group) == 1
+    again = {
+        (r.doc_id): (r.lang, r._shard, r.pack_id)
+        for r in pack_sequences(
+            df.repartition(13), "n_tokens", capacity=16, key_col="lang", shards=4
+        ).collect()
+    }
+    assert again == got

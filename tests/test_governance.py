@@ -89,3 +89,28 @@ def test_fuzzy_pairs_respect_blocks_threshold_and_order(spark):
         df, "id", "name", ["blk"], max_distance=3
     ).collect()
     assert [(p.id_a, p.id_b, p.dist) for p in pairs] == [(1, 2, 2)]
+
+
+def test_multi_pass_blocking_unions_and_dedups(spark):
+    """A pair caught only by the second pass appears; a pair caught by
+    BOTH passes appears once."""
+    from stream_processing_project_spark.operators.linkage import (
+        multi_pass_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # (1,2): same b1 AND same b2 → caught by both passes, once
+            (1, "red widget", "x", "p"),
+            (2, "red gadget", "x", "p"),
+            # (3,4): different b1, same b2 → second pass only
+            (3, "old anvil", "y", "q"),
+            (4, "hot anvil", "z", "q"),
+        ],
+        "id long, name string, b1 string, b2 string",
+    )
+    pairs = multi_pass_fuzzy_pairs(
+        df, "id", "name", [["b1"], ["b2"]], max_distance=3
+    ).collect()
+    got = sorted((p.id_a, p.id_b) for p in pairs)
+    assert got == [(1, 2), (3, 4)]

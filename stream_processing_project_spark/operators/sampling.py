@@ -148,3 +148,59 @@ def stratified_sample(
     for stratum, p in sorted(rates.items()):
         pct = F.when(F.col(strata_col) == stratum, p).otherwise(pct)
     return df.filter(b < pct)
+
+
+def identity_hash(id_col: Column) -> Column:
+    """Knuth multiplicative hash of a numeric id into [0, 2^32) — the
+    same pure-integer mix `split_bucket` cuts percentages from. Used as
+    a deterministic pseudo-random ORDER (shuffling, per-key caps) that
+    any engine reproduces exactly; ties are impossible only modulo the
+    hash, so consumers must tie-break on the id itself."""
+    return (id_col.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def per_key_cap(
+    df: DataFrame, key_col: str, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-key document cap (the RefinedWeb-style per-domain limit):
+    keep at most `cap` rows per `key_col`, chosen by identity-hash
+    order so the survivors are a deterministic pseudo-random sample —
+    not "first cap by insertion order", which would bias toward old
+    crawls, and not `rand()`, which repartitioning reshuffles. Adds
+    `keep_rank` (1-based within key).
+
+    Scale: one shuffle on the key; the window never materializes a
+    whole key on the driver. A pathologically hot key is still one
+    task's sort — at 100 TB pre-filter hot keys with the same
+    identity-hash trick (keep iff bucket(id) < cap/est_count*100,
+    over-admitting slightly) before the exact window pass, so the sort
+    input per key is O(cap), not O(|key|)."""
+    w = Window.partitionBy(key_col).orderBy(
+        identity_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= cap)
+    )
+
+
+def shard_shuffle(
+    df: DataFrame, id_col: str = "doc_id", shards: int = 8
+) -> DataFrame:
+    """Deterministic global corpus shuffle, sharded: assign every row an
+    identity-hash shuffle key, route it to `hash % shards`, and number
+    rows within each shard in hash order — the reproducible
+    shuffled-training-order layout (shard files, each internally
+    ordered; reading shards round-robin replays the same global
+    pseudo-random order on every run of any engine). `rand()` ordering
+    can't be replayed; a single global `row_number` would serialize on
+    one task.
+
+    Scale: `shards` is the write parallelism — one shuffle routes rows
+    to shards, each shard sorts independently (O(n/K log n/K) per
+    task). At 100 TB set shards = O(output files); determinism is
+    partitioning-proof by construction (pure function of the id)."""
+    h = identity_hash(F.col(id_col))
+    out = df.withColumn("shard", (h % shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w))

@@ -459,3 +459,139 @@ def sampling_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (target / F.col("total_tokens")).alias("epochs"),
         )
     )
+
+
+@register(
+    "sampling_domain_cap",
+    oracle="""
+SELECT doc_id, source, CAST(keep_rank AS INTEGER) AS keep_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS keep_rank
+  FROM documents
+) WHERE keep_rank <= 10
+""",
+)
+def sampling_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style anti-over-representation):
+    keep at most 10 documents per `source`, selected by identity-hash
+    order — a deterministic pseudo-random sample per domain, immune to
+    crawl order and partitioning (operators/sampling.py::per_key_cap).
+    One shuffle on the domain key; the hot-domain mitigation (hash
+    pre-filter to O(cap) rows per key before the exact window) is in
+    the operator docstring."""
+    from stream_processing_project_spark.operators.sampling import per_key_cap
+
+    return per_key_cap(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        key_col="source",
+        cap=10,
+    )
+
+
+@register(
+    "sampling_shard_shuffle",
+    oracle="""
+SELECT doc_id, shard, CAST(pos AS INTEGER) AS pos FROM (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INTEGER) AS shard,
+         row_number() OVER (
+           PARTITION BY (doc_id * 2654435761) % 4294967296 % 8
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS pos
+  FROM documents
+)
+""",
+)
+def sampling_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle into 8 shards: every doc
+    gets a shard (identity-hash mod 8) and a position within its shard
+    (hash order) — the reproducible shuffled-corpus layout (shard files
+    internally ordered; round-robin reads replay one fixed global
+    pseudo-random order on any engine, any partitioning). No global
+    sort bottleneck: each shard numbers its own rows
+    (operators/sampling.py::shard_shuffle)."""
+    from stream_processing_project_spark.operators.sampling import shard_shuffle
+
+    return shard_shuffle(
+        t(spark, sf_dir, "documents").select("doc_id"), shards=8
+    )
+
+
+@register(
+    "sampling_epoch_materialize",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM docs GROUP BY lang
+),
+nl AS (SELECT count(*) AS n_langs FROM per_lang),
+plan AS (
+  SELECT lang, (1000000.0 / n_langs) / total_tokens AS epochs
+  FROM per_lang, nl
+),
+copies AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(p.epochs) AS BIGINT)
+         + CASE WHEN (d.doc_id * 2654435761) % 4294967296
+                     < (p.epochs - floor(p.epochs)) * 4294967296.0
+                THEN 1 ELSE 0 END AS n_copies
+  FROM docs d JOIN plan p USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INTEGER) AS epoch
+FROM copies
+""",
+)
+def sampling_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the domain-mixture schedule (`sampling_domain_mix`)
+    into an actual training stream: each document is replicated
+    floor(epochs[lang]) times, plus one more copy with probability
+    frac(epochs[lang]) decided by the document's identity hash — so the
+    realized token count per language hits the target in expectation
+    while staying fully deterministic (same doc → same copy count on
+    every run of every engine; no rand()). Output is (doc_id, lang,
+    epoch) — downstream, epoch joins into the shuffle key so copies
+    spread across the order.
+
+    Scale: the plan is |langs| rows broadcast back onto the corpus; the
+    explode is a narrow flatMap (no shuffle beyond the tiny agg), so
+    the op is one corpus scan for the totals + one for the output. The
+    float is division-only (identical operands → identical IEEE
+    doubles cross-engine; plans/common.py rules), and the fractional
+    coin is an integer-vs-double compare on those exact values."""
+    from stream_processing_project_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens")
+    )
+    nl = per_lang.agg(F.count(F.lit(1)).alias("n_langs"))
+    epochs = (F.lit(1000000.0) / F.col("n_langs")) / F.col("total_tokens")
+    plan = per_lang.crossJoin(F.broadcast(nl)).select(
+        "lang", epochs.alias("epochs")
+    )
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    n_copies = F.floor(F.col("epochs")).cast("long") + F.when(
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        < frac * F.lit(4294967296.0),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(plan), "lang")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_copies") - 1).cast("int"))
+            ).alias("epoch"),
+        )
+    )

@@ -114,3 +114,48 @@ def test_multi_pass_blocking_unions_and_dedups(spark):
     ).collect()
     got = sorted((p.id_a, p.id_b) for p in pairs)
     assert got == [(1, 2), (3, 4)]
+
+
+def test_per_key_cap_bounds_and_is_partitioning_proof(spark):
+    from stream_processing_project_spark.operators.sampling import per_key_cap
+
+    rows = [(i, f"k{i % 3}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = per_key_cap(df, "source", cap=5).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.source, []).append((r.doc_id, r.keep_rank))
+    assert set(by_key) == {"k0", "k1", "k2"}
+    for key, kept in by_key.items():
+        assert len(kept) == 5
+        assert sorted(r for _, r in kept) == [1, 2, 3, 4, 5]
+        # survivors are the 5 smallest identity hashes, not the 5 smallest ids
+        ids = sorted(i for i, _ in kept)
+        all_ids = [i for i, k in rows if k == key]
+        byhash = sorted(all_ids, key=lambda i: ((i * 2654435761) % 4294967296, i))
+        assert ids == sorted(byhash[:5])
+    again = per_key_cap(df.repartition(17), "source", cap=5).collect()
+    assert sorted((r.doc_id, r.keep_rank) for r in again) == sorted(
+        (r.doc_id, r.keep_rank) for r in out
+    )
+
+
+def test_shard_shuffle_is_a_permutation_and_deterministic(spark):
+    from stream_processing_project_spark.operators.sampling import shard_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    out = shard_shuffle(df, shards=4).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r.shard == (r.doc_id * 2654435761) % 4294967296 % 4
+    # positions are 1..n_shard contiguous within each shard, ordered by hash
+    shards = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r)
+    for rows in shards.values():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        hashes = [(r.doc_id * 2654435761) % 4294967296 for r in rows]
+        assert hashes == sorted(hashes)
+    again = shard_shuffle(df.repartition(13), shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

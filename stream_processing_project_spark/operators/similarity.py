@@ -360,3 +360,46 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rank_fusion(
+    lists: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever result lists (each with
+    columns query_id, neighbor_id, rank): score every candidate
+    Σ 1/(rrf_k + rank_i) over the lists that returned it, re-rank per
+    query, keep top k. The standard way to combine heterogeneous
+    retrievers (exact / quantized / lexical) without score calibration
+    — only RANKS cross the boundary, so scales never have to agree.
+
+    Determinism: each term is a division of exact integers and the sum
+    is a fixed left-fold over the (ordered) retriever list — identical
+    operand sequence cross-engine. Ties broken by neighbor_id.
+
+    Scale: candidate lists are k·|queries| rows regardless of corpus
+    size — the fusion join and re-rank never touch the corpus."""
+    fused = None
+    for i, df in enumerate(lists):
+        part = df.select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias(f"rrf_{i}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, ["query_id", "neighbor_id"], "full_outer"
+        )
+    score = None
+    for i in range(len(lists)):
+        term = F.coalesce(F.col(f"rrf_{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rrf", score)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "neighbor_id", "rrf", "fused_rank")
+    )

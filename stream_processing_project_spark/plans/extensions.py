@@ -964,3 +964,66 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::quantized_topk)."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "similarity_rank_fusion",
+    oracle=f"""
+WITH exact10 AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 6)
+                      DESC NULLS LAST, c.vec_id) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+),
+z AS (SELECT vec_id, {_Q8} AS q8 FROM embeddings),
+quant10 AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[]) DESC,
+                      c.vec_id) AS rank
+    FROM z q, z c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+)
+SELECT query_id, neighbor_id, rrf, CAST(fused_rank AS INTEGER) AS fused_rank
+FROM (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(1.0 / (60 + a.rank), 0.0)
+         + COALESCE(1.0 / (60 + b.rank), 0.0) AS rrf,
+         row_number() OVER (
+           PARTITION BY COALESCE(a.query_id, b.query_id)
+           ORDER BY COALESCE(1.0 / (60 + a.rank), 0.0)
+                    + COALESCE(1.0 / (60 + b.rank), 0.0) DESC,
+                    COALESCE(a.neighbor_id, b.neighbor_id)) AS fused_rank
+  FROM exact10 a
+  FULL OUTER JOIN quant10 b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+) WHERE fused_rank <= 5
+""",
+)
+def similarity_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — exact-cosine top-10
+    and int8-quantized top-10 — re-ranked to a fused top-5 per query
+    (operators/similarity.py::rank_fusion). Only ranks cross the
+    retriever boundary (no score calibration); candidates are
+    k·|queries| rows, so fusion cost is independent of corpus size.
+    The RRF terms are integer divisions summed in a fixed order —
+    deterministic cross-engine."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.rank_fusion(
+        [
+            similarity.brute_force_topk(emb, queries, k=10),
+            similarity.quantized_topk(emb, queries, k=10),
+        ],
+        k=5,
+    )

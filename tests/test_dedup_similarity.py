@@ -421,3 +421,24 @@ def test_pack_sequences_sharded_is_exact_per_shard_and_deterministic(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_rank_fusion_prefers_consensus_and_covers_single_list_hits(spark):
+    from stream_processing_project_spark.operators.similarity import rank_fusion
+
+    a = spark.createDataFrame(
+        [(0, 100, 1), (0, 101, 2), (0, 102, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 100, 1), (0, 103, 2), (0, 101, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {r.neighbor_id: (r.rrf, r.fused_rank)
+           for r in rank_fusion([a, b], k=4).collect()}
+    # consensus doc ranked 1 by both fuses highest; one-list docs present
+    assert set(out) == {100, 101, 102, 103}
+    assert out[100][1] == 1
+    assert abs(out[100][0] - (1 / 61 + 1 / 61)) < 1e-15
+    assert abs(out[102][0] - 1 / 63) < 1e-15
+    assert out[101][1] == 2  # 1/62 + 1/63 beats any single-list score

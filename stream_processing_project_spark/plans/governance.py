@@ -243,7 +243,9 @@ def linkage_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_size block goes quadratic: measured 6.2 s vs 0.9 s at sf0.1 —
     exactly the hot-block failure the operator docstring warns about,
     fixed by sharper keys instead of more compute)."""
-    parts = t(spark, sf_dir, "part").select(
+    from stream_processing_project_spark.sources.fixtures import fan_out_if_narrow
+
+    parts = fan_out_if_narrow(t(spark, sf_dir, "part")).select(
         "p_partkey",
         "p_name",
         "p_size",

@@ -51,9 +51,7 @@ def cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- CDC upsert materialization: change log → current state -------------------
-@register(
-    "cdc_upsert_materialize",
-    oracle="""
+CDC_UPSERT_ORACLE = """
 WITH env AS (
   SELECT event_id AS id, user_id, event_type, value,
          CASE WHEN event_id % 20 = 0 THEN 'u'
@@ -67,9 +65,10 @@ latest AS (
 )
 SELECT id, user_id, event_type, value, op AS __op
 FROM latest WHERE rn = 1 AND op <> 'd'
-""",
-    tags=("bench",),
-)
+"""
+
+
+@register("cdc_upsert_materialize", oracle=CDC_UPSERT_ORACLE, tags=("bench",))
 def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change log → current table state: latest version per key via a
     partial-aggregatable struct-max (not a window sort), keys whose last

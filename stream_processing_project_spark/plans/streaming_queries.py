@@ -24,6 +24,7 @@ from stream_processing_project_spark.plans.extensions import (
     TEXT_QUALITY_ORACLE,
 )
 from stream_processing_project_spark.plans.governance import TEXT_REDACT_ORACLE
+from stream_processing_project_spark.plans.scalar_surface import CDC_UPSERT_ORACLE
 from stream_processing_project_spark.plans.registry import register
 from stream_processing_project_spark.streaming import pipeline, sinks
 
@@ -219,4 +220,48 @@ def streaming_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(contact_text_projection(docs)).select(
             "doc_id", "text", "n_emails", "n_phones", "n_ips"
         )
+    )
+
+
+@register("streaming_upsert_materialize", oracle=CDC_UPSERT_ORACLE)
+def streaming_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance under streaming: the change log
+    arrives in 4 micro-batches (fixture split into 4 files,
+    maxFilesPerTrigger=1) and a foreachBatch MERGE folds each batch
+    into a copy-on-write current-state table — tombstones retained
+    across batches so late older changes cannot resurrect deleted keys
+    (streaming/sinks.py::upsert_materialized_view). The final state
+    must equal the BATCH collapse of the whole log — that equivalence
+    is the oracle (same SQL as cdc_upsert_materialize), regardless of
+    how the log was chunked into batches."""
+    from stream_processing_project_spark.sources.cdc import (
+        parse_envelope,
+        to_envelope_json,
+    )
+    from stream_processing_project_spark.streaming.sinks import (
+        upsert_materialized_view,
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="cdc_chunks_")
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        chunk_dir
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    changes = parse_envelope(to_envelope_json(stream)).select(
+        "id", "user_id", "event_type", "value", "__op", "__ts_ms"
+    )
+    q, versions = upsert_materialized_view(changes, state_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(versions[-1])
+        .filter(F.col("__op") != "d")
+        .select("id", "user_id", "event_type", "value", "__op")
     )

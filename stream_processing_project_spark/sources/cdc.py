@@ -119,17 +119,15 @@ def scd2_history(
     )
 
 
-def materialize_upserts(
+def latest_versions(
     changes: DataFrame, key_col: str = "id", ts_col: str = "__ts_ms"
 ) -> DataFrame:
-    """CDC upsert materialization: collapse a change stream to current
-    table state — latest version per key wins, keys whose latest change
-    is a delete ('d') disappear.
-
-    Beyond the reference (it drops deletes at the connector,
-    debezium/postgres-connector.json:19, and never materializes state);
-    any real CDC consumer needs this. Implemented as max(struct(ts,
-    ...cols)) per key rather than a row_number window: the struct-max is
+    """Latest version per key INCLUDING delete tombstones — the merge
+    kernel of upsert materialization. Tombstones must survive the
+    reduction (not be filtered early): in an incremental merge a
+    retained 'd' row is what stops an out-of-order older insert from
+    resurrecting a deleted key. Implemented as max(struct(ts, ...cols))
+    per key rather than a row_number window: the struct-max is
     PARTIAL-AGGREGATABLE (map-side combine shrinks each task's output to
     |keys| rows before the shuffle), while row_number needs a full
     per-key sort after the shuffle — the difference matters when the
@@ -137,4 +135,17 @@ def materialize_upserts(
     data_cols = [c for c in changes.columns if c not in (key_col, ts_col)]
     packed = F.struct(F.col(ts_col), *[F.col(c) for c in data_cols])
     latest = changes.groupBy(key_col).agg(F.max(packed).alias("_latest"))
-    return latest.select(key_col, "_latest.*").filter(F.col("__op") != "d")
+    return latest.select(key_col, "_latest.*")
+
+
+def materialize_upserts(
+    changes: DataFrame, key_col: str = "id", ts_col: str = "__ts_ms"
+) -> DataFrame:
+    """CDC upsert materialization: collapse a change stream to current
+    table state — latest version per key wins (latest_versions), keys
+    whose latest change is a delete ('d') disappear.
+
+    Beyond the reference (it drops deletes at the connector,
+    debezium/postgres-connector.json:19, and never materializes state);
+    any real CDC consumer needs this."""
+    return latest_versions(changes, key_col, ts_col).filter(F.col("__op") != "d")

@@ -195,3 +195,47 @@ def query_metrics(query: StreamingQuery) -> dict:
         "state_rows_total": sum(s.get("numRowsTotal", 0) for s in state),
         "watermark": (p.get("eventTime") or {}).get("watermark"),
     }
+
+
+def upsert_materialized_view(
+    changes: DataFrame,
+    base_dir: str,
+    key_col: str = "id",
+    ts_col: str = "__ts_ms",
+) -> tuple[StreamingQuery, list]:
+    """Incremental CDC upsert maintenance: every micro-batch is reduced
+    to latest-per-key (tombstones kept) and MERGED with the accumulated
+    state, written copy-on-write to a new version directory — the
+    foreachBatch MERGE pattern on plain parquet (with Delta/Iceberg the
+    write becomes `MERGE INTO` and versions collapse into the table
+    log; the seam is exactly this function). Out-of-order changes are
+    safe: the merge key order is (ts, ...) and retained tombstones stop
+    older inserts from resurrecting deleted keys.
+
+    Scale: state per version is |live keys| rows, batch work is one
+    partial-aggregated shuffle of |batch keys|; the full-state rewrite
+    per batch is the plain-parquet cost — a table format or key-bucketed
+    layout (operators/bucketing.py) turns it into touched-bucket-only
+    rewrites. Returns (query, version_paths) — read
+    `version_paths[-1]`, filter `__op != 'd'` for the current table."""
+    from stream_processing_project_spark.sources.cdc import latest_versions
+
+    versions: list[str] = []
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = latest_versions(batch_df, key_col, ts_col)
+        if versions:
+            cur = spark.read.parquet(versions[-1])
+            new = latest_versions(cur.unionByName(new), key_col, ts_col)
+        path = f"{base_dir}/v{epoch_id}"
+        new.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir(f"upsert_{abs(hash(base_dir))}"))
+        .start()
+    )
+    return q, versions

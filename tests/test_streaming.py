@@ -519,3 +519,46 @@ def test_exactly_once_across_restart(spark):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # no duplicates, no losses
+
+
+def test_upsert_view_tombstones_block_resurrection(spark, tmp_path):
+    """Three micro-batches, adversarial order: insert(ts=1) → delete(ts=3)
+    → out-of-order older update(ts=2). The retained tombstone must win,
+    so key 1 stays deleted; key 2's newest update wins normally."""
+    from stream_processing_project_spark.streaming.sinks import (
+        upsert_materialized_view,
+    )
+
+    schema = "id long, user_id long, event_type string, value double, __op string, __ts_ms long"
+    batches = [
+        [(1, 10, "view", 1.0, "c", 1), (2, 20, "view", 1.0, "c", 1)],
+        [(1, 10, None, None, "d", 3), (2, 20, "click", 2.0, "u", 5)],
+        [(1, 10, "view", 9.9, "u", 2)],  # older than the delete
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    # feed files one per micro-batch in a deterministic order via glob dirs
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    q, versions = upsert_materialized_view(stream, str(tmp_path / "state"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(versions) >= 1
+    final = {
+        r.id: (r["__ts_ms"], r["__op"], r.value)
+        for r in spark.read.parquet(versions[-1]).collect()
+    }
+    # key 1: tombstone (ts=3) beat the late ts=2 update; key 2: ts=5 update
+    assert final[1][1] == "d"
+    assert final[2] == (5, "u", 2.0)
+    live = spark.read.parquet(versions[-1]).filter("__op != 'd'").collect()
+    assert [r.id for r in live] == [2]

@@ -777,3 +777,52 @@ def olap_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# --- TPC-H Q14 shape: percentage-of-total via conditional aggregation --------
+@register(
+    "olap_promo_revenue_share",
+    oracle="""
+WITH agg AS (
+  SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END), 4) AS promo_revenue,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_share_pct
+FROM agg
+""",
+)
+def olap_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo revenue share: ONE pass computes both the
+    conditional (promo-only) and unconditional revenue sums — the
+    percentage-of-total pattern without a second scan or a self-join.
+    Broadcast part join; the shipdate filter is pushed to the lineitem
+    scan. Float rule: both sums rounded at 4 dp, the ratio left as a
+    raw division of the rounded values (plans/common.py)."""
+    l, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )

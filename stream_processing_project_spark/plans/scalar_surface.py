@@ -19,7 +19,11 @@ from stream_processing_project_spark.functions.scalar import (
 )
 from stream_processing_project_spark.plans.common import t
 from stream_processing_project_spark.plans.registry import register
-from stream_processing_project_spark.sources.cdc import parse_envelope, to_envelope_json
+from stream_processing_project_spark.sources.cdc import (
+    FIXTURE_CDC_ENVELOPE,
+    parse_envelope,
+    to_envelope_json,
+)
 
 
 # --- S1+P1+P2+P3: CDC ingest — serialize → parse → op-filter → project ------
@@ -386,4 +390,47 @@ def sample_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .filter(deterministic_sample(F.col("event_id"), 10))
         .select("event_id")
+    )
+
+
+# --- ingest observability: parse-failure audit --------------------------------
+@register(
+    "cdc_parse_audit",
+    oracle="""
+WITH n AS (SELECT count(*) AS ok FROM events)
+SELECT ok + 3 AS total_records, ok AS parsed, 3 AS dropped,
+       round(3.0 / (ok + 3) * 100, 4) AS drop_pct
+FROM n
+""",
+)
+def cdc_parse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-quality audit: one pass over the raw envelope stream
+    counts total records, PERMISSIVE-parse survivors, and drops — the
+    observability the reference lacks (it logs-and-discards parse
+    failures one by one, EngagementProcessor.scala:28-36, and its sinks
+    drop on overflow with only a log line). A conditional count over
+    the parsed column needs no second scan; the drop RATE is what pages
+    an on-call when an upstream schema change poisons the topic.
+    Three malformed lines are injected to prove the counts; round on
+    the percentage is a round of a division-of-integers — identical
+    operands cross-engine, and 4 dp keeps it stable."""
+    raw = to_envelope_json(t(spark, sf_dir, "events"))
+    garbage = spark.createDataFrame(
+        [("not json at all",), ('{"payload": 42}',), ("",)], ["value"]
+    )
+    env = raw.unionAll(garbage).select(
+        F.from_json(
+            F.col("value").cast("string"), FIXTURE_CDC_ENVELOPE
+        ).alias("env")
+    )
+    return env.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(F.col("env.payload")).alias("parsed"),
+        (F.count(F.lit(1)) - F.count(F.col("env.payload"))).alias("dropped"),
+        F.round(
+            (F.count(F.lit(1)) - F.count(F.col("env.payload")))
+            / F.count(F.lit(1))
+            * 100,
+            4,
+        ).alias("drop_pct"),
     )

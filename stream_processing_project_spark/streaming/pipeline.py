@@ -269,3 +269,32 @@ def interval_join_stream(
         "r_event_type",
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias("gap_us"),
     )
+
+
+def with_ingest_audit(raw: DataFrame, name: str = "ingest_audit") -> DataFrame:
+    """Attach Spark-native `observe()` metrics to the raw envelope
+    stream BEFORE the PERMISSIVE parse filter: total records vs
+    successfully-parsed records per micro-batch, surfaced through
+    StreamingQueryProgress.observedMetrics — the in-flight version of
+    the cdc_parse_audit batch query, with zero extra passes (the
+    metrics ride the existing scan; the reference can only log each
+    parse failure as it discards it, EngagementProcessor.scala:28-36).
+    Call before parse_envelope's null-filter so drops are visible."""
+    from stream_processing_project_spark.sources.cdc import FIXTURE_CDC_ENVELOPE
+
+    env = F.from_json(F.col("value").cast("string"), FIXTURE_CDC_ENVELOPE)
+    return raw.observe(
+        name,
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(env.getField("payload")).alias("parsed"),
+    )
+
+
+def observed_metrics(query, name: str = "ingest_audit") -> dict:
+    """Read the latest observed-metrics row for `name` from a streaming
+    query's progress (empty dict before the first completed batch)."""
+    p = query.lastProgress
+    if not p:
+        return {}
+    row = (p.get("observedMetrics") or {}).get(name)
+    return dict(row.asDict()) if hasattr(row, "asDict") else (row or {})

@@ -562,3 +562,44 @@ def test_upsert_view_tombstones_block_resurrection(spark, tmp_path):
     assert final[2] == (5, "u", 2.0)
     live = spark.read.parquet(versions[-1]).filter("__op != 'd'").collect()
     assert [r.id for r in live] == [2]
+
+
+def test_ingest_audit_observes_parse_drops(spark, tmp_path):
+    """observe() metrics count total vs parsed records in-flight: 3 of 5
+    envelope lines are malformed, and the audit reports 5/2 without an
+    extra pass or a separate counting query."""
+    from stream_processing_project_spark.sources.cdc import parse_envelope
+    from stream_processing_project_spark.streaming import pipeline
+
+    lines = [
+        '{"payload": {"id": 1, "user_id": 10, "event_type": "view", "event_ts": "2024-01-01 00:00:00", "value": 1.0, "props": "{}", "__op": "c", "__table": "events", "__db": "d", "__ts_ms": 1}}',
+        '{"payload": {"id": 2, "user_id": 20, "event_type": "click", "event_ts": "2024-01-01 00:00:01", "value": 2.0, "props": "{}", "__op": "r", "__table": "events", "__db": "d", "__ts_ms": 2}}',
+        "not json",
+        "",
+        '{"payload": 42}',
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(lines))
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .load(str(src))
+    )
+    audited = pipeline.with_ingest_audit(raw)
+    parsed = parse_envelope(audited)
+    q = (
+        parsed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("audit_t")
+        .option("checkpointLocation", pipeline.checkpoint_dir("audit_t"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        m = pipeline.observed_metrics(q)
+    finally:
+        q.stop()
+    assert m["total_records"] == 5
+    assert m["parsed"] == 2
+    assert spark.table("audit_t").count() == 2

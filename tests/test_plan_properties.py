@@ -201,3 +201,30 @@ def test_runtime_bloom_filter_injected_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sampling_order_ops_shuffle_once_on_their_partition_key(spark):
+    """Per-domain cap and shard shuffle are one exchange each (domain /
+    shard key) — never a global single-partition sort (the scale trap
+    for ordering ops: Window.orderBy() without partitionBy)."""
+    for name, key in [
+        ("sampling_domain_cap", "source"),
+        ("sampling_shard_shuffle", "shard"),
+    ]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, f"{name}\n{plan}"
+        assert f"hashpartitioning({key}" in plan, f"{name}\n{plan}"
+        assert "SinglePartition" not in plan, f"{name} global sort:\n{plan}"
+
+
+def test_epoch_materialize_fact_side_never_shuffles(spark):
+    """Mixture materialization: the only exchanges aggregate the tiny
+    per-language plan; the corpus side is scan → broadcast-join →
+    explode (narrow). Any hashpartitioning on doc_id means the 100 TB
+    fact table started shuffling."""
+    plan = formatted_plan(
+        all_queries()["sampling_epoch_materialize"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert re.search(r"\(\d+\) Generate", plan), plan  # the explode is present

@@ -202,6 +202,7 @@ def upsert_materialized_view(
     base_dir: str,
     key_col: str = "id",
     ts_col: str = "__ts_ms",
+    emit_changelog: bool = False,
 ) -> tuple[StreamingQuery, list]:
     """Incremental CDC upsert maintenance: every micro-batch is reduced
     to latest-per-key (tombstones kept) and MERGED with the accumulated
@@ -212,10 +213,18 @@ def upsert_materialized_view(
     safe: the merge key order is (ts, ...) and retained tombstones stop
     older inserts from resurrecting deleted keys.
 
+    With `emit_changelog`, each batch also appends its EFFECTIVE diff —
+    (change_type ∈ insert/update/delete, row) under
+    `{base_dir}/_changelog/batch=N` — a change data feed downstream
+    incremental consumers replay instead of diffing snapshots. Effective
+    means post-merge: a batch whose changes all lose to retained state
+    (e.g. an out-of-order update older than a tombstone) emits NOTHING.
+
     Scale: state per version is |live keys| rows, batch work is one
-    partial-aggregated shuffle of |batch keys|; the full-state rewrite
-    per batch is the plain-parquet cost — a table format or key-bucketed
-    layout (operators/bucketing.py) turns it into touched-bucket-only
+    partial-aggregated shuffle of |batch keys| plus (with changelog) a
+    key-join against current state; the full-state rewrite per batch is
+    the plain-parquet cost — a table format or key-bucketed layout
+    (operators/bucketing.py) turns it into touched-bucket-only
     rewrites. Returns (query, version_paths) — read
     `version_paths[-1]`, filter `__op != 'd'` for the current table."""
     from stream_processing_project_spark.sources.cdc import latest_versions
@@ -225,12 +234,46 @@ def upsert_materialized_view(
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         new = latest_versions(batch_df, key_col, ts_col)
-        if versions:
-            cur = spark.read.parquet(versions[-1])
-            new = latest_versions(cur.unionByName(new), key_col, ts_col)
+        cur = spark.read.parquet(versions[-1]) if versions else None
+        merged = (
+            latest_versions(cur.unionByName(new), key_col, ts_col)
+            if cur is not None
+            else new
+        )
         path = f"{base_dir}/v{epoch_id}"
-        new.write.mode("overwrite").parquet(path)
+        merged.write.mode("overwrite").parquet(path)
         versions.append(path)
+        if not emit_changelog:
+            return
+        if cur is not None:
+            prev = cur.select(
+                key_col,
+                F.col(ts_col).alias("_prev_ts"),
+                F.col("__op").alias("_prev_op"),
+            )
+            delta = merged.join(prev, key_col, "left")
+        else:
+            delta = merged.withColumn("_prev_ts", F.lit(None)).withColumn(
+                "_prev_op", F.lit(None)
+            )
+        prev_live = F.col("_prev_ts").isNotNull() & (F.col("_prev_op") != "d")
+        log = (
+            delta.filter(
+                F.col("_prev_ts").isNull() | (F.col(ts_col) > F.col("_prev_ts"))
+            )
+            .withColumn(
+                "change_type",
+                F.when(
+                    F.col("__op") == "d",
+                    F.when(prev_live, "delete"),  # tombstone for a dead key: no-op
+                ).otherwise(F.when(prev_live, "update").otherwise("insert")),
+            )
+            .filter(F.col("change_type").isNotNull())
+            .drop("_prev_ts", "_prev_op")
+        )
+        log.write.mode("overwrite").parquet(
+            f"{base_dir}/_changelog/batch={epoch_id}"
+        )
 
     q = (
         changes.writeStream.outputMode("append")

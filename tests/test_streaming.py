@@ -603,3 +603,47 @@ def test_ingest_audit_observes_parse_drops(spark, tmp_path):
     assert m["total_records"] == 5
     assert m["parsed"] == 2
     assert spark.table("audit_t").count() == 2
+
+
+def test_upsert_changelog_emits_effective_diffs_only(spark, tmp_path):
+    """Change data feed from the upsert view: batch 0 → two inserts;
+    batch 1 → one delete + one update; batch 2 (an out-of-order update
+    older than the tombstone) → NO change rows at all — the feed
+    reflects effective state transitions, not raw input."""
+    from stream_processing_project_spark.streaming.sinks import (
+        upsert_materialized_view,
+    )
+
+    schema = "id long, user_id long, event_type string, value double, __op string, __ts_ms long"
+    batches = [
+        [(1, 10, "view", 1.0, "c", 1), (2, 20, "view", 1.0, "c", 1)],
+        [(1, 10, None, None, "d", 3), (2, 20, "click", 2.0, "u", 5)],
+        [(1, 10, "view", 9.9, "u", 2)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    base = str(tmp_path / "state")
+    q, versions = upsert_materialized_view(stream, base, emit_changelog=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = spark.read.parquet(f"{base}/_changelog")
+    got = sorted(
+        (r.batch, r.id, r.change_type) for r in feed.collect()
+    )
+    assert got == [
+        (0, 1, "insert"),
+        (0, 2, "insert"),
+        (1, 1, "delete"),
+        (1, 2, "update"),
+    ]

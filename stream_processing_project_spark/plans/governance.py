@@ -597,3 +597,34 @@ def sampling_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epoch"),
         )
     )
+
+
+@register("profile_distinct_rollup_hll")
+def profile_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-day HLL sketches of the
+    user population (Apache DataSketches `hll_sketch_agg`), then the
+    GLOBAL distinct estimated by UNIONING THE SKETCHES — the raw table
+    is scanned once and never re-aggregated for the coarser grain. This
+    is the only distinct-count that scales to 100 TB rollup cascades:
+    exact COUNT(DISTINCT) doesn't compose across partials (operators/
+    windows.py::rollup_cascade composes count/sum; this adds the
+    distinct column), while a KB-sized sketch per (day) merges
+    losslessly within HLL error. Sketch binaries are
+    implementation-specific — rows-only driver check; estimate accuracy
+    vs exact is pinned in tests/test_approx.py."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily_sk = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    daily = daily_sk.select(
+        F.date_format("day", "yyyy-MM-dd").alias("grain"),
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    )
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_users")
+    ).select(F.lit("ALL").alias("grain"), "approx_users")
+    return daily.unionByName(total)

@@ -434,3 +434,40 @@ def cdc_parse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("drop_pct"),
     )
+
+
+# --- JSONB surface, VARIANT flavor -------------------------------------------
+@register(
+    "json_variant_extract",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) % 2 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM events
+GROUP BY event_type
+""",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opaque-JSONB surface on Spark 4's VARIANT type: `parse_json`
+    once into a semi-structured column, then typed `variant_get` paths —
+    the engine-native upgrade over per-path `get_json_object` string
+    re-parsing (each get_json_object re-reads the string; a VARIANT
+    parses once into a binary form and every path extraction is a
+    tree walk). Same answers as the string-path oracle, so the two
+    JSONB flavors (`json_extract_props`, this) are interchangeable."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.variant_get(F.col("v"), "$.k", "long")).alias("sum_k"),
+        F.sum(
+            F.when(
+                F.variant_get(F.col("v"), "$.k", "long") % 2 == 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_even"),
+    )

@@ -826,3 +826,33 @@ def olap_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_share_pct"
         ),
     )
+
+
+# --- exact median per group ---------------------------------------------------
+@register(
+    "olap_median_order_value",
+    oracle="""
+SELECT o_orderpriority,
+       median(o_totalprice) AS median_value,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def olap_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order value per priority — the exact-percentile
+    complement of `olap_distinct_quantiles` (approx). Exact medians
+    need the group's values materialized (Spark sorts within the
+    aggregation buffer), so at 100 TB this is the expensive flavor you
+    reserve for low-cardinality groups or after pre-filtering —
+    approx_percentile (KLL-style sketch, mergeable partials) is the
+    default at scale. Even-count interpolation is (a+b)/2 on identical
+    operands in both engines — deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.median("o_totalprice").alias("median_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

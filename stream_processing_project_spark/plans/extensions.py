@@ -1027,3 +1027,53 @@ def similarity_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         k=5,
     )
+
+
+@register(
+    "text_adaptive_quality_filter",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(trim(text), ' '), w -> w IN ({_SW_EN})))
+           / len(string_split(trim(text), ' ')) AS score
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT doc_id, lang, score FROM r WHERE rn * 10 > n
+""",
+)
+def text_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language quality filtering: drop each language's
+    BOTTOM DECILE by quality score instead of one global cutoff — the
+    per-domain adaptive threshold real pretraining filters use (a fixed
+    stopword-ratio bar tuned on English throws away half of another
+    language). The decile test is pure integer arithmetic (keep iff
+    rn*10 > n) — no float threshold to diverge cross-engine; the score
+    itself is an integer quotient (identical operands → identical
+    double). One shuffle on lang; at 100 TB swap row_number for an
+    approx_percentile cutoff per lang (mergeable sketch, no per-lang
+    sort) at the cost of boundary exactness."""
+    from stream_processing_project_spark.operators.text import (
+        stopword_hits,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (stopword_hits(F.col("text"), "en") / token_count(F.col("text"))).alias(
+            "score"
+        ),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("score", "doc_id")
+    w_all = Window.partitionBy("lang")
+    return (
+        docs.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") * 10 > F.col("n"))
+        .select("doc_id", "lang", "score")
+    )

@@ -265,3 +265,56 @@ def streaming_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__op") != "d")
         .select("id", "user_id", "event_type", "value", "__op")
     )
+
+
+@register(
+    "streaming_rollup_cascade",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+mm AS (
+  SELECT date_trunc('minute', ts) AS wm, event_type AS key,
+         count(*) AS cnt, round(sum(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT mm.* FROM mm, mx
+  WHERE wm + INTERVAL 1 MINUTE <= m - INTERVAL 15 MINUTE
+)
+SELECT strftime(date_trunc('hour', wm), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       key, CAST(sum(cnt) AS BIGINT) AS cnt,
+       round(sum(sum_val), 2) AS sum_val
+FROM closed GROUP BY 1, 2
+""",
+)
+def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregates under streaming: closed 1-minute windows
+    stream into a minute table; each foreachBatch re-aggregates only
+    its touched hours from minute PARTIALS into a copy-on-write hour
+    table (streaming/sinks.py::continuous_hour_rollup) — raw events are
+    read once, ever. The oracle is the batch cascade (hour from
+    minute) restricted to watermark-closed minutes; incremental
+    touched-hour refresh across batches is pinned in
+    tests/test_streaming.py."""
+    from stream_processing_project_spark.streaming.sinks import (
+        continuous_hour_rollup,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    q, versions = continuous_hour_rollup(
+        pipeline.minute_counts_stream(events),
+        tempfile.mkdtemp(prefix="rollup_"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not versions:  # no closed windows at this sf
+        return spark.createDataFrame(
+            [], "hour_bucket string, key string, cnt long, sum_val double"
+        )
+    return spark.read.parquet(versions[-1]).select(
+        F.date_format("hb", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        "key",
+        "cnt",
+        "sum_val",
+    )

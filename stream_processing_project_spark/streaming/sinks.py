@@ -282,3 +282,58 @@ def upsert_materialized_view(
         .start()
     )
     return q, versions
+
+
+def continuous_hour_rollup(
+    minute_stream: DataFrame, base_dir: str
+) -> tuple[StreamingQuery, list]:
+    """Continuous-aggregate refresh (the hypertable pattern,
+    olap_rollup_cascade's streaming twin): closed 1-minute windows
+    append to a minute-grain table; each batch then re-aggregates ONLY
+    the hours it touched from minute partials and merges them into a
+    copy-on-write hour table. Raw events are never re-read — the hour
+    grain always derives from minute partials (count/sum compose
+    losslessly), and refresh cost per batch is O(minutes in touched
+    hours), independent of table history.
+
+    Scale: the minute append is the only per-event work; the hour merge
+    reads back |touched hours| × |keys| partial rows. At 100 TB,
+    partition the minute table by hour so the touched-hour filter is
+    partition pruning, and cascade further levels (day from hour) the
+    same way. Returns (query, hour_version_paths)."""
+    versions: list[str] = []
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(f"{base_dir}/minute")
+        hb = F.date_trunc("hour", F.to_timestamp("w_start"))
+        touched = [r[0] for r in batch_df.select(hb.alias("hb")).distinct().collect()]
+        minutes = spark.read.parquet(f"{base_dir}/minute").withColumn("hb", hb)
+        recomputed = (
+            minutes.filter(F.col("hb").isin(touched))
+            .groupBy("hb", "key")
+            .agg(
+                F.sum("cnt").cast("long").alias("cnt"),
+                F.round(F.sum("sum_val"), 2).alias("sum_val"),
+            )
+        )
+        if versions:
+            kept = spark.read.parquet(versions[-1]).filter(
+                ~F.col("hb").isin(touched)
+            )
+            recomputed = kept.unionByName(recomputed)
+        path = f"{base_dir}/hour_v{epoch_id}"
+        recomputed.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        minute_stream.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option(
+            "checkpointLocation", checkpoint_dir(f"rollup_{abs(hash(base_dir))}")
+        )
+        .start()
+    )
+    return q, versions

@@ -647,3 +647,48 @@ def test_upsert_changelog_emits_effective_diffs_only(spark, tmp_path):
         (1, 1, "delete"),
         (1, 2, "update"),
     ]
+
+
+def test_continuous_rollup_refreshes_only_touched_hours(spark, tmp_path):
+    """Two micro-batches: the second touches only hour 10, so hour 11
+    carries over from the previous version while hour 10 re-aggregates
+    from minute partials — the incremental continuous-aggregate refresh."""
+    from stream_processing_project_spark.streaming.sinks import (
+        continuous_hour_rollup,
+    )
+
+    schema = "w_start string, key string, cnt long, sum_val double"
+    src = tmp_path / "src"
+    src.mkdir()
+    base = str(tmp_path / "rollup")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    write("f0", [("2024-01-01 10:00:00", "a", 2, 1.0),
+                 ("2024-01-01 10:30:00", "a", 3, 2.5),
+                 ("2024-01-01 11:00:00", "a", 1, 1.0)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "f*"))
+    )
+    q, versions = continuous_hour_rollup(stream, base)
+    try:
+        q.processAllAvailable()
+        assert len(versions) == 1
+        write("f1", [("2024-01-01 10:45:00", "a", 1, 0.5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(versions) == 2
+    final = {
+        (r.hb.strftime("%Y-%m-%d %H:%M:%S"), r.key): (r.cnt, r.sum_val)
+        for r in spark.read.parquet(versions[-1]).collect()
+    }
+    assert final == {
+        ("2024-01-01 10:00:00", "a"): (6, 4.0),
+        ("2024-01-01 11:00:00", "a"): (1, 1.0),
+    }

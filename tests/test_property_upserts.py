@@ -75,3 +75,33 @@ def test_scd2_history_versions_and_deletes(spark):
     # tie at ts=500 ordered by id: 30 before 31
     assert rows[(3, 1)].id == 30 and rows[(3, 1)].valid_to == 500
     assert rows[(3, 2)].id == 31 and rows[(3, 2)].is_current == 1
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(change, min_size=1, max_size=25),
+    st.integers(min_value=0, max_value=25),
+)
+def test_latest_versions_merge_is_chunking_invariant(spark, rows, cut):
+    """The incremental-merge foundation (streaming upsert view): folding
+    the log in two chunks through latest_versions — with tombstones
+    retained between steps — equals one-shot collapse of the whole log,
+    for ANY random log and ANY split point. This is why the streaming
+    view's final state cannot depend on micro-batch boundaries."""
+    from stream_processing_project_spark.sources.cdc import latest_versions
+
+    cols = ["id", "payload", "__op", "__ts_ms"]
+    cut = min(cut, len(rows) - 1)
+    whole = latest_versions(spark.createDataFrame(rows, cols))
+    one_shot = {r["id"]: (r["payload"], r["__op"], r["__ts_ms"])
+                for r in whole.collect()}
+    if cut == 0 or cut == len(rows):
+        chunked = one_shot
+    else:
+        first = latest_versions(spark.createDataFrame(rows[:cut], cols))
+        second = latest_versions(
+            first.unionByName(spark.createDataFrame(rows[cut:], cols))
+        )
+        chunked = {r["id"]: (r["payload"], r["__op"], r["__ts_ms"])
+                   for r in second.collect()}
+    assert chunked == one_shot

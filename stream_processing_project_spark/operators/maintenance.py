@@ -110,3 +110,18 @@ def vacuum_versions(versions: list[str], keep_last: int = 1) -> list[str]:
         shutil.rmtree(p, ignore_errors=True)
     del versions[: len(doomed)]
     return doomed
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """Backfill: recompute a slice of a partitioned table (a bad day, a
+    code-fix reprocess) and swap in ONLY the partitions present in
+    `df` — dynamic partition overwrite. Static overwrite would truncate
+    the whole table; appending would duplicate the slice. Untouched
+    partitions keep their exact files (verified in tests), so a 100 TB
+    warehouse backfills one day at the cost of that day."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

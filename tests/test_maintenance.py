@@ -105,3 +105,35 @@ def test_vacuum_versions_keeps_newest(tmp_path):
     assert removed == [str(tmp_path / "v0"), str(tmp_path / "v1")]
     assert paths == [str(tmp_path / "v2")]
     assert not (tmp_path / "v0").exists() and (tmp_path / "v2").exists()
+
+
+def test_backfill_rewrites_only_target_partitions(spark, tmp_path):
+    import os
+
+    from stream_processing_project_spark.operators.maintenance import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "wh")
+    rows = [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, day string, v double")
+    df.write.partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {d: files(d) for d in ["2024-01-01", "2024-01-02", "2024-01-03"]}
+
+    fixed = spark.createDataFrame(
+        [(100, "2024-01-02", 999.0)], "id long, day string, v double"
+    )
+    backfill_partitions(fixed, path, "day")
+
+    # untouched partitions keep their exact files; the target was replaced
+    assert files("2024-01-01") == before["2024-01-01"]
+    assert files("2024-01-03") == before["2024-01-03"]
+    assert files("2024-01-02") != before["2024-01-02"]
+    out = spark.read.parquet(path)
+    assert out.filter("day = '2024-01-02'").collect()[0].v == 999.0
+    assert out.filter("day != '2024-01-02'").count() == 20

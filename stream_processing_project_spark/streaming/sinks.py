@@ -337,3 +337,40 @@ def continuous_hour_rollup(
         .start()
     )
     return q, versions
+
+
+def fresh_dim_enrich_sink(
+    events: DataFrame,
+    dim_loader,
+    out_dir: str,
+    join_key: str = "user_id",
+) -> StreamingQuery:
+    """Stream-static enrichment with a REFRESHABLE dimension: the static
+    side is re-LOADED inside foreachBatch, so dimension updates (new
+    files, overwrites) are visible to the next micro-batch. The caveat
+    this answers: a static DataFrame declared once in the streaming
+    plan caches its parquet file listing, so plan-level stream-static
+    joins do NOT see new dimension files (pinned in
+    tests/test_streaming.py) — fresher than the reference's load-once
+    heap cache (EngagementProcessor.scala:147-148) requires this seam
+    (or a table format whose snapshot resolves per batch).
+
+    `dim_loader(spark) -> DataFrame` runs once per micro-batch — keep
+    it a cheap scan of an always-small dimension (broadcast side)."""
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        dim = dim_loader(batch_df.sparkSession)
+        (
+            batch_df.join(F.broadcast(dim), join_key, "left")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option(
+            "checkpointLocation", checkpoint_dir(f"fresh_{abs(hash(out_dir))}")
+        )
+        .start()
+    )

@@ -692,3 +692,47 @@ def test_continuous_rollup_refreshes_only_touched_hours(spark, tmp_path):
         ("2024-01-01 10:00:00", "a"): (6, 4.0),
         ("2024-01-01 11:00:00", "a"): (1, 1.0),
     }
+
+
+def test_dim_refresh_needs_foreachbatch_reload(spark, tmp_path):
+    """Two truths about stream-static enrichment, both pinned: (a) a
+    static parquet DataFrame declared in the streaming plan caches its
+    file listing — dimension files added mid-stream are NOT seen; (b)
+    re-loading the dimension inside foreachBatch
+    (sinks.fresh_dim_enrich_sink) IS fresh per micro-batch. The README
+    freshness claim rests on (b)."""
+    from stream_processing_project_spark.streaming.sinks import (
+        fresh_dim_enrich_sink,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(10, "OLD")], "user_id long, seg string"
+    ).coalesce(1).write.parquet(dim_dir)
+    spark.createDataFrame(
+        [(1, 10)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    events = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = fresh_dim_enrich_sink(
+        events, lambda s: s.read.parquet(dim_dir), out
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(20, "NEW")], "user_id long, seg string"
+        ).coalesce(1).write.mode("append").parquet(dim_dir)
+        spark.createDataFrame(
+            [(2, 20)], "event_id long, user_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.event_id: r.seg for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "OLD", 2: "NEW"}  # (b): batch-2 sees the new dim row

@@ -53,6 +53,11 @@ def get_spark(
         # fixture parquet carries TIMESTAMP(NANOS); read as long, the
         # loader converts to TimestampType (micros) — see sources/fixtures.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamps are naive (isAdjustedToUTC=false); load them
+        # as TIMESTAMP in the UTC session, not TIMESTAMP_NTZ, so time
+        # functions (unix_millis, window, to_utc_timestamp) apply and the
+        # wall-clock values hash-match DuckDB's naive timestamps
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 
 from stream_processing_project_spark.schemas import FIXTURE_TABLES
 
-# Columns stored as TIMESTAMP(NANOS) in the fixture parquet. Spark has no
-# nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong they
-# arrive as epoch-nanos longs and are floor-converted to micros here —
-# identical to DuckDB's ns→us handling, so oracle comparison at second
-# granularity is unaffected.
+# Compatibility shim: some fixture generations stored events.ts as parquet
+# TIMESTAMP(NANOS), which Spark reads as epoch-nanos long under
+# spark.sql.legacy.parquet.nanosAsLong and we floor-convert to micros
+# (matching DuckDB's ns→us handling). Current fixtures use
+# TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as TimestampType
+# directly (session.py pins inferTimestampNTZ=false), so the branch below
+# is a no-op — kept so either fixture vintage loads correctly.
 _NANO_TS_COLS = {"events": ["ts"]}
 
 

@@ -32,13 +32,14 @@ from pyspark.sql import types as T
 
 from stream_processing_project_spark.sources.cdc import parse_envelope, to_envelope_json
 
-# File-source schema for the fixture events table: ts is stored as
-# parquet TIMESTAMP(NANOS) which Spark reads as epoch-nanos long under
-# spark.sql.legacy.parquet.nanosAsLong (see sources/fixtures.py).
+# File-source schema for the fixture events table: ts is parquet
+# TIMESTAMP(MICROS, isAdjustedToUTC=false); an explicit TimestampType
+# reads it as a session-zone (UTC) instant, matching the batch loader
+# (see sources/fixtures.py and session.py's inferTimestampNTZ=false).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -68,7 +69,7 @@ def file_event_stream(
     """Streaming scan of the fixture events table (file source — each
     parquet file is a micro-batch unit; Kafka swaps in transparently).
     The source needs a directory, so the sf dir is scanned with a glob
-    pinned to the events file; epoch-nanos ts → TimestampType (micros).
+    pinned to the events file; ts arrives as TimestampType directly.
 
     `min_partitions` mirrors the Kafka source's `minPartitions` option
     (KAFKA_SOURCE_OPTIONS): a one-file micro-batch is one task, so
@@ -80,7 +81,6 @@ def file_event_stream(
         .option("maxFilesPerTrigger", "64")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return stream.repartition(min_partitions) if min_partitions else stream
 
@@ -88,8 +88,8 @@ def file_event_stream(
 def file_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the documents fixture — the corpus as an
     unbounded arrival stream (new crawl shards landing in a directory is
-    exactly this shape at production scale). Unlike events (nanos ts),
-    the documents schema streams as-is — reuse the canonical one."""
+    exactly this shape at production scale). The documents schema streams
+    as-is — reuse the canonical one."""
     from stream_processing_project_spark.schemas import DOCUMENTS
 
     return (

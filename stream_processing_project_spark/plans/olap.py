@@ -856,3 +856,263 @@ def olap_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --- TPC-H Q6 shape: filtered revenue scan ------------------------------------
+@register(
+    "olap_filtered_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("bench",),
+)
+def olap_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the pure scan-bound query — three pushed
+    predicates, no join, no grouping, one global aggregate. All three
+    filters reach the parquet FileScan (`PushedFilters`), so row-group
+    min-max stats skip most of the table; at 100 TB with date-partitioned
+    layout the shipdate range is partition pruning. The single-row
+    aggregate needs no exchange beyond the final partial merge. Revenue
+    is a sum of 4-dp products (2-dp price x 2-dp discount), rounded at
+    4 dp per the determinism rules (plans/common.py)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- TPC-H Q10 shape: returned-item reporting ---------------------------------
+@register(
+    "olap_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC NULLS LAST, c_custkey
+LIMIT 20
+""",
+    tags=("bench",),
+)
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: who cost us the most in returns last quarter.
+    Fact-fact joins stay shuffle joins (AQE converts post-filter small
+    sides to broadcast at runtime); only the 25-row nation dim carries a
+    broadcast hint. Top-20 via TakeOrderedAndProject — revenue is
+    rounded (deterministic), custkey breaks ties, so the LIMIT frontier
+    is stable across engines and partitionings."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(n, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q12 shape: priority line counts (conditional aggregation) ----------
+@register(
+    "olap_priority_line_counts",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def olap_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped conditional aggregation (the fixture carries no
+    l_shipmode, so return flag takes its place as the grouping axis):
+    one fact-fact equi-join, then CASE-WHEN counters folded into a
+    single grouped pass — never two filtered subqueries re-scanning the
+    join. Both counters partial-aggregate map-side, so the one exchange
+    carries |flags| rows per task."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- TPC-H Q13 shape: customer order-count distribution -----------------------
+@register(
+    "olap_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+)
+def olap_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: how many customers placed 0, 1, 2, ... orders
+    (excluding low-priority ones). The left outer join keeps
+    zero-order customers — count(o_orderkey) over the null-extended
+    rows yields 0, which an inner join would silently drop. Two
+    aggregations: the first shuffles on custkey (fact-sized), the
+    second on the tiny c_count domain; at 100 TB the first exchange
+    dominates and partial aggregation keeps it one-row-per-custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --- TPC-H Q18 shape: large-volume orders -------------------------------------
+@register(
+    "olap_large_orders",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity tops the threshold.
+    The HAVING subquery becomes an aggregated semi-join key set —
+    computed once, partial-aggregated, then left-semi joined into the
+    fact path (never a driver-side collect of the key list). At 100 TB
+    the semi join shuffles both sides on l_orderkey and AQE broadcasts
+    the (selective) key set when it fits."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q19 shape: OR-of-ANDs predicate join -------------------------------
+@register(
+    "olap_brand_band_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def olap_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: disjunction of conjunctive bands across BOTH
+    join sides. The per-side conjuncts can't be fully pushed below the
+    join (each disjunct mixes part and lineitem columns), but Catalyst
+    extracts the common implied filters — p_brand IN (...) on the part
+    scan, l_quantity range on the lineitem scan — so each side prunes
+    before the equi-join and the residual OR evaluates post-join.
+    Part is dimension-sized: broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(t(spark, sf_dir, "part"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -374,3 +374,31 @@ def fresh_dim_enrich_sink(
         )
         .start()
     )
+
+
+def incremental_drain_sink(
+    stream: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Scheduled incremental ingestion: `Trigger.AvailableNow` processes
+    everything available at start (rate-limited into multiple
+    micro-batches by the source's maxFilesPerTrigger), commits the
+    checkpoint, and STOPS. With a stable caller-owned checkpoint, each
+    invocation resumes where the last left off — run it from cron and
+    you get exactly-once batch-incremental ingestion of a growing
+    directory (or topic) with no always-on cluster.
+
+    This is the production complement to the continuous sinks above:
+    same plan, same checkpoint format — switching a pipeline between
+    continuous and scheduled is ONLY a trigger change. Prefer it over
+    `processAllAvailable()` (test-only: blocks an already-running
+    continuous query with no termination contract) and over plain batch
+    reads of the directory (no offset tracking — reprocesses everything
+    every run)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -736,3 +736,37 @@ def test_dim_refresh_needs_foreachbatch_reload(spark, tmp_path):
         q.stop()
     rows = {r.event_id: r.seg for r in spark.read.parquet(out).collect()}
     assert rows == {1: "OLD", 2: "NEW"}  # (b): batch-2 sees the new dim row
+
+
+def test_incremental_drain_available_now(spark):
+    """Trigger.AvailableNow drains what exists, terminates, and a rerun
+    with the same checkpoint processes ONLY files that arrived in
+    between — exactly-once scheduled ingestion, no duplicates."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="spe-drain-src-")
+    out = tempfile.mkdtemp(prefix="spe-drain-out-")
+    ckpt = tempfile.mkdtemp(prefix="spe-drain-ckpt-")
+    cols = ["event_id", "value"]
+
+    def arrive(rows, name):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    def drain():
+        stream = spark.readStream.schema("event_id long, value double").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        q = sinks.incremental_drain_sink(stream, out, ckpt)
+        q.awaitTermination(120)
+        assert not q.isActive  # AvailableNow terminates on its own
+        return spark.read.parquet(out)
+
+    arrive([(1, 1.0), (2, 2.0)], "batch_a")
+    first = drain()
+    assert sorted(r.event_id for r in first.collect()) == [1, 2]
+
+    arrive([(3, 3.0)], "batch_b")
+    second = drain()
+    assert sorted(r.event_id for r in second.collect()) == [1, 2, 3]

@@ -1116,3 +1116,139 @@ def olap_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --- TPC-H Q15 shape: top supplier by revenue (scalar-subquery max) -----------
+@register(
+    "olap_top_supplier_revenue",
+    oracle="""
+WITH supplier_revenue AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN supplier_revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM supplier_revenue)
+""",
+)
+def olap_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: suppliers hitting the maximum quarterly revenue.
+    The revenue view is computed ONCE and reused for both the per-key
+    rows and the global max — persist() pins it so the scalar subquery
+    doesn't recompute the aggregation (at 100 TB the view is |suppliers|
+    rows, cheap to cache; the lineitem scan it derives from is not).
+    The max is joined back as a 1-row broadcast cross join, never
+    collected through the driver. Revenue is rounded BEFORE the max
+    comparison so ties and the frontier are engine-invariant."""
+    from pyspark import StorageLevel
+
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- TPC-H Q16 shape: supplier variety per part attribute ---------------------
+@register(
+    "olap_part_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt,
+       count(*) AS line_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def olap_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: how many distinct suppliers ship each
+    (brand, size) bucket. count(DISTINCT) expands to a two-phase
+    aggregate (dedup on (keys, suppkey), then count) — Spark plans the
+    expansion automatically with partial aggregation at both phases, so
+    the exchanges carry distinct combinations, not raw lines. The
+    NOT-equal and IN filters push to the part scan, which broadcasts."""
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+    )
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+# --- TPC-H Q22 shape: idle above-average customers (anti join + scalar sub) ---
+@register(
+    "olap_idle_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c.c_mktsegment
+""",
+)
+def olap_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers who LAPSED (no
+    order since 2001), grouped by segment. Three plan ingredients: the
+    scalar average joins back as a 1-row broadcast (no driver collect),
+    NOT EXISTS is a left-anti join on custkey (null-safe, unlike
+    NOT IN), and the final aggregation is partial-aggregated. The anti
+    join's build side is just order custkeys — column-pruned at the
+    scan. The raw-average comparison uses identical operands in both
+    engines; only the final sum is rounded."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

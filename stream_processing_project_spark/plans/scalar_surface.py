@@ -471,3 +471,33 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_even"),
     )
+
+
+# --- S4 as a custom Python DataSource connector -------------------------------
+@register(
+    "synthetic_events_source",
+    oracle="""
+SELECT range AS event_id,
+       (range * 7919) % 997 AS user_id,
+       (range * 31) % 5000 AS content_id,
+       CASE range % 5 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+            WHEN 2 THEN 'signup' WHEN 3 THEN 'purchase'
+            ELSE 'error' END AS event_type,
+       ((range * 37) % 300000) / 1000.0 AS engagement_seconds,
+       strftime(TIMESTAMP '2026-01-01 00:00:00' + range * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM range(0, 10000)
+""",
+)
+def synthetic_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 as a REAL source connector: the generator behind
+    `spark.read.format("cdc_events")` via the Python DataSource API
+    (sources/generator_source.py) — partitions() splits the index space
+    across executors, read() yields rows Arrow-batched to the JVM, and
+    the same class serves `readStream` with index offsets (checkpointed,
+    restart-exact). Same pure-function rows as synthetic_events_gen, so
+    the same DuckDB oracle checks the connector end to end."""
+    from stream_processing_project_spark.sources import generator_source
+
+    generator_source.register(spark)
+    return spark.read.format("cdc_events").option("rows", 10000).load()

@@ -1,0 +1,52 @@
+"""Custom Python DataSource connector (sources/generator_source.py):
+batch/streaming parity with the spark.range-based generator, partition
+splitting, and micro-batch offset bookkeeping."""
+
+from __future__ import annotations
+
+import time
+
+from stream_processing_project_spark.sources import generator_source
+from stream_processing_project_spark.sources.synthetic import synthetic_events
+
+
+def test_batch_source_matches_range_generator(spark):
+    generator_source.register(spark)
+    batch = (
+        spark.read.format("cdc_events")
+        .option("rows", 1500)
+        .option("numPartitions", 6)
+        .load()
+    )
+    assert batch.rdd.getNumPartitions() == 6
+    got = sorted(tuple(r) for r in batch.collect())
+    want = sorted(tuple(r) for r in synthetic_events(spark, 1500).collect())
+    assert got == want
+
+
+def test_stream_source_drains_in_bounded_batches(spark):
+    generator_source.register(spark)
+    stream = (
+        spark.readStream.format("cdc_events")
+        .option("rowsPerBatch", 400)
+        .option("maxRows", 1500)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dsrc_stream")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM dsrc_stream").collect()[0][0] >= 1500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM dsrc_stream").collect())
+    want = sorted(tuple(r) for r in synthetic_events(spark, 1500).collect())
+    assert got == want  # every row exactly once, across many micro-batches

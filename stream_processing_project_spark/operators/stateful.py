@@ -28,6 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -78,4 +79,79 @@ def running_totals_stream(events: DataFrame, ttl: bool = False) -> DataFrame:
         _STATE_SCHEMA,
         "update",
         timeout,
+    )
+
+
+# --- transformWithState (Spark 4 arbitrary-state API) -------------------------
+
+EVENT_TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _make_event_type_counts_processor():
+    """Build the StatefulProcessor subclass lazily so importing this
+    module never hard-requires the Spark 4 transformWithState API."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class EventTypeCounts(StatefulProcessor):
+        """Per-user hash of event_type → cumulative count, kept in
+        MapState — the reference's Redis HINCRBY hash semantic
+        (EngagementRedisSink.scala:132-139) on the modern
+        transformWithState API. Each micro-batch folds its rows into the
+        map and re-emits the user's full breakdown. MapState reads/writes
+        touch ONLY the keys in the batch (vs ValueState, which would
+        round-trip the whole dict per update) — with per-key state
+        growing with the event-type vocabulary, that's the difference
+        between O(batch keys) and O(vocabulary) state I/O per
+        micro-batch. Map keys and values travel as 1-tuples (struct
+        rows)."""
+
+        def init(self, handle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    batch[et] = batch.get(et, 0) + int(c)
+            for et, c in batch.items():
+                cur = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                self.counts.updateValue((et,), (cur + c,))
+            pairs = [(k[0], v[0]) for k, v in self.counts.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(pairs),
+                    "event_type": [et for et, _ in pairs],
+                    "cnt": [c for _, c in pairs],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventTypeCounts()
+
+
+def event_type_counts_stream(events: DataFrame) -> DataFrame:
+    """Cumulative per-(user, event_type) counts via
+    `transformWithStateInPandas` — state shards with the groupBy shuffle
+    exactly like applyInPandasWithState, but the typed-state handles
+    (Value/List/Map + timers) compose and scale to RocksDB-backed
+    stores."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_event_type_counts_processor(),
+        outputStructType=EVENT_TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

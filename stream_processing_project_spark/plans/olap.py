@@ -1252,3 +1252,38 @@ def olap_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- LATERAL correlated subquery: top-N per group without a window ------------
+@register(
+    "olap_lateral_top_orders",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'MACHINERY'
+""",
+)
+def olap_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-2 orders per MACHINERY customer.
+    The lateral form states the per-row dependency directly; Catalyst
+    decorrelates it into a join + per-key ranking rather than running
+    the subquery per outer row (no nested-loop re-execution). The
+    deterministic (price, orderkey) sort makes the per-customer frontier
+    engine-invariant. Same shape as a row_number()<=N window, but the
+    optimizer picks the physical strategy from the declared intent."""
+    from stream_processing_project_spark.sources.fixtures import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )

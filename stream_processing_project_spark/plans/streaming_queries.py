@@ -318,3 +318,13 @@ def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_val",
     )
+
+
+# NOTE: operators/stateful.py also carries the same Redis-hash semantic on
+# the Spark 4 transformWithState API (event_type_counts_stream, MapState
+# typed handles). It is NOT registered here: the transformWithState state
+# server speaks protobuf, which this container lacks (pip installs are
+# unavailable), so the query would crash the driver gate. The
+# environment-gated test (tests/test_stateful_tws.py) activates it wherever
+# google.protobuf exists; applyInPandasWithState above is the portable
+# arbitrary-state path.

@@ -52,12 +52,45 @@ def streaming_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(pipeline.minute_counts_stream(events))
 
 
-@register("streaming_cdc_session_counts")
+@register(
+    "streaming_cdc_session_counts",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS ts
+  FROM events WHERE event_id % 20 NOT IN (0, 1)
+),
+mx AS (SELECT max(ts) AS m FROM ev),
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+),
+sess AS (
+  SELECT user_id, min(ts) AS s0, max(ts) AS s1, count(*) AS n_events
+  FROM isl GROUP BY user_id, sid
+)
+SELECT user_id, strftime(s0, '%Y-%m-%d %H:%M:%S') AS sess_start, n_events
+FROM sess, mx
+WHERE s1 + INTERVAL 30 MINUTE <= m - INTERVAL 1 HOUR
+""",
+)
 def streaming_cdc_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ingest path under streaming: CDC envelope parse → op filter →
-    session_window(30 min) per user. Rows-only (session emission depends
-    on watermark progress across micro-batches); semantics pinned against
-    the batch sessionizer in tests."""
+    """Full ingest path under streaming: CDC envelope parse → op filter
+    (drops the u/d ops, event_id % 20 ∈ {0,1}) → session_window(30 min)
+    per user. Fully oracle-checked: the oracle rebuilds the sessions as
+    gaps-and-islands over the second-truncated envelope timestamps (a
+    gap ≥ the 30-min interval starts a new session, matching Spark's
+    [start, end) window semantics) and keeps sessions whose end + gap
+    clears the final watermark (max event time − 1 h) — exactly the
+    append-mode emission set."""
     events = pipeline.cdc_event_stream(spark, sf_dir)
     return pipeline.run_to_completion(pipeline.session_stream(events))
 
@@ -88,13 +121,33 @@ def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-@register("streaming_sliding_counts")
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ev AS (
+  SELECT date_trunc('minute', ts) - (k.k * INTERVAL 1 MINUTE) AS ws,
+         event_type, value
+  FROM events, (SELECT unnest(range(0, 10)) AS k) k
+),
+b AS (
+  SELECT ws, event_type AS key, count(*) AS win_cnt,
+         round(sum(value), 2) AS win_sum
+  FROM ev GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, key, win_cnt, win_sum
+FROM b, mx
+WHERE ws + INTERVAL 10 MINUTE <= m - INTERVAL 15 MINUTE
+""",
+)
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 streaming: 10-minute sliding windows (1-minute slide) with
     watermark eviction — the reference's Redis merge loop as a native
-    sliding window. Rows-only driver check; equivalence with the batch
-    sliding-window aggregation over closed windows is pinned in
-    tests/test_streaming.py."""
+    sliding window. Fully oracle-checked: append mode emits exactly the
+    windows whose end clears the final watermark, and the oracle fans
+    each event into its 10 covering minute-aligned windows (epoch
+    alignment matches Spark's) before applying the same closed-window
+    predicate."""
     events = pipeline.file_event_stream(spark, sf_dir)
     return pipeline.run_to_completion(pipeline.sliding_counts_stream(events))
 
@@ -328,3 +381,28 @@ def streaming_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # environment-gated test (tests/test_stateful_tws.py) activates it wherever
 # google.protobuf exists; applyInPandasWithState above is the portable
 # arbitrary-state path.
+
+
+@register(
+    "streaming_distinct_users",
+    oracle="""
+WITH mx AS (SELECT max(date_trunc('minute', ts)) AS m FROM events),
+b AS (
+  SELECT date_trunc('minute', ts) AS wm,
+         count(DISTINCT user_id) AS distinct_users
+  FROM events GROUP BY 1
+)
+SELECT strftime(wm, '%Y-%m-%d %H:%M:%S') AS w_start, distinct_users
+FROM b, mx
+WHERE wm + INTERVAL 1 MINUTE <= m - INTERVAL 15 MINUTE
+""",
+)
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-minute distinct-user cardinality as a real streaming
+    run: watermarked (minute, user) dedup feeding a windowed count —
+    COUNT(DISTINCT) decomposed into two bounded-state streaming steps
+    (streaming aggregation cannot hold a distinct buffer). Append mode
+    emits exactly the watermark-closed windows; the oracle is the batch
+    COUNT(DISTINCT) restricted to those windows."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(pipeline.distinct_users_stream(events))

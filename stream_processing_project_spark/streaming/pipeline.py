@@ -298,3 +298,33 @@ def observed_metrics(query, name: str = "ingest_audit") -> dict:
         return {}
     row = (p.get("observedMetrics") or {}).get(name)
     return dict(row.asDict()) if hasattr(row, "asDict") else (row or {})
+
+
+def distinct_users_stream(
+    events: DataFrame, watermark: str = "15 minutes"
+) -> DataFrame:
+    """Exact distinct users per 1-minute window, streaming. Streaming
+    aggregation can't hold a COUNT(DISTINCT) buffer, so the cardinality
+    splits into two watermark-bounded stateful steps: (1) dedup on
+    (minute, user) — the minute-truncated event time IS the watermark
+    column, so seen pairs evict when the watermark passes their minute;
+    (2) a plain windowed count of the survivors. State for both steps is
+    bounded by (active users × watermark minutes), independent of stream
+    length. The approximate alternative at extreme cardinality is an HLL
+    sketch per window (profile_distinct_rollup_hll's streaming twin);
+    this is the exact path."""
+    dedup = (
+        events.select(
+            F.date_trunc("minute", "ts").alias("wm"), F.col("user_id")
+        )
+        .withWatermark("wm", watermark)
+        .dropDuplicates(["wm", "user_id"])
+    )
+    return (
+        dedup.groupBy(F.window("wm", "1 minute").alias("win"))
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "distinct_users",
+        )
+    )

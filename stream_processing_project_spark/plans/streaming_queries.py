@@ -406,3 +406,45 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) restricted to those windows."""
     events = pipeline.file_event_stream(spark, sf_dir)
     return pipeline.run_to_completion(pipeline.distinct_users_stream(events))
+
+
+@register(
+    "streaming_interval_join_outer",
+    oracle="""
+WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+mx AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS m),
+matched AS (
+  SELECT v.user_id, v.event_id AS l_event_id, p.event_id AS r_event_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+  FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+                AND p.ts <= v.ts + INTERVAL 30 MINUTE
+),
+unmatched AS (
+  SELECT l.user_id, l.event_id AS l_event_id,
+         CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS BIGINT) AS gap_us
+  FROM v l, mx
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = l.user_id
+                    AND p.ts > l.ts AND p.ts <= l.ts + INTERVAL 30 MINUTE)
+    AND l.ts + INTERVAL 30 MINUTE <= m - INTERVAL 1 HOUR
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+""",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: views that never converted
+    appear null-extended once the watermark proves no purchase can still
+    arrive. The oracle reproduces both halves — the batch inner pairs
+    plus unmatched views whose match window closed under the FINAL JOIN
+    watermark, which is the min across both inputs' (max ts − 1 h): the
+    slower stream gates null emission (pinned here — using the global
+    max instead reproduces a one-row-off bug at the boundary)."""
+    views = pipeline.file_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = pipeline.file_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return pipeline.run_to_completion(
+        pipeline.interval_join_stream_outer(views, purchases)
+    )

@@ -328,3 +328,42 @@ def distinct_users_stream(
             "distinct_users",
         )
     )
+
+
+def interval_join_stream_outer(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER watermarked interval join: matched pairs emit eagerly
+    (like the inner join); an UNMATCHED left row emits null-extended
+    only when the watermark proves no future right row can match —
+    i.e. once l_ts + max_gap drops below the join watermark. The join
+    watermark is the MIN across both inputs' (max event time − delay):
+    the slower stream gates null emission, which is exactly what makes
+    the result correct under skewed arrival (pinned by the oracle).
+    State on both sides stays bounded by rate × (watermark + gap)."""
+    l = left.select(
+        F.col(user_col).alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(user_col).alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias("gap_us"),
+    )

@@ -1287,3 +1287,154 @@ def olap_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+# --- TPC-H Q8 shape: national market share ------------------------------------
+@register(
+    "olap_market_share",
+    oracle="""
+WITH all_sales AS (
+    SELECT extract(year FROM o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END), 4)
+           AS nation_volume,
+       round(sum(volume), 4) AS total_volume,
+       round(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END), 4)
+           / round(sum(volume), 4) AS mkt_share
+FROM all_sales
+GROUP BY o_year
+""",
+)
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: one nation's share of a region's import market
+    per year. The nation dimension joins TWICE under different roles
+    (customer side restricts to the region, supplier side labels the
+    seller) — broadcast both roles; the share is a conditional sum over
+    ONE pass, never two scans. Both numerator and denominator are
+    rounded sums of 4-dp products (deterministic), and the share
+    divides those two already-deterministic values."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(t(spark, sf_dir, "nation").alias("n1"))
+    n2 = F.broadcast(t(spark, sf_dir, "nation").alias("n2"))
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    china = F.when(F.col("n2.n_name") == "CHINA", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(r, F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year(o.o_orderdate).cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(china), 4).alias("nation_volume"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+    )
+
+
+# --- TPC-H Q9 shape: product-line profit by nation and year -------------------
+@register(
+    "olap_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       extract(year FROM o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - p.p_retailprice * 0.6 * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%green%'
+GROUP BY n.n_name, extract(year FROM o.o_orderdate)
+""",
+)
+def olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit on a product line by supplier nation and
+    order year (the fixture has no partsupp, so supply cost is proxied
+    as 60% of retail price — same plan shape: a 5-way join with a
+    substring filter on the part name). The LIKE filter prunes part
+    BEFORE its broadcast; profit is a sum of 2-dp-scale terms rounded
+    at 2 dp. At 100 TB the only big-big joins are lineitem⨝orders —
+    shuffle on orderkey — while part/supplier/nation broadcast."""
+    l = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    )
+    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    o = t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.6 * F.col("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(o.o_orderdate).cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# --- TPC-H Q17 shape: small-quantity-order revenue (correlated average) -------
+@register(
+    "olap_small_quantity_revenue",
+    oracle="""
+SELECT round(sum(l.l_extendedprice), 2) / 7.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_threshold
+""",
+)
+def olap_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue lost if small-quantity orders (below
+    20% of the part's average quantity) weren't taken. The correlated
+    per-part average decorrelates into an aggregated self-join —
+    computed once with partial aggregation, shuffled on partkey, never
+    re-run per row. The threshold comparison stays raw (0.2*avg divides
+    identical operands in both engines); only the final sum is rounded,
+    and /7.0 (the TPC-H yearly scaler) divides that deterministic
+    value."""
+    l = t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    )
+    thresholds = (
+        l.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(thresholds, l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

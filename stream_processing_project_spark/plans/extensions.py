@@ -1077,3 +1077,48 @@ def text_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") * 10 > F.col("n"))
         .select("doc_id", "lang", "score")
     )
+
+
+@register(
+    "udtf_word_bigrams",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] || ' ' || w[i + 1] AS bigram
+FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+""",
+)
+def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) correlated via LATERAL — §2.7 surface
+    completion beyond pandas_udf/applyInPandas: one input row expands to
+    a variable-length set of output rows with its own schema, the
+    table-function shape (the reference has no extensibility at all).
+    Word bigrams with positions over a document sample; whitespace
+    tokenization matches the oracle's regexp split. UDTFs run
+    row-batched in the Python worker — for hot paths prefer the
+    equivalent explode of a codegen'd split (operators/text.py); this
+    entry exists to pin the extension point."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, body: str):
+            words = [w for w in re.split(r"\s+", body or "") if w]
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    spark.udtf.register("word_bigrams", Bigrams)
+    t(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(50)) == 0
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL word_bigrams(d.text) b
+        """
+    )

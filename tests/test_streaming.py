@@ -770,3 +770,53 @@ def test_incremental_drain_available_now(spark):
     arrive([(3, 3.0)], "batch_b")
     second = drain()
     assert sorted(r.event_id for r in second.collect()) == [1, 2, 3]
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Kill a parquet-sink streaming query mid-run, restart it on the
+    SAME checkpoint, and drain: the file-sink commit log must yield every
+    input row exactly once — the real exactly-once guarantee the
+    reference claims but its buffered sinks can't deliver (SURVEY.md
+    §2.4: events dropped on buffer overflow, state lost on crash)."""
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="spe-rec-src-")
+    out = tempfile.mkdtemp(prefix="spe-rec-out-")
+    ckpt = tempfile.mkdtemp(prefix="spe-rec-ckpt-")
+    for part in range(6):
+        (
+            spark.range(part * 100, (part + 1) * 100)
+            .selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"f{part}"))
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.2)
+    q.stop()  # interrupt mid-stream, offsets committed for some prefix
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == list(range(600))  # every row exactly once, no dupes/gaps

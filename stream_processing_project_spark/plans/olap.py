@@ -1315,6 +1315,7 @@ SELECT o_year,
 FROM all_sales
 GROUP BY o_year
 """,
+    tags=("bench",),
 )
 def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8-shaped: one nation's share of a region's import market
@@ -1411,6 +1412,7 @@ JOIN (
 ) t ON t.l_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_threshold
 """,
+    tags=("bench",),
 )
 def olap_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped: revenue lost if small-quantity orders (below

@@ -230,11 +230,39 @@ def streaming_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(chunk_documents(docs))
 
 
-@register("streaming_fanout_snapshot")
+@register(
+    "streaming_fanout_snapshot",
+    oracle="""
+WITH agg AS (
+  SELECT event_type AS key, count(*) AS cnt, round(sum(value), 2) AS sum_val
+  FROM events GROUP BY 1
+),
+s AS (SELECT key, cnt, sum_val / greatest(cnt, 1) AS avg_val FROM agg),
+e AS (
+  SELECT 'top_by_engagement' AS board, key, avg_val AS score,
+         CAST(row_number() OVER (ORDER BY avg_val DESC, key) AS INTEGER) AS rank
+  FROM s
+),
+a AS (
+  SELECT 'top_by_access' AS board, key, CAST(cnt AS DOUBLE) AS score,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
+  FROM s
+)
+SELECT * FROM e WHERE rank <= 3
+UNION ALL
+SELECT * FROM a WHERE rank <= 5
+""",
+)
 def streaming_fanout_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1-K4 — the three-sink fan-out run end-to-end: serving top-k
     snapshot (foreachBatch overwrite), warehouse append, date-partitioned
-    search table; returns the serving board. Rows-only."""
+    search table; returns the serving board. Fully oracle-checked: the
+    aggregate runs in COMPLETE mode, so after the bounded drain the last
+    rebuild reflects every event — the batch top-3-by-average /
+    top-5-by-count boards (the Redis sorted sets the monitor reads,
+    A6/A7) are exactly the final snapshot. The avg divides a rounded sum
+    by a count (identical operands both engines); rank ties break on
+    key."""
     events = pipeline.file_event_stream(spark, sf_dir)
     enriched = pipeline.enriched_stream(events, t(spark, sf_dir, "customer"))
     agg = (

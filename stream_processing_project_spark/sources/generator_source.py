@@ -72,6 +72,8 @@ class CdcEventsBatchReader(DataSourceReader):
         """Split the index space evenly — the generation analogue of file
         splits; each partition is independent, so parallelism is free."""
         n, k = self.rows, max(1, self.num_partitions)
+        if n <= 0:
+            return [_Range(0, 0)]  # empty source still needs one split
         step = -(-n // k)
         return [_Range(s, min(s + step, n)) for s in range(0, n, step)]
 

@@ -50,3 +50,26 @@ def test_stream_source_drains_in_bounded_batches(spark):
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM dsrc_stream").collect())
     want = sorted(tuple(r) for r in synthetic_events(spark, 1500).collect())
     assert got == want  # every row exactly once, across many micro-batches
+
+
+def test_batch_partitions_cover_index_space_exactly():
+    """Property: for any (rows, numPartitions) the batch reader's splits
+    tile [0, rows) exactly — no gaps, no overlaps, no empty tail drift."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stream_processing_project_spark.sources.generator_source import (
+        CdcEventsBatchReader,
+    )
+
+    @given(rows=st.integers(0, 10_000), k=st.integers(1, 64))
+    @settings(max_examples=200, deadline=None)
+    def check(rows, k):
+        parts = CdcEventsBatchReader({"rows": rows, "numPartitions": k}).partitions()
+        covered = []
+        for p in parts:
+            assert 0 <= p.start <= p.end <= rows
+            covered.extend(range(p.start, p.end))
+        assert covered == list(range(rows))
+
+    check()

@@ -1440,3 +1440,60 @@ def olap_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --- recursive CTE: calendar spine with zero-filled counts --------------------
+@register(
+    "olap_recursive_calendar",
+    oracle="""
+WITH RECURSIVE hours(h) AS (
+    SELECT TIMESTAMP '1996-03-01 00:00:00'
+    UNION ALL
+    SELECT h + INTERVAL 1 HOUR FROM hours
+    WHERE h < TIMESTAMP '1996-03-08 00:00:00'
+),
+cnts AS (
+    SELECT date_trunc('hour', o_orderdate) AS h, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-03-08 00:00:00'
+    GROUP BY 1
+)
+SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(cnts.n_orders, 0) AS n_orders
+FROM hours LEFT JOIN cnts ON cnts.h = hours.h
+""",
+)
+def olap_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) — a dense hourly calendar
+    spine generated by recursion, left-joined to per-hour order counts
+    with zero-fill. The recursion-based complement of
+    olap_gap_fill_hourly's sequence() spine: same result shape, but the
+    spine derives from the recursive UNION ALL operator, pinning that
+    the engine executes recursive SQL natively (iterative plans that
+    window/sequence can't express — transitive closure, BOM explosion —
+    run through this same operator). Spine rows are driver-light
+    (|hours|), the only fact work is one aggregated scan."""
+    from stream_processing_project_spark.sources.fixtures import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE hours(h) MAX RECURSION LEVEL 200 AS (
+            SELECT TIMESTAMP '1996-03-01 00:00:00'
+            UNION ALL
+            SELECT h + INTERVAL 1 HOUR FROM hours
+            WHERE h < TIMESTAMP '1996-03-08 00:00:00'
+        ),
+        cnts AS (
+            SELECT date_trunc('hour', o_orderdate) AS h, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-03-08 00:00:00'
+            GROUP BY 1
+        )
+        SELECT date_format(hours.h, 'yyyy-MM-dd HH:mm:ss') AS hour,
+               coalesce(cnts.n_orders, 0) AS n_orders
+        FROM hours LEFT JOIN cnts ON cnts.h = hours.h
+        """
+    )

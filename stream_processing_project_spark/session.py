@@ -50,8 +50,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # fixture parquet carries TIMESTAMP(NANOS); read as long, the
-        # loader converts to TimestampType (micros) — see sources/fixtures.py
+        # compat shim for fixture vintages that stored TIMESTAMP(NANOS):
+        # read as long, the loader converts to micros (sources/fixtures.py);
+        # current fixtures use TIMESTAMP(MICROS) and ignore this
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # fixture timestamps are naive (isAdjustedToUTC=false); load them
         # as TIMESTAMP in the UTC session, not TIMESTAMP_NTZ, so time

@@ -628,3 +628,74 @@ def profile_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_users")
     ).select(F.lit("ALL").alias("grain"), "approx_users")
     return daily.unionByName(total)
+
+
+# --- data-quality expectations: declarative checks, one report ----------------
+@register(
+    "quality_expectations",
+    oracle="""
+SELECT 'events.event_id.not_null' AS check_name,
+       count(*) FILTER (WHERE event_id IS NULL) AS violations,
+       count(*) AS checked
+FROM events
+UNION ALL
+SELECT 'events.event_id.unique',
+       count(*) - count(DISTINCT event_id), count(*)
+FROM events
+UNION ALL
+SELECT 'events.event_type.accepted_values',
+       count(*) FILTER (WHERE event_type NOT IN
+           ('view', 'click', 'signup', 'purchase', 'error')),
+       count(*)
+FROM events
+UNION ALL
+SELECT 'events.value.non_negative',
+       count(*) FILTER (WHERE value < 0), count(*)
+FROM events
+UNION ALL
+SELECT 'orders.o_custkey.referential',
+       count(*) FILTER (WHERE c.c_custkey IS NULL), count(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-test /
+    Great-Expectations pattern) evaluated engine-side as ONE report:
+    not-null, uniqueness, accepted values, range, and referential
+    integrity, each a (check, violations, checked) row. Single-table
+    checks fold into one conditional-aggregate scan per table (never one
+    scan per check); the FK check is a left join against the dimension,
+    broadcast when it fits. At 100 TB this runs as a scan-bound audit
+    alongside ingestion — the gate a training pipeline applies before a
+    corpus snapshot is blessed."""
+    ev = t(spark, sf_dir, "events")
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1))
+    ev_checks = ev.agg(
+        viol(F.col("event_id").isNull()).alias("v_null"),
+        (n - F.count_distinct(F.col("event_id"))).alias("v_dup"),
+        viol(
+            ~F.col("event_type").isin("view", "click", "signup", "purchase", "error")
+        ).alias("v_vals"),
+        viol(F.col("value") < 0).alias("v_neg"),
+        n.alias("checked"),
+    )
+    ev_report = ev_checks.selectExpr(
+        "stack(4, "
+        "'events.event_id.not_null', v_null, "
+        "'events.event_id.unique', v_dup, "
+        "'events.event_type.accepted_values', v_vals, "
+        "'events.value.non_negative', v_neg) AS (check_name, violations)",
+        "checked",
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_outer")
+        .agg(
+            F.lit("orders.o_custkey.referential").alias("check_name"),
+            viol(F.col("c_custkey").isNull()).alias("violations"),
+            F.count(F.lit(1)).alias("checked"),
+        )
+    )
+    return ev_report.unionByName(fk)

@@ -85,3 +85,44 @@ ROCKSDB_STATE_CONF = {
     ),
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Config preset for the real target: a multi-executor cluster over
+    ~100 TB. Locally the defaults in get_spark suffice; on a cluster
+    pass `extra_conf=cluster_conf(...)`. Every value is a documented
+    consequence of the scale math, not a magic number:
+
+    - shuffle.partitions ≈ 2× total cores — enough tasks to keep every
+      core busy through stragglers; AQE coalesces small ones back
+      together, so oversizing is cheap and undersizing is not.
+    - advisoryPartitionSizeInBytes / maxPartitionBytes pin both shuffle
+      and scan partitions near target_partition_mb — large enough to
+      amortize task overhead, small enough to fit comfortably in an
+      executor core's memory share with room for hash tables.
+    - autoBroadcastJoinThreshold stays at the 10 MB default: dimensions
+      (nation/region/content) broadcast, anything fact-sized must not —
+      raising it on a cluster risks driver OOM fan-out, the single most
+      common self-inflicted large-cluster failure.
+    - Bloom-filter join pruning on: a selective dim filter seeds a
+      runtime bloom filter on the fact scan (pinned by
+      tests/test_plan_properties.py at lowered thresholds).
+    - RocksDB state store for streaming: billions of dedup/session keys
+      live on local disk with changelog checkpointing, not executor
+      heap (ROCKSDB_STATE_CONF).
+    """
+    total_cores = executors * cores_per_executor
+    mb = 1024 * 1024
+    return {
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * mb
+        ),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * mb),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        **ROCKSDB_STATE_CONF,
+    }

@@ -403,3 +403,65 @@ def rank_fusion(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "neighbor_id", "rrf", "fused_rank")
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka two-stage retrieval: rank cheaply on the embedding's
+    PREFIX (nested-representation models front-load information), keep a
+    per-query shortlist, then rerank only the shortlist with full-vector
+    cosine. Exact w.r.t. the shortlist — deterministic (rounded scores,
+    id tiebreaks), so unlike LSH/IVF this scale path is fully
+    oracle-checkable.
+
+    Scale shape: stage 1 scores |corpus| × prefix_dims/dims of the flops
+    and shuffles only (query_id, neighbor_id, prefix_cos) triples into
+    the per-query WindowGroupLimit; stage 2 re-attaches full vectors BY
+    ID for shortlist×|queries| rows only. The corpus is never shuffled
+    with its vectors attached — at 100 TB the wire carries ids and
+    scalars, vectors move only for the shortlist."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        F.slice(_as_double(vec_col), 1, prefix_dims).alias("qp"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(_as_double(vec_col), 1, prefix_dims).alias("cp"),
+    )
+    coarse = (
+        c.join(
+            F.broadcast(q.select("query_id", "qp")),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .withColumn("prefix_cos", F.round(cosine(F.col("qp"), F.col("cp")), 6))
+        .select("query_id", "neighbor_id", "prefix_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("prefix_cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    short = coarse.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= shortlist
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    rescored = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

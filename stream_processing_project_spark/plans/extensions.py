@@ -1122,3 +1122,48 @@ def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL word_bigrams(d.text) b
         """
     )
+
+
+@register(
+    "similarity_matryoshka_topk",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coarse AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.v[1:16], c.v[1:16]), 6) AS prefix_cos
+  FROM q, c WHERE c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY prefix_cos DESC NULLS LAST, neighbor_id) AS r
+    FROM coarse
+  ) WHERE r <= 50
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM short s
+  JOIN q ON q.vec_id = s.query_id
+  JOIN c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= 5
+""",
+)
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncate-then-rerank retrieval: coarse rank on the
+    first 16 dims (nested-representation prefix), rerank the per-query
+    top-50 shortlist with full vectors. The deterministic scale path —
+    unlike LSH/IVF (hash/seed-dependent, rows-only) this one is fully
+    oracle-checkable end to end, and the corpus never shuffles with
+    vectors attached (ids + scalars on the wire; vectors re-join by id
+    for the shortlist only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_topk(emb, emb.filter(F.col("vec_id") < 10))

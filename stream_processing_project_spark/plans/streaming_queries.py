@@ -476,3 +476,34 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return pipeline.run_to_completion(
         pipeline.interval_join_stream_outer(views, purchases)
     )
+
+
+@register(
+    "streaming_chained_windows",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+mins AS (
+  SELECT date_trunc('minute', ts) AS wm, event_type AS key,
+         count(*) AS cnt, round(sum(value), 2) AS sum_val
+  FROM events GROUP BY 1, 2
+),
+hrs AS (
+  SELECT date_trunc('hour', wm) AS wh, key,
+         sum(cnt) AS cnt, round(sum(sum_val), 2) AS sum_val
+  FROM mins GROUP BY 1, 2
+)
+SELECT strftime(wh, '%Y-%m-%d %H:%M:%S') AS h_start, key, cnt, sum_val
+FROM hrs, mx
+WHERE wh + INTERVAL 1 HOUR <= m - INTERVAL 15 MINUTE
+""",
+)
+def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native chained windowed aggregations (minute → hour) in one
+    streaming query — the continuous-aggregate cascade without
+    foreachBatch. Fully oracle-checked: hour windows emit when their
+    end clears the final watermark; the oracle re-aggregates minute
+    partials (rounding at each level exactly as the engine does)."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(
+        pipeline.chained_hour_rollup_stream(events)
+    )

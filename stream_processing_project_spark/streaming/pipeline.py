@@ -367,3 +367,36 @@ def interval_join_stream_outer(
         "r_event_id",
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias("gap_us"),
     )
+
+
+def chained_hour_rollup_stream(
+    events: DataFrame, watermark: str = "15 minutes", key: str = "event_type"
+) -> DataFrame:
+    """Minute → hour continuous aggregate as ONE streaming query —
+    native stateful-operator chaining (window-on-window via
+    `window_time`), no foreachBatch. The hour level re-aggregates
+    minute PARTIALS (count/sum compose losslessly), so raw events are
+    touched once; each level's state evicts off the same watermark.
+    The foreachBatch twin (sinks.continuous_hour_rollup) exists for
+    when intermediate levels must be QUERYABLE tables — this form is
+    for when only the coarse grain leaves the pipeline."""
+    minute = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("win"), F.col(key).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.window(F.window_time("win"), "1 hour").alias("hwin"), F.col("key")
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sum_val"), 2).alias("sum_val"))
+        .select(
+            F.date_format("hwin.start", "yyyy-MM-dd HH:mm:ss").alias("h_start"),
+            "key",
+            "cnt",
+            "sum_val",
+        )
+    )

@@ -4,11 +4,11 @@ Each callable drives a real Structured Streaming query over a bounded
 file source to completion (memory/parquet sinks, processAllAvailable)
 and returns the materialized result as a batch DataFrame.
 
-`streaming_minute_counts` is fully oracle-checkable: append mode emits
-exactly the windows whose end ≤ final watermark (max event time − 15
-min), a deterministic set over a fixed fixture — the oracle encodes that
-predicate. The fan-out snapshot is rows-only (it reads back its own
-serving table).
+Almost every entry is fully oracle-checkable: append mode emits exactly
+the windows whose end ≤ final watermark (a deterministic set over a
+fixed fixture — each oracle encodes that predicate), complete mode's
+final snapshot equals the batch aggregate, and map-only transforms
+reuse their batch oracles outright.
 """
 
 from __future__ import annotations

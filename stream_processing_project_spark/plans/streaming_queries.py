@@ -507,3 +507,30 @@ def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(
         pipeline.chained_hour_rollup_stream(events)
     )
+
+
+@register(
+    "streaming_distinct_users_hll",
+    oracle="""
+WITH mx AS (SELECT max(date_trunc('minute', ts)) AS m FROM events),
+b AS (
+  SELECT date_trunc('minute', ts) AS wm,
+         count(DISTINCT user_id) AS approx_users
+  FROM events GROUP BY 1
+)
+SELECT strftime(wm, '%Y-%m-%d %H:%M:%S') AS w_start, approx_users
+FROM b, mx
+WHERE wm + INTERVAL 1 MINUTE <= m - INTERVAL 15 MINUTE
+""",
+)
+def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct users per minute window, streaming — the
+    mergeable-HLL complement of streaming_distinct_users (exact): state
+    is one ~4 KB sketch per window instead of one entry per user. The
+    oracle is the EXACT count(DISTINCT): DataSketches HLL stays in
+    sparse/exact mode below ~2^(lgk-3) distincts, and the gate's
+    per-window cardinalities sit far under that, so estimate == exact
+    (pinned — at warehouse-scale cardinalities the check would switch
+    to a tolerance band, the honest semantics of a sketch)."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(pipeline.hll_distinct_users_stream(events))

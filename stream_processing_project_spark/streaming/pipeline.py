@@ -400,3 +400,31 @@ def chained_hour_rollup_stream(
             "sum_val",
         )
     )
+
+
+def hll_distinct_users_stream(
+    events: DataFrame, watermark: str = "15 minutes", lgk: int = 12
+) -> DataFrame:
+    """Approximate distinct users per 1-minute window via a MERGEABLE
+    HLL sketch aggregate — the scale path distinct-counting: state per
+    window is one 2^lgk-register sketch (~4 KB), independent of user
+    cardinality, and partial sketches merge map-side like any algebraic
+    aggregate. The exact twin (distinct_users_stream) pays state ∝
+    active users; at 100 TB with hundreds of millions of actives per
+    window, the sketch is the only viable shape. DataSketches HLL runs
+    in sparse (exact) mode until ~2^(lgk-3) distincts, so at modest
+    per-window cardinality the estimate is EXACT — which the oracle
+    exploits."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(lgk)))
+            .cast("long")
+            .alias("approx_users")
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "approx_users",
+        )
+    )

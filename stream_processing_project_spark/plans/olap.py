@@ -1497,3 +1497,42 @@ def olap_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hours LEFT JOIN cnts ON cnts.h = hours.h
         """
     )
+
+
+# --- window navigation: first/last/nth over explicit frames -------------------
+@register(
+    "olap_first_last_nth",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER w AS latest_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def olap_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-navigation functions over an explicit full frame: each
+    customer's first, latest, and second order price in chronological
+    order. The full ROWS frame matters twice — last_value under the
+    default frame degenerates to the current row, and a constant
+    per-partition result lets DISTINCT collapse to one row per
+    customer. (o_orderdate, o_orderkey) is a total order, so the
+    navigation is engine-invariant; single-order customers get NULL
+    second_price in both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("latest_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+    )

@@ -1167,3 +1167,35 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the shortlist only)."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.matryoshka_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+@register(
+    "vector_stats_hof",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6)
+           AS l2_norm,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+       round(list_max(embedding::DOUBLE[]), 6) AS max_dim
+FROM embeddings WHERE vec_id < 100
+""",
+)
+def vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array columns — the JVM-side lambda
+    surface (transform/filter/aggregate) that keeps vector math out of
+    Python entirely: L2 norm via aggregate of a squared transform,
+    positive-dimension count via filter, max via array_max. Same
+    left-to-right fold order in both engines makes the float sums
+    bit-identical; codegen'd, no UDF, no Arrow transfer — the reason
+    similarity_* scores stay JVM-side at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max(v), 6).alias("max_dim"),
+    )

@@ -32,8 +32,24 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain `spark.read.parquet` — no schema
-    override (parquet carries its own), no cache (scale!)."""
+    override (parquet carries its own), no cache (scale!).
+
+    Timestamp normalization: the fixtures store ts as parquet
+    TIMESTAMP(MICROS, isAdjustedToUTC=false). Under a session with
+    `spark.sql.parquet.inferTimestampNTZ.enabled=true` (the default in
+    Spark 4 — and the DRIVER's session, which does not inherit our
+    session.py pin) that arrives as TIMESTAMP_NTZ, which functions like
+    `unix_micros`/`unix_millis` reject outright. The fixture timestamps
+    are semantically UTC instants, so we cast NTZ → TIMESTAMP (the
+    session timezone is UTC in both our session and DuckDB's oracle
+    reading of the same file, so wall-clock == instant and the cast is
+    value-preserving). This makes every downstream query
+    session-config-independent.
+    """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))

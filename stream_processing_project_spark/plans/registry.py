@@ -64,6 +64,59 @@ def oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# The driver's CORRECTNESS gate sampled only the FIRST 50 registered
+# queries in r01 (module import order meant analytics + extensions
+# monopolized the window; olap/scalar_surface/governance/
+# streaming_queries got zero rows — VERDICT.md "What's wrong" #3). To
+# make any prefix of the registry representative, registration order is
+# rewritten after load: an explicit high-risk priority list first (the
+# r01-red/latent queries, so their fixes get hard driver rows), then a
+# round-robin interleave across modules, previously-uncovered modules
+# leading. Harmless when the gate runs all queries; decisive when it
+# truncates.
+_PRIORITY = [
+    # r01 hard failure + the five latent TIMESTAMP_NTZ twins
+    "olap_rolling_1h_avg",
+    "olap_sessionize",
+    "cdc_ingest",
+    "cdc_upsert_materialize",
+    "cdc_scd2_history",
+    "cdc_parse_audit",
+    # reworked this round (all-pairs join replaced by LSH blocking)
+    "dedup_embedding_cosine",
+]
+
+# Round-robin module order: modules with zero r01 driver rows first.
+_MODULE_ORDER = [
+    "scalar_surface",
+    "olap",
+    "streaming_queries",
+    "governance",
+    "analytics",
+    "extensions",
+]
+
+
+def _reorder() -> None:
+    by_module: dict[str, list[Query]] = {m: [] for m in _MODULE_ORDER}
+    for q in _REGISTRY.values():
+        mod = q.builder.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append(q)
+
+    ordered: list[Query] = []
+    seen: set[str] = set()
+    for name in _PRIORITY:
+        if name in _REGISTRY and name not in seen:
+            ordered.append(_REGISTRY[name])
+            seen.add(name)
+    queues = [[q for q in qs if q.name not in seen] for qs in by_module.values()]
+    while any(queues):
+        for qu in queues:
+            if qu:
+                ordered.append(qu.pop(0))
+    _REGISTRY.clear()
+    _REGISTRY.update({q.name: q for q in ordered})
+
 
 def _load() -> None:
     """Import all modules that register queries (idempotent)."""
@@ -80,4 +133,5 @@ def _load() -> None:
         streaming_queries,
     )
 
+    _reorder()
     _LOADED = True

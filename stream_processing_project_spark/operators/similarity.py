@@ -16,6 +16,8 @@ bit-for-bit on the same doubles — rounded at 6 dp for safety).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: TC002 — pandas_udf type hints must resolve at runtime
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,18 +71,112 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    miss_prob: float = 1e-5,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a < b).
-    All-pairs is the exact baseline; at corpus scale route through
-    ann_lsh buckets first and verify within buckets."""
-    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+
+    method="lsh" (default, the scale path): banded random-hyperplane LSH
+    blocking + exact cosine verify within blocks. Candidate generation
+    is an EQUI-join on (band, code) — no all-pairs / non-equi self-join
+    anywhere in the plan:
+
+        codes    = sign-bit codes per band (Arrow-batched numpy GEMM,
+                   one pandas_udf per corpus row — vectors hash once)
+        explode  → (id, band, code)
+        cand     = self equi-join on (band, code), keep id_a < id_b,
+                   dropDuplicates — candidates carry BARE ids
+        verify   = join vectors back BY id, exact cosine ≥ threshold
+
+    Band geometry is derived from the threshold via the hyperplane
+    collision probability p(t) = 1 - arccos(t)/π (Charikar 2002): a pair
+    at exactly `threshold` agrees on one band of r bits w.p. p^r, so
+    with L bands its miss probability is (1-p^r)^L ≤ miss_prob when
+    L = ln(miss_prob)/ln(1-p^r). r is chosen so p^r ≈ 0.15, balancing
+    band count against bucket selectivity.
+
+    Honest scale note: blocking effectiveness is threshold-bound. At
+    production near-dup thresholds (t ≥ 0.8 → r ≥ 12, buckets ≥ 4096)
+    each band touches ~n²/2^r candidate pairs — genuinely sublinear
+    blocking. At tail thresholds like 0.35, p(t)=0.61 forces short bands
+    (r=4) and L≈60, so candidate volume approaches all-pairs — no
+    blocking scheme beats that on random data (the qualifying pairs ARE
+    the random tail); the plan shape still stays equi-join/partitionable
+    rather than a broadcast nested loop. Recall on the fixtures is
+    deterministic (seeded planes) and pinned by tests at sf0.01/sf0.1.
+
+    method="exact": the all-pairs baseline (kept for recall tests; the
+    non-equi self-join means fixture-scale only).
+    """
+    if method == "exact":
+        a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if bits is None:
+        bits = max(2, min(16, round(math.log(0.15) / math.log(p))))
+    if tables is None:
+        p_band = p**bits
+        tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - p_band)))
+
+    codes = _band_codes_udf(bits, tables, seed)
+    coded = corpus.select(
+        F.col(id_col).alias("id"), codes(F.col(vec_col)).alias("codes")
+    ).select("id", F.posexplode("codes").alias("band", "code"))
+    left = coded.select(
+        F.col("id").alias("id_a"), "band", "code"
+    )
+    right = coded.select(F.col("id").alias("id_b"), "band", "code")
+    cand = (
+        left.join(right, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _band_codes_udf(bits: int, tables: int, seed: int):
+    """Arrow-batched banded-LSH code generator: for each input vector,
+    `tables` integer codes of `bits` sign bits each. All planes for all
+    bands come from ONE seeded gaussian matrix (tables·bits × dim) and
+    one BLAS matmul per Arrow batch — vectors are hashed exactly once
+    regardless of band count. Deterministic across workers/cluster
+    sizes (fixed seed, data-independent planes)."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        dim = len(vecs.iloc[0])
+        planes = np.random.RandomState(seed).standard_normal((tables * bits, dim))
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        sign = (mat @ planes.T) > 0  # (batch, tables*bits)
+        weights = (1 << np.arange(bits, dtype=np.int64))[::-1]
+        packed = sign.reshape(len(mat), tables, bits) @ weights  # (batch, tables)
+        return pd.Series(list(packed))
+
+    return codes
 
 
 def knn_classify(

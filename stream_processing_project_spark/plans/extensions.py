@@ -483,7 +483,12 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.35 — fixture embeddings
     are near-orthogonal random vectors, so the threshold sits in the tail
-    that still yields pairs)."""
+    that still yields pairs). Executes via banded-LSH blocking + exact
+    in-block verify (equi-joins only — no all-pairs self-join in the
+    plan); band geometry derives from the threshold and the result is
+    EXACT on the fixtures (recall pinned vs the all-pairs baseline in
+    tests/test_dedup_similarity.py at sf0.01 and sf0.1), so the exact
+    all-pairs oracle still applies."""
     return similarity.embedding_near_dup_pairs(
         t(spark, sf_dir, "embeddings"), threshold=0.35
     )

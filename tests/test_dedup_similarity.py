@@ -442,3 +442,56 @@ def test_rank_fusion_prefers_consensus_and_covers_single_list_hits(spark):
     assert abs(out[100][0] - (1 / 61 + 1 / 61)) < 1e-15
     assert abs(out[102][0] - 1 / 63) < 1e-15
     assert out[101][1] == 2  # 1/62 + 1/63 beats any single-list score
+
+
+def test_embedding_near_dup_lsh_exact_recall_sf001(spark):
+    """The banded-LSH blocked path must return EXACTLY the all-pairs
+    result on the fixture (VERDICT.md r01 item 3: the registered
+    dedup_embedding_cosine keeps its exact oracle, so blocking must
+    have full recall there). Deterministic: seeded planes."""
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.embedding_near_dup_pairs(emb, 0.35, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in similarity.embedding_near_dup_pairs(emb, 0.35, method="lsh").collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_embedding_near_dup_lsh_plan_has_no_nonequi_self_join(spark):
+    """Candidate generation must be equi-join shaped — no broadcast
+    nested loop / cartesian anywhere in the physical plan."""
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    df = similarity.embedding_near_dup_pairs(emb, 0.35, method="lsh")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_dup_band_geometry_adapts_to_threshold():
+    """High thresholds must yield long bands (sublinear blocking), tail
+    thresholds short bands — the documented collision-probability
+    derivation, checked without a session."""
+    import math
+
+    def derive(threshold, miss_prob=1e-5):
+        p = 1.0 - math.acos(threshold) / math.pi
+        bits = max(2, min(16, round(math.log(0.15) / math.log(p))))
+        tables = max(1, math.ceil(math.log(miss_prob) / math.log(1.0 - p**bits)))
+        return bits, tables
+
+    b_hi, t_hi = derive(0.9)
+    b_lo, t_lo = derive(0.35)
+    assert b_hi >= 10  # 2^10+ buckets -> genuinely sublinear at prod thresholds
+    assert b_lo <= 5  # tail threshold forces short bands
+    # miss bound holds at the exact threshold in both regimes
+    for t, (b, L) in [(0.9, (b_hi, t_hi)), (0.35, (b_lo, t_lo))]:
+        p = 1.0 - math.acos(t) / math.pi
+        assert (1.0 - p**b) ** L <= 1e-5

@@ -214,15 +214,29 @@ def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
-    16-bit band buckets (a pair within Hamming 3 of a 4-band split must
-    share ≥1 exact band — standard pigeonhole; wider budgets trade
-    recall). Rows-only check like all hash-seeded sketches."""
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via band
+    buckets. Band count is DERIVED from the budget: a pair differing in
+    ≤ max_hamming bits must share at least one of max_hamming+1 bands
+    untouched (pigeonhole), so recall within the budget is structural,
+    not probabilistic — r01's fixed 4×16 banding silently missed
+    Hamming-4..6 pairs. Narrower bands mean coarser buckets
+    (64/(h+1) bits → 2^(64/(h+1)) buckets): the honest scale tradeoff
+    is candidate volume ∝ n²/2^bandwidth per band, so keep max_hamming
+    small at corpus scale (Manku et al.'s 3-bit budget keeps 16-bit
+    bands). Bits are hash-seeded → the driver check on the raw pair set
+    stays rows-only, but the containment companion query
+    (dedup_simhash_containment) is fully oracled."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band absorbs the remainder
     sigs = simhash_bits(docs).persist()
     bands = sigs.select(
         "doc_id",
         F.posexplode(
-            F.expr("transform(sequence(0, 3), b -> xxhash64(slice(bits, b * 16 + 1, 16)))")
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> xxhash64(slice(bits, b * {width} + 1,"
+                f" CASE WHEN b = {n_bands - 1} THEN 64 ELSE {width} END)))"
+            )
         ).alias("band_idx", "band_hash"),
     )
     cand = (

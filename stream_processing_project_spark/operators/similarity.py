@@ -322,6 +322,171 @@ def ann_lsh_topk(
     )
 
 
+# --- Oracled ANN twins --------------------------------------------------------
+#
+# The seeded LSH/IVF paths above are hash-seeded, so an external engine
+# cannot reproduce them — the driver's check stays rows-only. These twins
+# make the APPROXIMATION ITSELF deterministic and cross-engine
+# reproducible, so the approximate result carries a full value-hash
+# oracle (VERDICT.md r01 item 4):
+#   * vectors quantize to exact integers (float32 → double is exact,
+#     ×2^20 shifts the exponent, round half-away-from-zero agrees
+#     between Spark HALF_UP and DuckDB) — all bucket decisions are
+#     integer comparisons, immune to float association order;
+#   * hyperplanes are ±1 sign patterns from a multiplicative hash
+#     (Knuth 2654435761), pure bigint arithmetic any engine evaluates
+#     identically — no library hash involved.
+# Same plan shape as the seeded paths (code once per vector, equi-join
+# on bucket, exact cosine only within probed buckets).
+
+QUANT_SCALE = 1 << 20
+
+
+def _sign_expr(p: str, d: str) -> str:
+    """±1 pseudo-random sign for (plane p, dim d): top bit of the
+    multiplicative hash ((p*997 + d) * 2654435761) mod 2^32."""
+    return (
+        f"(CASE WHEN (({p} * 997 + {d}) * 2654435761) % 4294967296"
+        f" >= 2147483648 THEN -1 ELSE 1 END)"
+    )
+
+
+def _quantize_expr(vec_col: str, dim: int) -> str:
+    """array<bigint> of round(x * 2^20) — exact cross-engine integers."""
+    return (
+        f"transform(slice(cast({vec_col} AS array<double>), 1, {dim}),"
+        f" x -> cast(round(x * {QUANT_SCALE}.0, 0) AS bigint))"
+    )
+
+
+def _code_expr(qv_col: str, bits: int, dim: int) -> str:
+    """Sign-bit bucket code over `bits` deterministic hyperplanes."""
+    dot = (
+        f"aggregate(sequence(1, {dim}), cast(0 AS bigint),"
+        f" (acc, d) -> acc + {_sign_expr('p', 'd')} * element_at({qv_col}, d))"
+    )
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 AS bigint),"
+        f" (acc, p) -> acc * 2 + (CASE WHEN {dot} > 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def ann_lsh_topk_oracled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ann_lsh_topk's deterministic twin: same bucket-prune shape, but
+    planes/codes reproducible in ANSI SQL → full value-hash oracle for
+    the approximate result. Multi-probe = own bucket + all Hamming-1
+    flips (bits+1 probes of 2^bits buckets)."""
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"cast({vec_col} AS array<double>) AS cv",
+        f"{_code_expr(_quantize_expr(vec_col, dim), bits, dim)} AS bucket",
+    )
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"cast({vec_col} AS array<double>) AS qv",
+        f"{_code_expr(_quantize_expr(vec_col, dim), bits, dim)} AS _b0",
+    ).selectExpr(
+        "query_id",
+        "qv",
+        f"explode(concat(array(_b0), transform(sequence(0, {bits - 1}),"
+        f" j -> cast(_b0 ^ shiftleft(cast(1 AS bigint), j) AS bigint)))) AS bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk_oracled(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    list_bits: int = 4,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk's deterministic twin. The coarse quantizer is the sign
+    pattern of `list_bits` deterministic hyperplanes (2^bits inverted
+    lists) instead of seeded KMeans, and the probe set is QUERY-ADAPTIVE
+    like real IVF centroid ranking: the query probes its own list plus
+    the lists reached by flipping its nprobe-1 LEAST-CONFIDENT planes
+    (smallest |integer margin| — multi-probe LSH, Lv et al. 2007; the
+    near-boundary flips are exactly the "next-nearest centroids"). All
+    margin comparisons are exact integers, so list assignment, probe
+    ranking, and the final top-k reproduce bit-for-bit in SQL."""
+    bits = list_bits
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"cast({vec_col} AS array<double>) AS cv",
+        f"{_code_expr(_quantize_expr(vec_col, dim), bits, dim)} AS bucket",
+    )
+    dot = (
+        f"aggregate(sequence(1, {dim}), cast(0 AS bigint),"
+        f" (acc, d) -> acc + {_sign_expr('p', 'd')} * element_at(qq, d))"
+    )
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"cast({vec_col} AS array<double>) AS qv",
+        f"{_quantize_expr(vec_col, dim)} AS qq",
+    ).selectExpr(
+        "query_id",
+        "qv",
+        f"{_code_expr('qq', bits, dim)} AS _b0",
+        f"transform(sequence(0, {bits - 1}), p -> abs({dot})) AS _margins",
+    )
+    flips = q.select(
+        "query_id",
+        "qv",
+        "_b0",
+        F.posexplode("_margins").alias("p", "margin"),
+    )
+    wm = Window.partitionBy("query_id").orderBy(F.col("margin").asc(), F.col("p").asc())
+    probed = (
+        flips.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") <= nprobe - 1)
+        .selectExpr(
+            "query_id",
+            "qv",
+            f"cast(_b0 ^ shiftleft(cast(1 AS bigint), {bits} - 1 - p) AS bigint) AS bucket",
+        )
+        .unionAll(q.select("query_id", "qv", F.col("_b0").alias("bucket")))
+    )
+    scored = (
+        c.join(F.broadcast(probed), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 # --- IVF (inverted-file) ANN — the second scale path --------------------------
 
 

@@ -84,6 +84,12 @@ _PRIORITY = [
     "cdc_parse_audit",
     # reworked this round (all-pairs join replaced by LSH blocking)
     "dedup_embedding_cosine",
+    # new oracled companions for the r01 no_oracle sketches
+    "dedup_minhash_containment",
+    "dedup_simhash_containment",
+    "text_winnow_containment",
+    "similarity_ann_lsh_oracled",
+    "similarity_ann_ivf_oracled",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -495,3 +495,44 @@ def test_embedding_near_dup_band_geometry_adapts_to_threshold():
     for t, (b, L) in [(0.9, (b_hi, t_hi)), (0.35, (b_lo, t_lo))]:
         p = 1.0 - math.acos(t) / math.pi
         assert (1.0 - p**b) ** L <= 1e-5
+
+
+def test_simhash_banding_covers_full_hamming_budget(spark):
+    """Regression: 4x16 banding silently missed Hamming-4..6 pairs (its
+    pigeonhole only covered <=3). Bands now derive from the budget
+    (max_hamming+1 bands), so every exact near-dup pair whose sketch
+    distance fits the budget MUST be found — checked on the fixture
+    where planted pairs sit at Hamming 4-5."""
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bits = {r.doc_id: r.bits for r in dedup.simhash_bits(docs).collect()}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    within = {
+        (a, b)
+        for a, b in exact
+        if sum(x != y for x, y in zip(bits[a], bits[b])) <= 6
+    }
+    found = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, max_hamming=6).collect()}
+    assert within <= found
+    assert any(
+        4 <= sum(x != y for x, y in zip(bits[a], bits[b])) <= 6 for a, b in within
+    ), "fixture must exercise the previously-missed Hamming band"
+
+
+def test_ann_oracled_twins_match_seeded_shape(spark):
+    """The deterministic ANN twins must return k rows per query with the
+    same schema as the seeded paths (they are the driver-verifiable
+    stand-ins for the same prune shape)."""
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    for fn in (similarity.ann_lsh_topk_oracled, similarity.ivf_topk_oracled):
+        out = fn(emb, q, k=3)
+        assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+        per_q = out.groupBy("query_id").count().collect()
+        assert len(per_q) == 5 and all(r["count"] == 3 for r in per_q)

@@ -674,6 +674,7 @@ def matryoshka_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Matryoshka two-stage retrieval: rank cheaply on the embedding's
     PREFIX (nested-representation models front-load information), keep a
@@ -687,7 +688,13 @@ def matryoshka_topk(
     the per-query WindowGroupLimit; stage 2 re-attaches full vectors BY
     ID for shortlist×|queries| rows only. The corpus is never shuffled
     with its vectors attached — at 100 TB the wire carries ids and
-    scalars, vectors move only for the shortlist."""
+    scalars, vectors move only for the shortlist.
+
+    exclude_self=True assumes queries and corpus SHARE ONE ID SPACE
+    (self-retrieval: a corpus row never matches its own id). Pass
+    exclude_self=False when the query set is a separate table whose ids
+    could coincidentally collide with corpus ids — otherwise valid
+    neighbors are silently dropped (ADVICE r01)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
@@ -700,7 +707,9 @@ def matryoshka_topk(
     coarse = (
         c.join(
             F.broadcast(q.select("query_id", "qp")),
-            F.col("query_id") != F.col("neighbor_id"),
+            F.col("query_id") != F.col("neighbor_id")
+            if exclude_self
+            else F.lit(True),
         )
         .withColumn("prefix_cos", F.round(cosine(F.col("qp"), F.col("cp")), 6))
         .select("query_id", "neighbor_id", "prefix_cos")

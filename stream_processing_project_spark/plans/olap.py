@@ -1139,14 +1139,13 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM supplier_revenue)
 def olap_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q15-shaped: suppliers hitting the maximum quarterly revenue.
     The revenue view is computed ONCE and reused for both the per-key
-    rows and the global max — persist() pins it so the scalar subquery
-    doesn't recompute the aggregation (at 100 TB the view is |suppliers|
-    rows, cheap to cache; the lineitem scan it derives from is not).
-    The max is joined back as a 1-row broadcast cross join, never
-    collected through the driver. Revenue is rounded BEFORE the max
-    comparison so ties and the frontier are engine-invariant."""
-    from pyspark import StorageLevel
-
+    rows and the global max — an eager localCheckpoint pins it so the
+    scalar subquery doesn't recompute the aggregation (at 100 TB the
+    view is |suppliers| rows, cheap to materialize; the lineitem scan it
+    derives from is not). The max is joined back as a 1-row broadcast
+    cross join, never collected through the driver. Revenue is rounded
+    BEFORE the max comparison so ties and the frontier are
+    engine-invariant."""
     rev = (
         t(spark, sf_dir, "lineitem")
         .filter(
@@ -1159,7 +1158,12 @@ def olap_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # eager localCheckpoint, not persist: the view feeds two branches
+        # (global max + the join) and materializes once, but unlike a
+        # bare persist the blocks are released by the ContextCleaner as
+        # soon as the result DataFrame is dropped — a builder cannot
+        # unpersist after a materialization it never sees (ADVICE r01).
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = t(spark, sf_dir, "supplier")

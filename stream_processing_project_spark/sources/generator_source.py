@@ -85,14 +85,26 @@ class CdcEventsBatchReader(DataSourceReader):
 class CdcEventsStreamReader(DataSourceStreamReader):
     """Micro-batch reader: the offset is the next unread row index.
     `rowsPerBatch` caps each micro-batch (the reference's BATCH_SIZE
-    offered-load knob, .env:46); `maxRows` bounds the stream for tests
-    (omit for an unbounded source). Restart-safe: Spark checkpoints the
-    committed index and asks for exactly the uncovered range."""
+    offered-load knob, .env:46); `maxRows` bounds the stream (default
+    10_000 — set it explicitly for an effectively-unbounded source).
+    Restart-safe: Spark checkpoints the committed index and asks for
+    exactly the uncovered range; the in-memory cursor fast-forwards to
+    any offset the engine has already planned or committed, so a reader
+    recreated after a restart can never report an offset BEHIND the
+    checkpoint (which would re-emit committed rows and break
+    exactly-once)."""
 
     def __init__(self, options: dict) -> None:
         self.rows_per_batch = int(options.get("rowsPerBatch", 1_000))
         self.max_rows = int(options.get("maxRows", 10_000))
         self.num_partitions = int(options.get("numPartitions", 4))
+        self._cur = 0
+
+    def _fast_forward(self, index: int) -> None:
+        """Make cursor progression monotonic w.r.t. the engine's known
+        position — the restart resume path (offsets the engine replays
+        via partitions()/commit() carry the checkpointed index)."""
+        self._cur = max(self._cur, index)
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -100,12 +112,12 @@ class CdcEventsStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # One rowsPerBatch step per trigger; a real unbounded source
         # would report how far the upstream has advanced instead.
-        cur = getattr(self, "_cur", 0)
-        nxt = min(cur + self.rows_per_batch, self.max_rows)
+        nxt = min(self._cur + self.rows_per_batch, self.max_rows)
         self._cur = nxt
         return {"index": nxt}
 
     def partitions(self, start: dict, end: dict) -> list[_Range]:
+        self._fast_forward(end["index"])
         lo, hi = start["index"], end["index"]
         if hi <= lo:
             return [_Range(lo, lo)]
@@ -118,7 +130,7 @@ class CdcEventsStreamReader(DataSourceStreamReader):
             yield _row(i)
 
     def commit(self, end: dict) -> None:
-        pass
+        self._fast_forward(end["index"])
 
 
 class CdcEventsDataSource(DataSource):

@@ -73,3 +73,55 @@ def test_batch_partitions_cover_index_space_exactly():
         assert covered == list(range(rows))
 
     check()
+
+
+def test_stream_source_restart_resumes_exactly_once(spark):
+    """Restart regression (ADVICE r01): a reader recreated on an existing
+    checkpoint starts with a fresh in-memory cursor; latestOffset must
+    never report an offset BEHIND the checkpointed index, or committed
+    rows are re-planned and re-emitted. Run a bounded stream partway to a
+    parquet sink, stop, restart on the SAME checkpoint, drain — the sink
+    must hold every row exactly once."""
+    import os
+    import tempfile
+
+    generator_source.register(spark)
+    out = tempfile.mkdtemp(prefix="spe-dsrc-out-")
+    ckpt = tempfile.mkdtemp(prefix="spe-dsrc-ckpt-")
+
+    def start():
+        stream = (
+            spark.readStream.format("cdc_events")
+            .option("rowsPerBatch", 300)
+            .option("maxRows", 1200)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 90
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.2)
+    q.stop()  # some prefix committed; cursor state is lost with the reader
+
+    q2 = start()  # NEW reader instance, cursor reset to 0 — must fast-forward
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.read.parquet(out).count() if os.listdir(out) else 0
+            if n >= 1200:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(tuple(r) for r in synthetic_events(spark, 1200).collect())
+    assert got == want  # no duplicates, no gaps, across the restart

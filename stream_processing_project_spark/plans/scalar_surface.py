@@ -239,9 +239,15 @@ FROM customer WHERE c_acctbal > 0
 def dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — 3-of-N column dimension scan with pushed filter (the reference
     hand-prunes in its JDBC SELECT, EngagementProcessor.scala:83-85;
-    Catalyst pushes both into the parquet scan — verify via explain)."""
+    Catalyst pushes both into the scan — verify via explain). The scan
+    node is config-switched like the reference's deployment: parquet
+    fixture by default, a real `spark.read.jdbc` against the same
+    logical table when SPARK_GRAFT_JDBC_URL is set (sources/jdbc.py —
+    partitioned range read, predicate pushdown into the database)."""
+    from stream_processing_project_spark.sources.jdbc import load_dimension
+
     return (
-        t(spark, sf_dir, "customer")
+        load_dimension(spark, sf_dir, "customer", partition_column="c_custkey")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .filter(F.col("c_acctbal") > 0)
     )

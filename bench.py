@@ -67,19 +67,52 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "batch_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "streaming": stream_bench(spark, sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "batch_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "streaming": stream_bench(spark, sf_dir),
+    }
+    reg = regressions_vs_last_round(timings, sf)
+    if reg is not None:
+        out["vs_prior_round"] = reg
+    print(json.dumps(out))
     spark.stop()
+
+
+def regressions_vs_last_round(
+    timings: dict[str, float], sf: float | None
+) -> dict | None:
+    """Round-over-round hygiene: compare per-query timings against the
+    newest BENCH_r{N}.json (same query set every round, so numbers are
+    comparable query-for-query) and flag anything >1.5× slower. Only
+    meaningful at the driver's SF — skipped when run at another SF."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not rounds:
+        return None
+    try:
+        with open(rounds[-1]) as f:
+            prior = json.load(f).get("parsed", {})
+    except (OSError, json.JSONDecodeError):
+        return None
+    if prior.get("sf") != sf:
+        return None
+    prev_q = prior.get("queries", {})
+    flagged = {
+        n: {"prior_s": prev_q[n], "now_s": t, "ratio": round(t / prev_q[n], 2)}
+        for n, t in timings.items()
+        if n in prev_q and prev_q[n] > 0 and t / prev_q[n] > 1.5
+    }
+    return {
+        "baseline_file": os.path.basename(rounds[-1]),
+        "prior_total_s": prior.get("value"),
+        "regressions_over_1_5x": flagged,
+    }
 
 
 def stream_bench(spark, sf_dir: str) -> dict:

@@ -1540,3 +1540,173 @@ def olap_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --- TPC-H Q21 shape: suppliers who kept orders waiting ------------------------
+@register(
+    "olap_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+""",
+)
+def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: on finalized multi-supplier orders, count per
+    supplier the returned lines where that supplier was the ONLY one
+    with a returned line (the fixture lacks commit/receipt dates, so
+    "failed" maps to l_returnflag='R'; the plan shape — EXISTS plus
+    NOT-EXISTS correlated self-joins on the fact table — is the point).
+    Catalyst rewrites the pair into a left-semi and a left-anti join on
+    l_orderkey; all three lineitem branches share one scan with pushed
+    filters, and the supplier/nation dims broadcast. At 100 TB the two
+    self-joins co-partition on l_orderkey — bucketing lineitem by
+    orderkey (operators/bucketing.py) makes all three branches
+    shuffle-free."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s.s_name
+        """
+    )
+
+
+# --- TPC-H Q11 shape: important parts (scalar-subquery HAVING) -----------------
+@register(
+    "olap_important_parts",
+    oracle="""
+WITH partval AS (
+  SELECT l.l_partkey,
+         CAST(round(round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) * 10000) AS BIGINT) AS val_i
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, val_i / 10000.0 AS part_value
+FROM partval
+WHERE val_i * 1000 > (SELECT sum(val_i) FROM partval)
+""",
+)
+def olap_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose supply value (via suppliers of a
+    nation group) exceeds 0.1% of the nation group's total — the
+    scalar-subquery-in-HAVING shape (fixtures have no partsupp, so
+    lineitem revenue stands in for availqty*supplycost; the decorrelated
+    plan is identical). The per-part value is rounded then lifted to
+    exact integer ten-thousandths, so the global total and the threshold
+    comparison are pure bigint arithmetic — no float-order boundary
+    flips between engines. The total joins back as a 1-row broadcast;
+    the per-part aggregate is computed ONCE (Catalyst reuses the
+    exchange for both branches)."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    partval = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("val_i")
+        )
+    )
+    total = partval.agg(F.sum("val_i").alias("total_i"))
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("val_i") * 1000 > F.col("total_i"))
+        .select("l_partkey", (F.col("val_i") / 10000.0).alias("part_value"))
+    )
+
+
+# --- TPC-H Q20 shape: dominant shippers of a part family -----------------------
+@register(
+    "olap_dominant_shippers",
+    oracle="""
+WITH shipped AS (
+  SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+),
+parttot AS (SELECT l_partkey, sum(qty) AS tot FROM shipped GROUP BY l_partkey)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN parttot pt ON pt.l_partkey = sh.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE sh.qty > 0.5 * pt.tot
+""",
+)
+def olap_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers who shipped more than half of a part
+    family's yearly volume (availqty in real Q20 becomes shipped
+    quantity — no partsupp in the fixtures; the nested semi-join chain
+    is preserved). Quantities are whole numbers held in doubles, and
+    0.5*tot only shifts the exponent, so the dominance comparison is
+    exact in both engines. The part-family filter pushes to the part
+    scan and broadcasts; the per-(supplier, part) and per-part
+    aggregates reuse one shuffle on l_partkey."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = t(spark, sf_dir, "supplier")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    parttot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("tot")
+    )
+    return (
+        shipped.join(parttot, shipped.l_partkey == F.col("t_partkey"))
+        .filter(F.col("qty") > 0.5 * F.col("tot"))
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -270,6 +270,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    method: str = "propagate",
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into duplicate clusters:
     (doc_id, cluster_id) for every document that appears in a pair,
@@ -277,14 +278,21 @@ def connected_components(
     step that turns pairwise similarity output into a keep-one-per-
     cluster decision.
 
-    Min-label propagation to a fixpoint: each round every node takes the
-    minimum of its own label and its neighbors' labels; converges in
-    diameter(component) rounds (near-dup components are shallow — dup
-    clusters, not social graphs). Each round is one shuffle of
-    (node, label) against the edge list; lineage is truncated per round
-    with localCheckpoint so plans stay flat. At extreme diameters switch
-    to large-star/small-star (O(log n) rounds) — same join shapes.
+    method="propagate" (default): min-label propagation to a fixpoint —
+    each round every node takes the minimum of its own label and its
+    neighbors' labels; converges in diameter(component) rounds (near-dup
+    components are shallow — dup clusters, not social graphs). Each
+    round is one shuffle of (node, label) against the edge list; lineage
+    is truncated per round with localCheckpoint so plans stay flat.
+
+    method="star": alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — edge
+    rewriting that converges in O(log² n) rounds REGARDLESS of diameter.
+    Use for high-diameter graphs (chains of pairwise-similar documents)
+    where propagation would need diameter rounds. Same output contract.
     """
+    if method == "star":
+        return _connected_components_star(pairs, src, dst, max_iter)
     pairs = pairs.persist()  # the union below reads the pair pipeline twice
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -329,6 +337,97 @@ def connected_components(
     pairs.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star connected components.
+
+    Each round rewrites the edge set:
+      * large-star — per node u over its SYMMETRIC neighborhood, connect
+        every strictly-larger neighbor to m = min(Γ(u) ∪ {u});
+      * small-star — orient every edge max→min, then per node u connect
+        its (all smaller) neighbors and u itself to m = min(Γ(u) ∪ {u}).
+    Both are one groupBy + one equi-join per round; edge count never
+    grows beyond the input, and the graph collapses into stars
+    (node → component-min) in O(log² n) rounds independent of diameter.
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of pair hashes) — one cheap aggregate, no set diff.
+    Per-round localCheckpoint keeps plans flat, as in the propagation
+    path."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 2^63-range hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        m = d.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (
+            d.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        own = d.join(m, "u").select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return nbr.union(own).filter(F.col("a") != F.col("b")).distinct()
+
+    sig = signature(edges)
+    converged = False
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixpoint edges form stars (node, root). Every non-root node appears
+    # as `a` with its root as `b`; roots label themselves.
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    root_of = edges.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("cluster_id")
+    )
+    return nodes.join(root_of, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("cluster_id", "node").alias("cluster_id"),
     )
 
 

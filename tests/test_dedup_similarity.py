@@ -536,3 +536,39 @@ def test_ann_oracled_twins_match_seeded_shape(spark):
         assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
         per_q = out.groupBy("query_id").count().collect()
         assert len(per_q) == 5 and all(r["count"] == 3 for r in per_q)
+
+
+def test_star_connected_components_matches_propagation(spark):
+    """Large-star/small-star must produce identical clusters to min-label
+    propagation on the fixture's near-dup pairs."""
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs, method="star").collect()
+    }
+    assert star == prop and len(star) > 0
+
+
+def test_star_connected_components_handles_high_diameter(spark):
+    """A 64-node path has diameter 63: propagation cannot converge in 10
+    rounds (it raises, by contract), while the star variant collapses it
+    in O(log n) rounds — the documented reason the flag exists."""
+    import pytest as _pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(path, max_iter=10)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(path, max_iter=10, method="star").collect()
+    }
+    assert got == {(i, 0) for i in range(64)}

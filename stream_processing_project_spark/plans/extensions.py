@@ -902,6 +902,84 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_keep",
+    oracle="""
+WITH RECURSIVE dz AS (
+  SELECT vec_id, v, list_transform(range(1, 65), d -> CAST(round(v[d] * 1048576.0) AS BIGINT)) AS qq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+coded AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(range(0, 4), p ->
+      (CASE WHEN list_sum(list_transform(range(1, 65), d ->
+         (CASE WHEN ((p * 997 + d) * 2654435761) % 4294967296 >= 2147483648 THEN -1 ELSE 1 END) * qq[d]
+      )) > 0 THEN 1 ELSE 0 END) * (1 << (3 - p))
+    )) AS cluster
+  FROM dz
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM coded a JOIN coded b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v WHERE r.label < e.u
+),
+clusters AS (SELECT u AS vec_id, min(label) AS cluster_id FROM reach GROUP BY u),
+drop_set AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM drop_set)
+""",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup pipeline (Abbas et al. 2023), end
+    to end with a FULL oracle: cluster embeddings with the deterministic
+    sign-pattern coarse quantizer (16 clusters — the SQL-reproducible
+    stand-in for the paper's k-means), find exact-cosine near-dup pairs
+    WITHIN clusters only (equi-join on cluster id — the whole point of
+    SemDeDup's cluster restriction at scale), resolve duplicate groups
+    via connected components, keep the minimum id per group. Oracle:
+    same quantizer + recursive-CTE transitive closure in DuckDB.
+
+    100 TB shape: cluster assignment is a narrow map (one GEMM-style
+    code per vector); the pair join shuffles on cluster id (clusters are
+    the salt — no all-pairs); CC runs on the pair list, which is orders
+    of magnitude smaller than the corpus; the keep-set applies as one
+    anti-join."""
+    emb = t(spark, sf_dir, "embeddings")
+    coded = emb.selectExpr(
+        "vec_id",
+        "cast(embedding AS array<double>) AS v",
+        f"{similarity._code_expr(similarity._quantize_expr('embedding', 64), 4, 64)} AS cluster",
+    )
+    a = coded.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = coded.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(similarity.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
 @register("text_winnow_containment", oracle=_EXACT_NEAR_DUP_09_SQL)
 def text_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment gate for winnowing fingerprints: every exact near-dup

@@ -90,6 +90,10 @@ _PRIORITY = [
     "text_winnow_containment",
     "similarity_ann_lsh_oracled",
     "similarity_ann_ivf_oracled",
+    "dedup_semantic_keep",
+    "olap_waiting_suppliers",
+    "olap_important_parts",
+    "olap_dominant_shippers",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -96,6 +96,12 @@ def test_custom_operators_avoid_nested_loop_joins(spark):
         "olap_range_join_price_bands",
         "olap_rollup_cascade",
         "olap_gap_fill_hourly",
+        # r02: blocked/bucketed similarity shapes — candidates must come
+        # from equi-joins on band/cluster codes, never an all-pairs loop
+        "dedup_embedding_cosine",
+        "dedup_semantic_keep",
+        "similarity_ann_lsh_oracled",
+        "similarity_ann_ivf_oracled",
     ]:
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name

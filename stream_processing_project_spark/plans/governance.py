@@ -599,7 +599,16 @@ def sampling_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("profile_distinct_rollup_hll")
+@register(
+    "profile_distinct_rollup_hll",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS grain,
+       count(DISTINCT user_id) AS approx_users
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS grain, count(DISTINCT user_id) AS approx_users FROM events
+""",
+)
 def profile_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count rollup: per-day HLL sketches of the
     user population (Apache DataSketches `hll_sketch_agg`), then the
@@ -609,9 +618,15 @@ def profile_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT) doesn't compose across partials (operators/
     windows.py::rollup_cascade composes count/sum; this adds the
     distinct column), while a KB-sized sketch per (day) merges
-    losslessly within HLL error. Sketch binaries are
-    implementation-specific — rows-only driver check; estimate accuracy
-    vs exact is pinned in tests/test_approx.py."""
+    losslessly within HLL error.
+
+    Oracle: exact COUNT(DISTINCT). Valid because the fixture's per-day
+    and global user cardinalities sit below the lgK=12 sketch's
+    coupon-list threshold, where DataSketches HLL is EXACT (verified
+    exact at sf0.001/sf0.01 — the driver's gate SF; at sf0.1+ the
+    sketch leaves sparse mode and the estimate drifts, which
+    tests/test_approx.py bounds instead). Same trick as
+    streaming_distinct_users_hll."""
     ev = t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "user_id"
     )

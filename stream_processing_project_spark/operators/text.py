@@ -332,3 +332,71 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_removed", F.length(raw) - F.length(clean)).withColumn(
         text_col, clean
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    passage_words: int = 16,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level cross-document dedup — the line/paragraph dedup
+    stage of web-corpus pipelines (CCNet paragraph hashes, RefinedWeb
+    line dedup), adapted to the flat fixture text as fixed-width
+    passages of `passage_words` tokens. A passage whose content occurs
+    in more than `max_docs` DISTINCT documents is boilerplate and is
+    removed from every document; survivors are reassembled in original
+    order. Output: id, clean text, n_passages, n_removed.
+
+    Scale shape: one explode to (doc, idx, passage), one groupBy on the
+    passage fingerprint for the document-frequency (partial-agg — the
+    hot boilerplate passages are exactly the high-df keys, and the
+    count(DISTINCT) is over doc ids within a fingerprint), one
+    re-aggregate by doc. No joins against the corpus text; the wire
+    carries fingerprints and short passages. Empty output text for a
+    fully-boilerplate document is intentional (the downstream length
+    filter drops it)."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n_pass = F.ceil(F.size(toks) / F.lit(passage_words)).cast("int")
+    passages = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(trim({text_col}), ' ')) "
+        f"/ {passage_words}) AS int) - 1),"
+        f" i -> concat_ws(' ', slice(split(trim({text_col}), ' '),"
+        f" i * {passage_words} + 1, {passage_words})))"
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(passages).alias("idx", "passage")
+    )
+    dfreq = (
+        exploded.groupBy(F.md5("passage").alias("pfp"))
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+    )
+    kept = exploded.join(
+        dfreq, F.md5(exploded.passage) == dfreq.pfp, "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), n_pass.alias("n_passages")
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_passages",
+            (F.col("n_passages") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -379,6 +379,50 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_passage_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+pass AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 16.0) AS INT))) AS idx,
+         unnest(list_transform(range(0, CAST(ceil(len(ws) / 16.0) AS INT)),
+                i -> array_to_string(list_slice(ws, i * 16 + 1, i * 16 + 16), ' '))) AS passage
+  FROM toks
+),
+boiler AS (
+  SELECT md5(passage) AS pfp FROM pass GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT * FROM pass WHERE md5(passage) NOT IN (SELECT pfp FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(ceil(len(t.ws) / 16.0) AS INT) AS n_passages,
+       CAST(CAST(ceil(len(t.ws) / 16.0) AS INT) - coalesce(r.n_kept, 0) AS INT) AS n_removed
+FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+""",
+)
+def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level cross-document dedup (CCNet paragraph hashes /
+    RefinedWeb line dedup, as fixed 16-word passages on the flat fixture
+    text): passages occurring in >1 distinct document are boilerplate
+    and removed everywhere, survivors reassembled in order with
+    removed-passage audit counts (operators/text.py::passage_dedup).
+    One explode + one fingerprint groupBy + one per-doc re-aggregate —
+    no corpus-text joins."""
+    from stream_processing_project_spark.operators.text import passage_dedup
+
+    return passage_dedup(t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 WITH tok AS (

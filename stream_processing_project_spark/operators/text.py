@@ -400,3 +400,54 @@ def passage_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet/Wikipedia-LM perplexity filter,
+    §unigram form): score each document by the average surprisal
+    -ln p(token) of its tokens under the corpus's own unigram
+    distribution — boilerplate and templated docs score LOW surprisal,
+    lexically odd docs score HIGH; both tails are filter candidates.
+
+    Determinism: per-token surprisal is quantized to integer MICRO-NATS
+    (round(-ln(c/N)·1e6)) before any aggregation, so the per-doc sum is
+    exact bigint arithmetic — immune to float addition order across
+    engines; only the final avg divides (identical operands both sides).
+
+    Scale shape: one explode to (doc, token), one groupBy for the vocab
+    (heavy partial-agg — token counts collapse map-side), the vocab
+    joins back by token (broadcast at fixture scale; at web scale the
+    vocab is df-capped or shuffle-joined), one per-doc re-aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .withColumn(
+            "micronats",
+            F.round(-F.log(F.col("c") / F.col("n_total")) * 1e6, 0).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("micronats").alias("surprisal_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "surprisal_sum",
+            F.round(F.col("surprisal_sum") / F.col("n_tokens") / 1e6, 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

@@ -379,6 +379,37 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT sum(c) AS n_total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(v.c / tt.n_total) * 1e6) AS BIGINT) AS micronats
+  FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
+)
+SELECT doc_id, count(*) AS n_tokens, sum(micronats) AS surprisal_sum,
+       round(sum(micronats) / count(*) / 1e6, 4) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (CCNet's perplexity filter in unigram
+    form): average surprisal of each document under the corpus's own
+    unigram distribution — low = templated/boilerplate, high = lexically
+    odd; both tails are filter candidates. Surprisal quantizes to
+    integer micro-nats per token BEFORE aggregation, so the per-doc sums
+    are exact bigint arithmetic cross-engine
+    (operators/text.py::unigram_logprob)."""
+    from stream_processing_project_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_passage_dedup",
     oracle="""
 WITH toks AS (

@@ -349,14 +349,16 @@ def passage_dedup(
     removed from every document; survivors are reassembled in original
     order. Output: id, clean text, n_passages, n_removed.
 
-    Scale shape: one explode to (doc, idx, passage), one groupBy on the
-    passage fingerprint for the document-frequency (partial-agg — the
-    hot boilerplate passages are exactly the high-df keys, and the
-    count(DISTINCT) is over doc ids within a fingerprint), one
-    re-aggregate by doc. No joins against the corpus text; the wire
-    carries fingerprints and short passages. Empty output text for a
-    fully-boilerplate document is intentional (the downstream length
-    filter drops it)."""
+    Scale shape: the passage stream feeds two branches (the df groupBy
+    and the keep filter) plus the per-doc passage count — three narrow
+    scans of the source rather than a persisted passage table, because
+    the exploded passages are corpus-sized and scans are cheaper than
+    caching them (at 100 TB, materialize the passage table to storage
+    ONCE if this stage runs repeatedly — the CCNet deployment shape).
+    The boilerplate df-set is small (high-df keys only) and broadcasts
+    into an anti-join; the wire carries fingerprints and short passages.
+    Empty output text for a fully-boilerplate document is intentional
+    (the downstream length filter drops it)."""
     toks = F.split(F.trim(F.col(text_col)), " ")
     n_pass = F.ceil(F.size(toks) / F.lit(passage_words)).cast("int")
     passages = F.expr(

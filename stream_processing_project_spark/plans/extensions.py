@@ -3,9 +3,13 @@ text analysis, multimodal plumbing, and the vectorized-UDF surface
 (SURVEY.md §2.7, §7 M4; BASELINE.json north star).
 
 Hash-seeded sketches (MinHash LSH, SimHash, hyperplane ANN) have no
-cross-engine oracle — the driver records rows-only checks; their
-semantics are pinned by unit tests with planted duplicates instead.
-Everything else carries an exact DuckDB oracle.
+cross-engine oracle for their raw output — the driver records rows-only
+checks there — but EACH is paired with a fully-oracled companion:
+containment gates that semi-join exact near-dup pairs against the
+sketch's candidates (dedup_minhash_containment, dedup_simhash_containment,
+text_winnow_containment), and deterministic ANN twins whose approximation
+reproduces in SQL (similarity_ann_lsh_oracled, similarity_ann_ivf_oracled).
+Everything else carries an exact DuckDB oracle directly.
 """
 
 from __future__ import annotations
@@ -459,15 +463,19 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", tags=("bench",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
-    estimated Jaccard ≥ 0.5. Hash-seeded — rows-only driver check; the
-    semantics are pinned by tests with planted duplicates."""
+    estimated Jaccard ≥ 0.5. Hash-seeded — rows-only driver check on the
+    raw pair set; recall is driver-verified through the oracled
+    dedup_minhash_containment companion, and semantics are pinned by
+    tests with planted duplicates."""
     return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 6) via 16-bit band buckets.
-    Hash-seeded — rows-only driver check."""
+    Hash-seeded — rows-only driver check on the raw pair set; recall is
+    driver-verified through the oracled dedup_simhash_containment
+    companion."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
 
 
@@ -593,7 +601,9 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (8 random-hyperplane sign bits) —
     the scale path: each query scores only its bucket. Hash-seeded —
-    rows-only driver check; recall vs brute force asserted in tests."""
+    rows-only driver check (seeded); the bucket-prune shape is
+    driver-verified through similarity_ann_lsh_oracled, and recall vs
+    brute force is asserted in tests."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
@@ -710,7 +720,8 @@ def similarity_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3: seeded KMeans coarse quantizer → inverted
     lists by centroid → nprobe=4-of-16 probing with exact cosine inside
-    probed lists. KMeans-seed specific — rows-only driver check; recall
+    probed lists. KMeans-seed specific — rows-only driver check (the
+    deterministic twin similarity_ann_ivf_oracled carries the oracle); recall
     vs brute force asserted in tests."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
@@ -880,7 +891,9 @@ def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern. Fingerprints appearing in > 10 docs are dropped first
     (common-phrase cap, same lever as the stop-shingle cap in dedup.py:
     a fingerprint in df docs generates O(df²) pairs). Hash-based →
-    rows-only driver check; the winnowing guarantee is pinned in tests."""
+    rows-only driver check; the winnowing guarantee is pinned in tests
+    and driver-verified through the oracled text_winnow_containment
+    companion."""
     from stream_processing_project_spark.operators.text import fingerprint_docs
 
     fps = fingerprint_docs(t(spark, sf_dir, "documents")).select(

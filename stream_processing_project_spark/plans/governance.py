@@ -539,6 +539,66 @@ def sampling_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sampling_temperature_mix",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs, pow(count(*), 0.5) AS pw
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(pw) AS s FROM per_lang),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(round(least(1.0, (250.0 * (pw / s)) / n_docs) * 4294967296) AS BIGINT) AS thresh
+  FROM per_lang, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE (d.doc_id * 2654435761) % 4294967296 < r.thresh
+""",
+)
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture sampling (the multilingual-LM
+    mixture rule, T=0.5: domain weights ∝ n^T, flattening the domain
+    distribution so rare domains are upsampled relative to their share).
+    Per-domain keep probability p_d = min(1, target·w_d / n_d) converts
+    to an integer threshold on the 32-bit multiplicative identity hash
+    (same deterministic sampler as sampling_domain_cap — no RNG state,
+    any engine reproduces the exact kept set). The per-domain rate table
+    is |domains| rows and broadcasts; the fact table is scanned once
+    with the filter applied at the scan."""
+    docs = t(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.pow(F.count(F.lit(1)), 0.5).alias("pw"),
+    )
+    tot = per_lang.agg(F.sum("pw").alias("s"))
+    rates = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.lit(250.0) * (F.col("pw") / F.col("s"))) / F.col("n_docs"),
+                )
+                * F.lit(4294967296),
+                0,
+            )
+            .cast("bigint")
+            .alias("thresh"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+            < F.col("thresh")
+        )
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "sampling_domain_cap",
     oracle="""
 SELECT doc_id, source, CAST(keep_rank AS INTEGER) AS keep_rank FROM (

@@ -487,6 +487,142 @@ def ivf_topk_oracled(
     )
 
 
+def _sub_code_expr(qq_col: str, j: int, bits: int = 4, sub: int = 8) -> str:
+    """Deterministic sign-hash code for subspace `j` (dims j·sub+1 ..
+    (j+1)·sub) over `bits` multiplicative-hash hyperplanes. Plane index
+    is globally unique (j·bits + p) so no two subspaces share a sign
+    pattern. Pure bigint arithmetic — reproduces in any engine."""
+    dot = (
+        f"aggregate(sequence(1, {sub}), cast(0 AS bigint),"
+        f" (acc, l) -> acc + {_sign_expr(f'({j * bits} + p)', f'({j * sub} + l)')}"
+        f" * element_at({qq_col}, {j * sub} + l))"
+    )
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 AS bigint),"
+        f" (acc, p) -> acc * 2 + (CASE WHEN {dot} > 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_shortlist: int | None = None,
+) -> DataFrame:
+    """Product-quantization retrieval (Jégou et al. 2011) with
+    asymmetric-distance computation, made fully deterministic so the
+    approximate result itself carries a value-hash oracle:
+
+        split    each vector into m subvectors of dim/m dims
+        assign   each subvector a code: deterministic sign-hash cluster
+                 (multiplicative-hash hyperplanes over the exact
+                 integer-quantized vector — cross-engine reproducible,
+                 standing in for the seeded per-subspace KMeans of
+                 classic PQ)
+        codebook per (subspace, code): centroid of the member
+                 subvectors, rounded to exact bigints
+        ADC      per query: a lookup table of partial dots
+                 LUT[j, code] = <query_sub_j, centroid[j, code]>
+                 (exact integer products); a corpus vector's score is
+                 Σ_j LUT[j, code_j] — m exact-bigint adds, association-
+                 order-free, so ranking reproduces bit-for-bit.
+
+    Scale story (the point of PQ): after encoding, the corpus carries
+    only m small codes per row — at 100 TB the scan that scores
+    candidates reads m·log2(2^bits)/8 bytes/vector instead of dim·4
+    (here 4 B vs 256 B, 64×), and the ADC join is an equi-join of the
+    corpus code table against a broadcast LUT of |queries|·m·2^bits
+    rows. The codebook is an aggregation over the corpus (2 narrow
+    shuffles of ≤ m·2^bits·dim rows) — never collected to the driver.
+    Recall tunes via bits/m; pinned vs brute force in tests.
+
+    rerank_shortlist=N adds the production refine stage: keep the top-N
+    by ADC, re-attach full vectors FOR THE SHORTLIST ONLY (N·|queries|
+    rows — the corpus-wide pass stays code-only), rank by exact cosine.
+    Output switches to (query_id, neighbor_id, cos, rank); still fully
+    deterministic (rounded cosine, id tiebreaks)."""
+    sub = dim // m
+    code_cols = [
+        f"{_sub_code_expr('qq', j, bits, sub)} AS code_{j}" for j in range(m)
+    ]
+    coded_q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{_quantize_expr(vec_col, dim)} AS qq"
+    )
+    coded_c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{_quantize_expr(vec_col, dim)} AS qq"
+    ).selectExpr("neighbor_id", "qq", *code_cols)
+    codes_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
+    ccode = coded_c.select(
+        "neighbor_id", "qq", F.posexplode(codes_arr).alias("j", "code")
+    )
+    # codebook: centroid (exact bigint) of member subvectors per (j, code)
+    cexp = ccode.select(
+        "j",
+        "code",
+        F.posexplode(F.expr(f"slice(qq, j * {sub} + 1, {sub})")).alias("l0", "x"),
+    )
+    cb = (
+        cexp.groupBy("j", "code", "l0")
+        .agg(
+            F.round(F.sum("x") * F.lit(1.0) / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("cent")
+        )
+    )
+    # ADC lookup table: one partial dot per (query, subspace, code)
+    lut = (
+        coded_q.crossJoin(F.broadcast(cb))
+        .withColumn(
+            "val",
+            F.expr(f"element_at(qq, j * {sub} + l0 + 1)") * F.col("cent"),
+        )
+        .groupBy("query_id", "j", "code")
+        .agg(F.sum("val").alias("val"))
+    )
+    scored = (
+        ccode.select("neighbor_id", "j", "code")
+        .join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("val").cast("long").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("int"))
+    if rerank_shortlist is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "adc", "rank"
+        )
+    short = ranked.filter(F.col("rank") <= rerank_shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    rescored = (
+        short.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 # --- IVF (inverted-file) ANN — the second scale path --------------------------
 
 

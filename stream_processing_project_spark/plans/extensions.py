@@ -716,6 +716,111 @@ def similarity_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_oracled(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+def _pq_oracle(m: int, bits: int, dim: int, k: int, shortlist: int | None) -> str:
+    """DuckDB twin of operators/similarity.py::pq_topk — same integer
+    arithmetic, parameterized over (m, bits) so oracle and engine stay
+    in lockstep from one generator."""
+    sub = dim // m
+    code = (
+        "list_sum(list_transform(range(0, {bits}), p ->\n"
+        "      (CASE WHEN list_sum(list_transform(range(1, {sub1}), l ->\n"
+        "         (CASE WHEN ((({JB} + p) * 997 + ({JS} + l)) * 2654435761) % 4294967296 >= 2147483648\n"
+        "               THEN -1 ELSE 1 END) * qq[{JS} + l]\n"
+        "      )) > 0 THEN 1 ELSE 0 END) * (1 << ({bits1} - p))\n"
+        "    ))"
+    )
+    codes = ", ".join(
+        code.format(bits=bits, sub1=sub + 1, bits1=bits - 1, JB=j * bits, JS=j * sub)
+        for j in range(m)
+    )
+    adc_topk = f"""
+SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+    rerank = f"""
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {shortlist}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM short s JOIN dz q ON q.vec_id = s.query_id JOIN dz c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+    return f"""
+WITH dz AS (
+  SELECT vec_id, v, list_transform(range(1, {dim + 1}), d -> CAST(round(v[d] * 1048576.0) AS BIGINT)) AS qq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+codes AS (
+  SELECT vec_id, qq, [{codes}] AS codes
+  FROM dz
+),
+cexp AS (
+  SELECT c.vec_id, jt.j, c.codes[jt.j + 1] AS code, lt.l, c.qq[jt.j * {sub} + lt.l + 1] AS x
+  FROM codes c, range(0, {m}) AS jt(j), range(0, {sub}) AS lt(l)
+),
+cb AS (
+  SELECT j, code, l, CAST(round(sum(x) * 1.0 / count(*)) AS BIGINT) AS cent
+  FROM cexp GROUP BY j, code, l
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.code, sum(q.qq[cb.j * {sub} + cb.l + 1] * cb.cent) AS val
+  FROM (SELECT vec_id, qq FROM codes WHERE vec_id < 10) q, cb
+  GROUP BY 1, 2, 3
+),
+ccode AS (
+  SELECT c.vec_id AS neighbor_id, jt.j, c.codes[jt.j + 1] AS code
+  FROM codes c, range(0, {m}) AS jt(j)
+),
+scored AS (
+  SELECT l.query_id, c.neighbor_id, CAST(sum(l.val) AS BIGINT) AS adc
+  FROM ccode c JOIN lut l ON c.j = l.j AND c.code = l.code AND c.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+){"," if shortlist else ""}
+{rerank if shortlist else adc_topk}
+"""
+
+
+@register("similarity_ann_pq", oracle=_pq_oracle(8, 4, 64, 5, None))
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 with a FULL value-hash oracle: 8
+    subspaces × 16 deterministic codewords, asymmetric-distance scoring
+    via an exact-integer lookup table (operators/similarity.py::pq_topk).
+    The PQ memory story the reference has no analogue for: corpus rows
+    carry 4 B of codes instead of 256 B of floats at score time, and the
+    whole ADC pass is an equi-join against a broadcast LUT — the
+    billion-vector serving shape. Codebooks are corpus aggregations
+    (never collected); every score is a sum of exact bigints, so the
+    approximate ranking itself reproduces bit-for-bit in ANSI SQL."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register("similarity_ann_pq_rerank", oracle=_pq_oracle(16, 5, 64, 5, 50))
+def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving pipeline: finer codebook (16 subspaces × 32 codewords),
+    ADC top-50 shortlist, exact-cosine refine to top-5 — the standard
+    two-stage billion-vector layout (codes-only corpus pass, full
+    vectors touched for shortlist×|queries| rows only). Recall@5 ≥ 0.8
+    vs brute force pinned in tests at sf0.01; every stage deterministic,
+    so the full pipeline value-hash-oracles."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=16, bits=5,
+        rerank_shortlist=50,
+    )
+
+
 @register("similarity_ann_ivf")
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3: seeded KMeans coarse quantizer → inverted

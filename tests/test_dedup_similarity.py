@@ -572,3 +572,56 @@ def test_star_connected_components_handles_high_diameter(spark):
         for r in dedup.connected_components(path, max_iter=10, method="star").collect()
     }
     assert got == {(i, 0) for i in range(64)}
+
+
+def test_pq_adc_scores_and_rank_structure(spark):
+    """PQ ADC output is structurally sound (ranks 1..n per query, no
+    self-matches) and deterministic across two runs (exact-bigint ADC —
+    no float association-order leakage)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = similarity.pq_topk(emb, queries, k=5).collect()
+    b = similarity.pq_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q = {}
+    for r in a:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark):
+    """The ADC-shortlist + exact-refine pipeline recovers most of the
+    true top-5 (recall floor pinned at the registered config), and every
+    returned score equals the exact cosine for that pair."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    pq = similarity.pq_topk(emb, queries, k=5, m=16, bits=5, rerank_shortlist=50)
+    e = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    hits = 0
+    for r in pq.collect():
+        if (r.query_id, r.neighbor_id) in e:
+            hits += 1
+            assert abs(e[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+    assert hits / len(e) >= 0.8  # measured 0.88 at this config
+
+
+def test_pq_rerank_widening_shortlist_converges_to_exact(spark):
+    """shortlist = |corpus| makes the refine stage exhaustive — PQ+rerank
+    must then equal brute force exactly (the IVF nprobe=nlist analogue)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in similarity.pq_topk(
+            emb, queries, k=3, m=16, bits=5, rerank_shortlist=n
+        ).collect()
+    )
+    assert exact == full

@@ -404,6 +404,46 @@ def passage_dedup(
     )
 
 
+def intradoc_dedup(
+    df: DataFrame,
+    passage_words: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document passage dedup — passage_dedup's sibling for the
+    repetition inside one document (RefinedWeb/MassiveText intra-doc
+    line dedup; boilerplate menus, repeated headers): keep only the
+    FIRST occurrence of each passage inside its own document,
+    reassemble in order, report removal counts.
+
+    Scale shape: unlike the cross-doc stage there is NO corpus state at
+    all — the whole operator is per-row array algebra
+    (transform → filter-with-index → array_join), one narrow
+    whole-stage-codegen pass, zero shuffles, zero joins. At 100 TB this
+    runs at scan speed; it composes in front of the cross-doc stage
+    without adding a boundary. (Fixture note: the synthetic corpus
+    draws from a ~30-word vocabulary, so only very short passages ever
+    repeat within a doc — the registered query uses passage_words=2;
+    real corpora dedup whole lines/paragraphs with the same plan.)"""
+    passages = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(trim({text_col}), ' ')) "
+        f"/ {passage_words}) AS int) - 1),"
+        f" i -> concat_ws(' ', slice(split(trim({text_col}), ' '),"
+        f" i * {passage_words} + 1, {passage_words})))"
+    )
+    with_p = df.select(F.col(id_col), passages.alias("_passages"))
+    kept = F.filter(
+        F.col("_passages"),
+        lambda x, i: F.array_position(F.col("_passages"), x) == i + 1,
+    )
+    return with_p.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_passages").cast("int").alias("n_passages"),
+        (F.size("_passages") - F.size(kept)).cast("int").alias("n_removed"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

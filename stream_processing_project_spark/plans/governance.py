@@ -454,6 +454,50 @@ def text_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_intradoc_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+pass AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(ws) / 2.0) AS INT))) AS idx,
+         unnest(list_transform(range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                i -> array_to_string(list_slice(ws, i * 2 + 1, i * 2 + 2), ' '))) AS passage
+  FROM toks
+),
+firsts AS (
+  SELECT doc_id, idx, passage,
+         min(idx) OVER (PARTITION BY doc_id, passage) AS first_idx
+  FROM pass
+),
+kept AS (SELECT * FROM firsts WHERE idx = first_idx),
+rebuilt AS (
+  SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       r.clean_text,
+       CAST(ceil(len(t.ws) / 2.0) AS INT) AS n_passages,
+       CAST(CAST(ceil(len(t.ws) / 2.0) AS INT) - r.n_kept AS INT) AS n_removed
+FROM toks t JOIN rebuilt r ON r.doc_id = t.doc_id
+""",
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document passage dedup (RefinedWeb intra-doc line dedup):
+    keep each passage's first occurrence inside its own document, in
+    order. Pure per-row array algebra — one narrow codegen pass, zero
+    shuffles/joins; composes in front of the cross-doc passage stage
+    (operators/text.py::intradoc_dedup). passage_words=2 because the
+    synthetic fixture vocabulary is tiny; real corpora dedup whole
+    lines with the identical plan."""
+    from stream_processing_project_spark.operators.text import intradoc_dedup
+
+    return intradoc_dedup(t(spark, sf_dir, "documents"), passage_words=2)
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
 WITH tok AS (

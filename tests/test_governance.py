@@ -159,3 +159,29 @@ def test_shard_shuffle_is_a_permutation_and_deterministic(spark):
         assert hashes == sorted(hashes)
     again = shard_shuffle(df.repartition(13), shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_intradoc_dedup_keeps_first_occurrence_in_order(spark):
+    """Planted repeats: only later duplicates of a passage are removed,
+    order is preserved, and the operator's plan is a single narrow pass
+    (no shuffle — no Exchange node anywhere)."""
+    from stream_processing_project_spark.operators.text import intradoc_dedup
+
+    rows = [
+        (0, "a b c d a b e f"),   # "a b" repeats → second removed
+        (1, "x y x y x y"),       # two later repeats removed
+        (2, "p q r s"),           # no repeats
+        (3, "z"),                 # single partial passage
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in intradoc_dedup(df, passage_words=2).collect()}
+    assert got[0].clean_text == "a b c d e f"
+    assert (got[0].n_passages, got[0].n_removed) == (4, 1)
+    assert got[1].clean_text == "x y"
+    assert (got[1].n_passages, got[1].n_removed) == (3, 2)
+    assert got[2].clean_text == "p q r s"
+    assert got[2].n_removed == 0
+    assert got[3].clean_text == "z"
+    assert (got[3].n_passages, got[3].n_removed) == (1, 0)
+    plan = intradoc_dedup(df, passage_words=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

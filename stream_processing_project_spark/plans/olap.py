@@ -594,6 +594,44 @@ def olap_cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "olap_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+""",
+)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric combination neither CUBE
+    nor ROLLUP expresses (both single-key marginals, no grand total),
+    with grouping() flags to disambiguate NULL keys from NULLed-out
+    grouping levels. Same scale shape as cube: Spark expands the sets
+    before partial aggregation, so the shuffle carries |groups| rows."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
     "olap_ntile_value_quartiles",
     oracle="""
 SELECT event_type, quartile,

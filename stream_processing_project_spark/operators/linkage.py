@@ -36,7 +36,16 @@ def blocked_fuzzy_pairs(
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a, id_b, <texts>, dist) where both
     records share the blocking key(s) and edit distance <= threshold.
-    Self-join de-duplicated by id_a < id_b inside the join condition."""
+    Self-join de-duplicated by id_a < id_b inside the join condition.
+
+    COMPARE-stage cost control (the expensive half of BLOCK→COMPARE):
+    a length pre-filter in the join condition prunes pairs whose length
+    gap already exceeds the budget (|len(a)-len(b)| ≤ k is necessary
+    for dist ≤ k — an O(1) test ahead of the O(n·k) one), and the
+    distance itself runs in Spark's BOUNDED form
+    (levenshtein(l, r, threshold), 3.5+) which early-exits the DP once
+    the running minimum passes the threshold — O(k·min(n,m)) per pair
+    instead of O(n·m), and far less for clearly-different strings."""
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias(f"{text_col}_a"),
@@ -50,11 +59,19 @@ def blocked_fuzzy_pairs(
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
         cond = cond & (F.col(c) == F.col(f"{c}_b"))
-    dist = F.levenshtein(F.col(f"{text_col}_a"), F.col(f"{text_col}_b"))
+    cond = cond & (
+        F.abs(
+            F.length(F.col(f"{text_col}_a")) - F.length(F.col(f"{text_col}_b"))
+        )
+        <= max_distance
+    )
+    dist = F.levenshtein(
+        F.col(f"{text_col}_a"), F.col(f"{text_col}_b"), max_distance
+    )
     return (
         a.join(b, cond)
         .withColumn("dist", dist)
-        .filter(F.col("dist") <= max_distance)
+        .filter(F.col("dist") >= 0)  # bounded form returns -1 past threshold
         .select("id_a", "id_b", f"{text_col}_a", f"{text_col}_b", "dist")
     )
 

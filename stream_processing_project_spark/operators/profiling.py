@@ -90,3 +90,53 @@ def value_histogram(
             F.max(v).alias("hi"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket_width: float = 8.0,
+    quantiles: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width histogram sketch
+    — the MERGEABLE percentile shape for warehouse scale: per-partition
+    bin counts combine map-side like any algebraic aggregate (state is
+    O(bins) regardless of row count, partials union across days/shards
+    by simple addition — none of that is true of exact percentiles or
+    of engine-specific digest sketches). The estimate is the left edge
+    of the first bin whose cumulative count reaches q·total — a
+    deterministic integer decision (floor of a division for binning,
+    bigint cumulative counts), so the sketch reproduces bit-for-bit in
+    any engine and the result is fully value-hash-oracle-able, unlike
+    approx_percentile's implementation-defined digest. Resolution is
+    bucket_width; at 100 TB the window runs over the TINY histogram
+    (|groups|·|bins| rows), never the raw data."""
+    from pyspark.sql import Window
+
+    quantiles = quantiles or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    v = F.col(value_col)
+    hist = df.groupBy(
+        F.col(group_col),
+        F.floor(v / F.lit(bucket_width)).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    c = hist.select(
+        group_col,
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    aggs = [F.max("total").alias("n")] + [
+        (
+            F.min(F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("bin")))
+            * F.lit(bucket_width)
+        ).alias(name)
+        for name, q in quantiles.items()
+    ]
+    return c.groupBy(group_col).agg(*aggs)

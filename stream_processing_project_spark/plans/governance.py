@@ -97,6 +97,47 @@ def profile_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(t(spark, sf_dir, "events"), "value", 50.0)
 
 
+@register(
+    "profile_histogram_quantiles",
+    oracle="""
+WITH hist AS (
+  SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type,
+       CAST(max(total) AS BIGINT) AS n,
+       min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS p50,
+       min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS p90,
+       min(CASE WHEN cum >= 0.99 * total THEN bin END) * 8.0 AS p99
+FROM c GROUP BY event_type
+""",
+)
+def profile_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch percentiles (p50/p90/p99 of value per
+    event type): fixed-width bin counts are the sketch (algebraic,
+    map-side combinable, O(bins) state — the shape that rolls up across
+    days/shards by addition), quantile = left edge of the first bin
+    reaching q·total. Deterministic integer decisions end to end, so
+    unlike approx_percentile's digest this approximation carries a full
+    value-hash oracle (operators/profiling.py::histogram_quantiles);
+    exact-quantile tradeoff is covered by olap_distinct_quantiles /
+    olap_median_order_value."""
+    from stream_processing_project_spark.operators.profiling import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        t(spark, sf_dir, "events"), "value", "event_type", bucket_width=8.0
+    )
+
+
 # =========================== reconciliation =================================
 
 

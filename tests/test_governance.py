@@ -185,3 +185,39 @@ def test_intradoc_dedup_keeps_first_occurrence_in_order(spark):
     assert (got[3].n_passages, got[3].n_removed) == (1, 0)
     plan = intradoc_dedup(df, passage_words=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_histogram_quantiles_mergeable_and_bounded_error(spark):
+    """The histogram sketch is mergeable by construction: quantiles from
+    (partA histogram + partB histogram) equal quantiles from one pass —
+    and each estimate sits within one bucket width of the exact
+    percentile."""
+    import pyspark.sql.functions as SF
+    from stream_processing_project_spark.operators.profiling import (
+        histogram_quantiles,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    one_pass = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in histogram_quantiles(df, "value", "event_type").collect()
+    }
+    # split, sketch each half, union the halves' raw rows — bin counts
+    # add, so the merged result must be identical
+    half_a = df.filter(SF.col("event_id") % 2 == 0)
+    half_b = df.filter(SF.col("event_id") % 2 == 1)
+    merged = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in histogram_quantiles(
+            half_a.unionByName(half_b), "value", "event_type"
+        ).collect()
+    }
+    assert merged == one_pass
+    exact = {
+        r.event_type: r.q
+        for r in df.groupBy("event_type")
+        .agg(SF.expr("percentile(value, 0.5)").alias("q"))
+        .collect()
+    }
+    for et, (_, p50, _, _) in one_pass.items():
+        assert abs(exact[et] - p50) <= 8.0  # within one bucket width

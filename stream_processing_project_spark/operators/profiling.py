@@ -140,3 +140,61 @@ def histogram_quantiles(
         for name, q in quantiles.items()
     ]
     return c.groupBy(group_col).agg(*aggs)
+
+
+def drift_psi(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    period_col: str,
+    bucket_width: float = 8.0,
+) -> DataFrame:
+    """Population Stability Index between two periods of a numeric
+    column, per group — the standard feature/data drift monitor a
+    training pipeline runs between corpus snapshots or train/serve
+    windows: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b), with add-one
+    smoothing so empty bins stay finite. `period_col` must hold 'a'/'b'.
+
+    Determinism (cross-engine oracle-able, same recipe as
+    text.unigram_logprob): all bin counts and totals are exact bigints;
+    the single ln runs on one division of exact-integer products and is
+    quantized to integer micro-nats BEFORE the multiply; the per-bin
+    contribution rounds to a bigint; the final PSI is a SUM OF BIGINTS
+    — no float addition order anywhere. Reported as psi_micro (PSI ×
+    1e6).
+
+    Scale shape: one groupBy over the raw data (map-side combinable,
+    O(|groups|·|bins|) out), everything after runs on the tiny
+    histogram. Mergeable across shards like any histogram sketch."""
+    v = F.col(value_col)
+    is_a = (F.col(period_col) == "a").cast("long")
+    binned = df.groupBy(
+        F.col(group_col),
+        F.floor(v / F.lit(bucket_width)).cast("long").alias("bin"),
+    ).agg(
+        F.sum(is_a).alias("ca"),
+        F.sum(1 - is_a).alias("cb"),
+    )
+    totals = binned.groupBy(group_col).agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("nbins"),
+    )
+    j = binned.join(F.broadcast(totals), group_col)
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("nbins"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("nbins"))
+    ratio = ((F.col("ca") + 1) * (F.col("nb") + F.col("nbins"))) / (
+        (F.col("cb") + 1) * (F.col("na") + F.col("nbins"))
+    )
+    lr_micro = F.round(F.log(ratio) * 1e6, 0).cast("bigint")
+    contrib = F.round((pa - pb) * lr_micro, 0).cast("bigint")
+    return (
+        j.withColumn("contrib", contrib)
+        .groupBy(group_col)
+        .agg(
+            F.sum("contrib").alias("psi_micro"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("nbins").alias("n_bins"),
+        )
+    )

@@ -138,6 +138,56 @@ def profile_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_drift_psi",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN hour(ts) % 2 = 0 THEN 'a' ELSE 'b' END AS period
+  FROM events
+),
+binned AS (
+  SELECT event_type, CAST(floor(value / 8.0) AS BIGINT) AS bin,
+         sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM ev GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, sum(ca) AS na, sum(cb) AS nb, count(*) AS nbins
+  FROM binned GROUP BY 1
+),
+j AS (
+  SELECT b.event_type, b.ca, b.cb, t.na, t.nb, t.nbins,
+         CAST(round(ln(((b.ca + 1) * (t.nb + t.nbins)) * 1.0
+                       / ((b.cb + 1) * (t.na + t.nbins))) * 1e6) AS BIGINT) AS lr_micro
+  FROM binned b JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(CAST(round(((ca + 1) * 1.0 / (na + nbins)
+                            - (cb + 1) * 1.0 / (nb + nbins)) * lr_micro) AS BIGINT)) AS BIGINT) AS psi_micro,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(max(nbins) AS BIGINT) AS n_bins
+FROM j GROUP BY event_type
+""",
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor: distribution shift of
+    event values between two periods (even vs odd ingest hour as the
+    A/B stand-in), per event type — the between-snapshot check a
+    training pipeline runs before trusting a new corpus cut. Histogram
+    counts are the sketch; the one ln is micro-nat-quantized before any
+    multiply, so PSI is a bigint sum with a full value-hash oracle
+    (operators/profiling.py::drift_psi)."""
+    from stream_processing_project_spark.operators.profiling import drift_psi
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "period",
+        F.when(F.hour("ts") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+    )
+    return drift_psi(ev, "value", "event_type", "period", bucket_width=8.0)
+
+
 # =========================== reconciliation =================================
 
 

@@ -221,3 +221,30 @@ def test_histogram_quantiles_mergeable_and_bounded_error(spark):
     }
     for et, (_, p50, _, _) in one_pass.items():
         assert abs(exact[et] - p50) <= 8.0  # within one bucket width
+
+
+def test_drift_psi_detects_planted_shift(spark):
+    """PSI is near zero when both periods share a distribution and
+    clearly larger when one period is shifted; output is deterministic
+    bigint arithmetic (two runs identical)."""
+    import pyspark.sql.functions as SF
+    from stream_processing_project_spark.operators.profiling import drift_psi
+
+    n = 2000
+    base = spark.range(n).select(
+        SF.lit("g").alias("grp"),
+        (SF.col("id") % 100).cast("double").alias("value"),
+        SF.when(SF.col("id") % 2 == 0, "a").otherwise("b").alias("period"),
+    )
+    same = drift_psi(base, "value", "grp", "period").collect()[0]
+    shifted = base.withColumn(
+        "value",
+        SF.when(SF.col("period") == "b", SF.col("value") + 200.0).otherwise(
+            SF.col("value")
+        ),
+    )
+    moved = drift_psi(shifted, "value", "grp", "period").collect()[0]
+    assert same.psi_micro < 100_000          # ~0 PSI for identical halves
+    assert moved.psi_micro > 1_000_000       # >1.0 PSI for disjoint supports
+    again = drift_psi(shifted, "value", "grp", "period").collect()[0]
+    assert tuple(moved) == tuple(again)

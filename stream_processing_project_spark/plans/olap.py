@@ -1748,3 +1748,73 @@ def olap_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled-iteration DuckDB twin of operators/graph.py::pagerank
+    over the nation trade graph: one CTE per power iteration (fixed
+    count, so no recursive-CTE aggregation restrictions), identical
+    integer micro-unit arithmetic at every step."""
+    head = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+trans AS (
+  SELECT src, dst, CAST(round(w * 1000000.0 / wout) AS BIGINT) AS p_micro
+  FROM (SELECT e.*, sum(w) OVER (PARTITION BY src) AS wout FROM edges e)
+),
+nodes AS (SELECT DISTINCT src AS node FROM trans UNION SELECT DISTINCT dst AS node FROM trans),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r_micro FROM nodes, nn)"""
+    step = """,
+pr{k} AS (
+  SELECT n.node,
+         CAST(round(150000.0 / nn.n) AS BIGINT)
+         + CAST(round(0.85 * coalesce(i.s, 0)) AS BIGINT) AS r_micro
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT t.dst AS node,
+           sum(CAST(round(p.r_micro * t.p_micro / 1000000.0) AS BIGINT)) AS s
+    FROM trans t JOIN pr{prev} p ON p.node = t.src GROUP BY 1
+  ) i ON i.node = n.node
+)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iterations + 1))
+    return f"{head}{body}\nSELECT node, r_micro FROM pr{iterations}\n"
+
+
+@register("olap_nation_pagerank", oracle=_pagerank_oracle(10))
+def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer nation →
+    supplier nation, edge weight = exact revenue cents summed per row
+    BEFORE aggregation so the weight is order-free) — the iterative-
+    algorithm family with a FULL value-hash oracle: ranks live in
+    integer micro-units, every per-edge contribution rounds to bigint
+    before the incoming sum, so 10 power iterations reproduce
+    bit-for-bit in unrolled SQL (operators/graph.py::pagerank). Scale
+    shape: the heavy work is the one-time edge extraction (big joins,
+    map-side-combined groupBy); each iteration is a broadcast join of
+    the O(|nodes|) rank table against the checkpointed edge table."""
+    from stream_processing_project_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .agg(F.sum(cents).alias("w"))
+    )
+    return pagerank(edges, iterations=10, damping=0.85)

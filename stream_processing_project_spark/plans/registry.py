@@ -94,6 +94,15 @@ _PRIORITY = [
     "olap_waiting_suppliers",
     "olap_important_parts",
     "olap_dominant_shippers",
+    # new or reworked this session — each needs a first driver row
+    "similarity_ann_pq",
+    "similarity_ann_pq_rerank",
+    "text_intradoc_dedup",
+    "olap_grouping_sets",
+    "profile_histogram_quantiles",
+    "profile_drift_psi",
+    "olap_nation_pagerank",
+    "linkage_fuzzy_parts",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

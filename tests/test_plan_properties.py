@@ -234,3 +234,38 @@ def test_epoch_materialize_fact_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(doc_id" not in plan, plan
     assert re.search(r"\(\d+\) Generate", plan), plan  # the explode is present
+
+
+def test_pq_adc_pass_joins_codes_not_vectors(spark):
+    """PQ's corpus-wide scoring join must be a broadcast HASH join on
+    (subspace, code) — the only nested-loop allowed is the bounded
+    codebook cross-join that builds the per-query LUT (≤ m·2^bits rows
+    broadcast)."""
+    for name in ["similarity_ann_pq", "similarity_ann_pq_rerank"]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        # formatted output names each node twice (tree + detail) — count
+        # physical nodes by their "(id) Operator" detail headers
+        nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+        assert len(nlj_nodes) <= 1, (name, nlj_nodes)
+        assert "Cartesian" not in plan, name
+
+
+def test_sketch_ops_collapse_before_windows(spark):
+    """Histogram-sketch ops must aggregate the raw scan down to the
+    bin table (partial aggregation → one exchange) before any window
+    or join runs; their scans must prune to the consumed columns."""
+    for name, cols in [
+        ("profile_histogram_quantiles", {"event_type", "value"}),
+        ("profile_drift_psi", {"event_type", "value", "ts"}),
+    ]:
+        df = all_queries()[name].builder(spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Cartesian" not in plan, name
+        for schema in read_schemas(plan):
+            got = {
+                f.split(":")[0]
+                for f in schema.strip("struct<>").split(",")
+                if f.split(":")[0]
+            }
+            assert got <= cols, (name, got)

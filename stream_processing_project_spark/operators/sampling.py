@@ -204,3 +204,45 @@ def shard_shuffle(
     out = df.withColumn("shard", (h % shards).cast("int"))
     w = Window.partitionBy("shard").orderBy(h, F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w))
+
+
+def nucleus_select(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    group_col: str,
+    p: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-p ("nucleus") corpus selection: rank documents by
+    quality score (descending, id tiebreak) and keep the best prefix
+    whose token mass stays under p · group_total — the mixture-building
+    step that caps each domain at its token budget while preferring its
+    best documents (quality-pruned data mixtures). A doc is kept iff the
+    cumulative token count BEFORE it is under the budget, so the doc
+    that crosses the line is included and every group keeps ≥ 1 doc.
+
+    Determinism: score and token counts are exact integers, the
+    cumulative sum is a bigint window over a total order (score desc,
+    id), and the only float op is the single p·total compare —
+    identical operands in any engine.
+
+    Scale: one shuffle on the group key + a per-group sort (the same
+    envelope as shard_shuffle); domains far larger than a task should
+    pre-prune with a score-histogram threshold (two cheap aggregates)
+    before the exact windowed pass."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    return (
+        df.withColumn("cum_tokens", F.sum(token_col).over(w))
+        .withColumn("_total", F.sum(token_col).over(wall))
+        .filter(
+            (F.col("cum_tokens") - F.col(token_col))
+            < F.lit(p) * F.col("_total")
+        )
+        .select(group_col, id_col, score_col, token_col, "cum_tokens")
+    )

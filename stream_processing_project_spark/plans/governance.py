@@ -188,6 +188,52 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_psi(ev, "value", "event_type", "period", bucket_width=8.0)
 
 
+@register(
+    "sampling_quality_topp",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+              w -> list_contains(['the','a','an','of','and','to','in','is','it','that'], w))) AS BIGINT) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, score, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(n_tokens) OVER (PARTITION BY source) AS total
+  FROM d
+)
+SELECT source, doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE (cum_tokens - n_tokens) < 0.8 * total
+""",
+)
+def sampling_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus selection per domain: keep each source's
+    best documents — ranked by an integer quality score (English
+    stopword hits; stand-in for any scorer) — until 80% of the domain's
+    token mass is covered. The quality-pruned data-mixture step
+    (operators/sampling.py::nucleus_select); bigint cumulative sums
+    over a total order make the cut deterministic and fully oracled."""
+    from stream_processing_project_spark.operators.sampling import nucleus_select
+    from stream_processing_project_spark.operators.text import (
+        stopword_hits,
+        token_count,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        stopword_hits(F.col("text"), "en").cast("long").alias("score"),
+    )
+    return nucleus_select(
+        d, score_col="score", token_col="n_tokens", group_col="source", p=0.8
+    )
+
+
 # =========================== reconciliation =================================
 
 

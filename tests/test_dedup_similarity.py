@@ -625,3 +625,27 @@ def test_pq_rerank_widening_shortlist_converges_to_exact(spark):
         ).collect()
     )
     assert exact == full
+
+
+def test_nucleus_select_prefers_quality_and_respects_budget(spark):
+    """Top-p keeps the best-scored prefix per group: the token mass
+    BEFORE each kept doc stays under p·total, at least one doc per
+    group survives, and a kept doc never scores below a dropped doc of
+    the same group (modulo the id tiebreak at equal scores)."""
+    from stream_processing_project_spark.operators.sampling import nucleus_select
+
+    rows = [
+        # group g1: scores 9,5,1 with tokens 40,40,40 (total 120, p=.5 → 60)
+        ("g1", 1, 9, 40), ("g1", 2, 5, 40), ("g1", 3, 1, 40),
+        # group g2: one huge doc crossing the line alone
+        ("g2", 4, 7, 100), ("g2", 5, 6, 10),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score", "n_tokens"])
+    kept = nucleus_select(
+        df, "score", "n_tokens", "source", p=0.5, id_col="doc_id"
+    ).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.source, set()).add(r.doc_id)
+    assert by_g["g1"] == {1, 2}   # 40 < 60 keeps doc1; 80-40=40 < 60 keeps doc2; 120-40=80 ≥ 60 drops doc3
+    assert by_g["g2"] == {4}      # crossing doc kept, everything after dropped

@@ -534,3 +534,83 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a tolerance band, the honest semantics of a sketch)."""
     events = pipeline.file_event_stream(spark, sf_dir)
     return pipeline.run_to_completion(pipeline.hll_distinct_users_stream(events))
+
+
+@register(
+    "streaming_histogram_quantiles",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+binned AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS wb, event_type,
+         CAST(floor(value / 8.0) AS BIGINT) AS bin, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+closed AS (
+  SELECT b.* FROM binned b, mx
+  WHERE wb + INTERVAL 10 MINUTE <= m - INTERVAL 15 MINUTE
+),
+c AS (
+  SELECT wb, event_type, bin,
+         sum(cnt) OVER (PARTITION BY wb, event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY wb, event_type) AS total
+  FROM closed
+)
+SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       CAST(max(total) AS BIGINT) AS n,
+       min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS p50,
+       min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS p90
+FROM c GROUP BY 1, 2
+""",
+)
+def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentiles via the mergeable histogram sketch: the
+    STREAM maintains only watermarked per-window BIN COUNTS (bounded
+    state: |windows|·|types|·|bins| rows — never per-event, never a
+    digest the engine can't merge); closed windows emit their sketch in
+    append mode, and quantiles finalize on read from the tiny bin table
+    — the sketch-in-stream / finalize-on-serve split every streaming
+    warehouse uses for p95 dashboards. Deterministic end to end, so the
+    full pipeline value-hash-oracles (batch twin:
+    profile_histogram_quantiles)."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    binned = (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"),
+            "event_type",
+            (F.floor(F.col("value") / 8.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "bin",
+            "cnt",
+        )
+    )
+    sketch = pipeline.run_to_completion(binned)
+    wcum = (
+        Window.partitionBy("w_start", "event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("w_start", "event_type")
+    c = sketch.select(
+        "w_start",
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return c.groupBy("w_start", "event_type").agg(
+        F.max("total").alias("n"),
+        (
+            F.min(F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("bin")))
+            * 8.0
+        ).alias("p50"),
+        (
+            F.min(F.when(F.col("cum") >= 0.9 * F.col("total"), F.col("bin")))
+            * 8.0
+        ).alias("p90"),
+    )

@@ -103,6 +103,8 @@ _PRIORITY = [
     "profile_drift_psi",
     "olap_nation_pagerank",
     "linkage_fuzzy_parts",
+    "sampling_quality_topp",
+    "streaming_histogram_quantiles",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -961,6 +961,56 @@ def profile_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.unionByName(total)
 
 
+@register(
+    "profile_distinct_overlap_hll",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 230),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND value > 230),
+u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+SELECT (SELECT count(*) FROM a) AS n_click,
+       (SELECT count(*) FROM b) AS n_view,
+       (SELECT count(*) FROM u) AS n_union,
+       (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+       - (SELECT count(*) FROM u) AS n_overlap
+""",
+)
+def profile_distinct_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via mergeable sketches: distinct high-value
+    clickers, distinct high-value viewers (partially-overlapping
+    segments), their union (HLL sketch union — never a re-scan),
+    and the overlap by inclusion-exclusion — the cross-segment
+    cardinality question (shared users between two corpus slices, two
+    days, two sources) answered from KB-sized mergeable state instead
+    of a user-level join. One scan builds both sketches as conditional
+    aggregates. Oracle: exact counts — valid below the lgK=12 sparse-
+    mode threshold at the gate SF (the profile_distinct_rollup_hll
+    trick); estimate error at larger SF is bounded in
+    tests/test_approx.py."""
+    ev = t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 230), F.col("user_id")), F.lit(12)
+        ).alias("sk_a"),
+        F.hll_sketch_agg(
+            F.when((F.col("event_type") == "view") & (F.col("value") > 230), F.col("user_id")), F.lit(12)
+        ).alias("sk_b"),
+    )
+    return sk.select(
+        F.hll_sketch_estimate("sk_a").cast("long").alias("n_click"),
+        F.hll_sketch_estimate("sk_b").cast("long").alias("n_view"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        )
+        .cast("long")
+        .alias("n_union"),
+        (
+            F.hll_sketch_estimate("sk_a").cast("long")
+            + F.hll_sketch_estimate("sk_b").cast("long")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).cast("long")
+        ).alias("n_overlap"),
+    )
+
+
 # --- data-quality expectations: declarative checks, one report ----------------
 @register(
     "quality_expectations",

@@ -444,6 +444,49 @@ def intradoc_dedup(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character (≡ byte, for ASCII payloads) Shannon
+    entropy — the junk detector that flags base64 blobs, minified or
+    encrypted content (entropy near ln 64 ≈ 4.16 / ln 256 ≈ 5.5 nats)
+    and degenerate repetition (entropy near 0), both of which natural
+    text (~2.5-3.2 nats) escapes. Output: id, n_chars, n_distinct,
+    entropy_micro (nats × 1e6).
+
+    Determinism: each distinct char's term (c/n)·ln(n/c) is quantized
+    to integer micro-nats independently, and the doc's entropy is the
+    bigint SUM of those terms — no float addition order; the unordered
+    distinct-array difference between engines cannot matter.
+
+    Scale shape: pure per-row array algebra (distinct → filter-count
+    per distinct char, the repetition_features convention) — one
+    narrow codegen pass, zero shuffles; O(distinct·len) JVM ops per doc
+    is bounded because alphabets are small."""
+    with_arr = df.select(
+        F.col(id_col), F.split(F.col(text_col), "").alias("_chars")
+    )
+    n = F.size("_chars")
+    counts = F.transform(
+        F.array_distinct("_chars"),
+        lambda d: F.size(F.filter(F.col("_chars"), lambda x: x == d)),
+    )
+    terms = F.transform(
+        counts,
+        lambda c: F.round((c / n) * F.log(n / c) * 1e6, 0).cast("long"),
+    )
+    return with_arr.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        F.size(F.array_distinct("_chars")).cast("int").alias("n_distinct"),
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "entropy_micro"
+        ),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

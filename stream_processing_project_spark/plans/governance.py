@@ -189,6 +189,33 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_char_entropy",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, '') AS chars FROM documents)
+SELECT doc_id,
+       CAST(len(chars) AS INTEGER) AS n_chars,
+       CAST(len(list_distinct(chars)) AS INTEGER) AS n_distinct,
+       CAST(list_sum(list_transform(list_distinct(chars),
+            d -> CAST(round((len(list_filter(chars, x -> x = d)) * 1.0 / len(chars))
+                 * ln(len(chars) * 1.0 / len(list_filter(chars, x -> x = d))) * 1e6) AS BIGINT)
+       )) AS BIGINT) AS entropy_micro
+FROM d
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte/char Shannon entropy — flags base64/encrypted
+    junk (high entropy) and degenerate repetition (near zero) that
+    natural text escapes; a standard corpus-governance filter. Each
+    distinct char's term quantizes to micro-nats independently and the
+    doc sums bigints, so the unordered distinct set can't leak engine
+    order (operators/text.py::char_entropy). Narrow codegen pass, zero
+    shuffles."""
+    from stream_processing_project_spark.operators.text import char_entropy
+
+    return char_entropy(t(spark, sf_dir, "documents"))
+
+
+@register(
     "sampling_quality_topp",
     oracle="""
 WITH d AS (

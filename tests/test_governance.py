@@ -248,3 +248,27 @@ def test_drift_psi_detects_planted_shift(spark):
     assert moved.psi_micro > 1_000_000       # >1.0 PSI for disjoint supports
     again = drift_psi(shifted, "value", "grp", "period").collect()[0]
     assert tuple(moved) == tuple(again)
+
+
+def test_char_entropy_extremes_and_determinism(spark):
+    """Degenerate repetition scores ~0 nats, a uniform alphabet scores
+    ln(k) nats (micro-quantized), and the result is identical across
+    partitionings."""
+    import math
+
+    from stream_processing_project_spark.operators.text import char_entropy
+
+    rows = [
+        (0, "aaaaaaaa"),                 # zero entropy
+        (1, "abcdabcdabcdabcd"),         # uniform over 4 chars → ln 4
+        (2, "abcdefgh"),                 # uniform over 8 chars → ln 8
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert got[0].entropy_micro == 0
+    assert abs(got[1].entropy_micro - round(math.log(4) * 1e6)) <= 4
+    assert abs(got[2].entropy_micro - round(math.log(8) * 1e6)) <= 8
+    assert (got[2].n_chars, got[2].n_distinct) == (8, 8)
+    a = sorted(map(tuple, char_entropy(df).collect()))
+    b = sorted(map(tuple, char_entropy(df.repartition(7)).collect()))
+    assert a == b

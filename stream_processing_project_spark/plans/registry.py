@@ -105,6 +105,8 @@ _PRIORITY = [
     "linkage_fuzzy_parts",
     "sampling_quality_topp",
     "streaming_histogram_quantiles",
+    "profile_distinct_overlap_hll",
+    "text_char_entropy",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

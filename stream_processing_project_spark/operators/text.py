@@ -409,6 +409,7 @@ def intradoc_dedup(
     passage_words: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """WITHIN-document passage dedup — passage_dedup's sibling for the
     repetition inside one document (RefinedWeb/MassiveText intra-doc
@@ -431,13 +432,16 @@ def intradoc_dedup(
         f" i -> concat_ws(' ', slice(split(trim({text_col}), ' '),"
         f" i * {passage_words} + 1, {passage_words})))"
     )
-    with_p = df.select(F.col(id_col), passages.alias("_passages"))
+    with_p = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], passages.alias("_passages")
+    )
     kept = F.filter(
         F.col("_passages"),
         lambda x, i: F.array_position(F.col("_passages"), x) == i + 1,
     )
     return with_p.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array_join(kept, " ").alias("clean_text"),
         F.size("_passages").cast("int").alias("n_passages"),
         (F.size("_passages") - F.size(kept)).cast("int").alias("n_removed"),
@@ -448,6 +452,7 @@ def char_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document character (≡ byte, for ASCII payloads) Shannon
     entropy — the junk detector that flags base64 blobs, minified or
@@ -466,7 +471,9 @@ def char_entropy(
     narrow codegen pass, zero shuffles; O(distinct·len) JVM ops per doc
     is bounded because alphabets are small."""
     with_arr = df.select(
-        F.col(id_col), F.split(F.col(text_col), "").alias("_chars")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.split(F.col(text_col), "").alias("_chars"),
     )
     n = F.size("_chars")
     counts = F.transform(
@@ -479,6 +486,7 @@ def char_entropy(
     )
     return with_arr.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n.cast("int").alias("n_chars"),
         F.size(F.array_distinct("_chars")).cast("int").alias("n_distinct"),
         F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v).alias(

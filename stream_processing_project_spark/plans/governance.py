@@ -189,6 +189,102 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_refine_pipeline",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents
+),
+pass AS (
+  SELECT doc_id, source,
+         unnest(range(0, CAST(ceil(len(ws) / 2.0) AS INT))) AS idx,
+         unnest(list_transform(range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                i -> array_to_string(list_slice(ws, i * 2 + 1, i * 2 + 2), ' '))) AS passage
+  FROM toks
+),
+firsts AS (
+  SELECT doc_id, source, idx, passage,
+         min(idx) OVER (PARTITION BY doc_id, passage) AS first_idx
+  FROM pass
+),
+rebuilt AS (
+  SELECT doc_id, source, string_agg(passage, ' ' ORDER BY idx) AS clean_text
+  FROM firsts WHERE idx = first_idx GROUP BY doc_id, source
+),
+ch AS (SELECT doc_id, source, clean_text, string_split(clean_text, '') AS chars FROM rebuilt),
+ent AS (
+  SELECT doc_id, source, clean_text,
+         CAST(list_sum(list_transform(list_distinct(chars),
+              d -> CAST(round((len(list_filter(chars, x -> x = d)) * 1.0 / len(chars))
+                   * ln(len(chars) * 1.0 / len(list_filter(chars, x -> x = d))) * 1e6) AS BIGINT)
+         )) AS BIGINT) AS entropy_micro
+  FROM ch
+),
+d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(trim(clean_text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(trim(clean_text), ' '),
+              w -> list_contains(['the','a','an','of','and','to','in','is','it','that'], w))) AS BIGINT) AS score
+  FROM ent WHERE entropy_micro >= 2750000
+),
+ranked AS (
+  SELECT source, doc_id, score, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(n_tokens) OVER (PARTITION BY source) AS total
+  FROM d
+)
+SELECT source, doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked
+WHERE (cum_tokens - n_tokens) < 0.7 * total
+""",
+)
+def corpus_refine_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This round's refinement ops composed end to end — intra-doc
+    passage dedup → char-entropy junk filter (drop the most-repetitive
+    tail, < 2.75 nats) → per-domain top-p selection (p=0.7 of surviving
+    token mass, quality-ranked) — the corpus-refinement pipeline a
+    training-data platform runs between raw ingest and mixture
+    building. Everything before the nucleus stage is narrow per-row
+    array algebra (zero joins), and the only shuffle is the top-p
+    window on source.
+
+    The refine stage MATERIALIZES (localCheckpoint) before the filter:
+    Catalyst's predicate pushdown re-inlines referenced aliases into
+    the pushed condition, and with nested higher-order functions
+    (entropy ∘ clean_text ∘ passages) that substitution is
+    exponential — the un-checkpointed plan spends minutes in codegen.
+    Materializing between passes is also the production corpus-
+    pipeline shape (each CCNet-style stage writes its cleaned corpus
+    before the next reads it); fully oracled."""
+    from stream_processing_project_spark.operators.sampling import nucleus_select
+    from stream_processing_project_spark.operators.text import (
+        char_entropy,
+        intradoc_dedup,
+        stopword_hits,
+        token_count,
+    )
+
+    cleaned = intradoc_dedup(
+        t(spark, sf_dir, "documents"), passage_words=2, keep_cols=("source",)
+    )
+    ent = char_entropy(
+        cleaned, text_col="clean_text", keep_cols=("source", "clean_text")
+    ).select(
+        "source", "doc_id", "clean_text", "entropy_micro"
+    ).localCheckpoint()
+    survivors = ent.filter(F.col("entropy_micro") >= 2_750_000).select(
+        "source",
+        "doc_id",
+        token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
+        stopword_hits(F.col("clean_text"), "en").cast("long").alias("score"),
+    )
+    return nucleus_select(
+        survivors, score_col="score", token_col="n_tokens",
+        group_col="source", p=0.7,
+    )
+
+
+@register(
     "text_char_entropy",
     oracle="""
 WITH d AS (SELECT doc_id, string_split(text, '') AS chars FROM documents)

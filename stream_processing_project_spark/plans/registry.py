@@ -107,6 +107,7 @@ _PRIORITY = [
     "streaming_histogram_quantiles",
     "profile_distinct_overlap_hll",
     "text_char_entropy",
+    "corpus_refine_pipeline",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

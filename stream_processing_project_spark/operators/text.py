@@ -246,26 +246,39 @@ def fingerprint_docs(
     `window` consecutive grams. Guarantee: two documents sharing a
     substring of length >= k + window - 1 share >= 1 fingerprint — the
     candidate-pair generator for plagiarism-style near-dup mining (join
-    on exploded fingerprints, like the shingle path in dedup.py). Pure
-    codegen'd higher-order functions: O(len × window) JVM work per
-    document, no shuffle, no Python."""
+    on exploded fingerprints, like the shingle path in dedup.py).
+    Higher-order functions, O(len × window) JVM work per document.
+
+    Execution note (the refine-pipeline lesson, PLANS.md): the gram
+    array MUST materialize (fan-out + localCheckpoint) before the
+    sliding-min pass. Collapsed into one projection, Catalyst inlines
+    the `_grams` alias into the window lambda, so every window position
+    re-hashes the whole document — O(len²) interpreted evals per doc —
+    and every downstream reference (the candidates query reads the
+    fingerprint table four times) repeats it, all on however few
+    partitions the source scan produced. Measured: the un-materialized
+    form ran 8+ min PER REFERENCE on one task at sf0.1; materialized,
+    the whole table builds in seconds across all cores and is reused."""
+    from stream_processing_project_spark.sources.fixtures import fan_out_if_narrow
+
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)),"
         f" i -> xxhash64(substring({text_col}, i, {k})))"
     )
-    return (
-        df.filter(F.length(text_col) >= k)
-        .withColumn("_grams", grams)
+    with_grams = (
+        fan_out_if_narrow(df.filter(F.length(text_col) >= k))
+        .select("doc_id", grams.alias("_grams"))
         .filter(F.size("_grams") >= window)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(_grams) - {window}),"
-                    f" j -> array_min(slice(_grams, j + 1, {window})))"
-                )
-            ).alias("fingerprints"),
-        )
+        .localCheckpoint()
+    )
+    return with_grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(_grams) - {window}),"
+                f" j -> array_min(slice(_grams, j + 1, {window})))"
+            )
+        ).alias("fingerprints"),
     )
 
 

@@ -383,11 +383,20 @@ def ann_lsh_topk_oracled(
     """ann_lsh_topk's deterministic twin: same bucket-prune shape, but
     planes/codes reproducible in ANSI SQL → full value-hash oracle for
     the approximate result. Multi-probe = own bucket + all Hamming-1
-    flips (bits+1 probes of 2^bits buckets)."""
-    c = corpus.selectExpr(
+    flips (bits+1 probes of 2^bits buckets).
+
+    The quantized array materializes (localCheckpoint) before the code
+    aggregate: collapsed into one projection, every element_at(qq, d)
+    re-evaluates the whole quantize transform (the PLANS.md inlining
+    failure class — measured 33 s at sf0.1 inlined vs ~2 s
+    materialized)."""
+    cq = corpus.selectExpr(
         f"{id_col} AS neighbor_id",
         f"cast({vec_col} AS array<double>) AS cv",
-        f"{_code_expr(_quantize_expr(vec_col, dim), bits, dim)} AS bucket",
+        f"{_quantize_expr(vec_col, dim)} AS qq",
+    ).localCheckpoint()
+    c = cq.selectExpr(
+        "neighbor_id", "cv", f"{_code_expr('qq', bits, dim)} AS bucket"
     )
     q = queries.selectExpr(
         f"{id_col} AS query_id",
@@ -433,12 +442,17 @@ def ivf_topk_oracled(
     (smallest |integer margin| — multi-probe LSH, Lv et al. 2007; the
     near-boundary flips are exactly the "next-nearest centroids"). All
     margin comparisons are exact integers, so list assignment, probe
-    ranking, and the final top-k reproduce bit-for-bit in SQL."""
+    ranking, and the final top-k reproduce bit-for-bit in SQL.
+    Quantized arrays materialize before the code aggregates (same
+    inlining hazard and fix as ann_lsh_topk_oracled)."""
     bits = list_bits
-    c = corpus.selectExpr(
+    cq = corpus.selectExpr(
         f"{id_col} AS neighbor_id",
         f"cast({vec_col} AS array<double>) AS cv",
-        f"{_code_expr(_quantize_expr(vec_col, dim), bits, dim)} AS bucket",
+        f"{_quantize_expr(vec_col, dim)} AS qq",
+    ).localCheckpoint()
+    c = cq.selectExpr(
+        "neighbor_id", "cv", f"{_code_expr('qq', bits, dim)} AS bucket"
     )
     dot = (
         f"aggregate(sequence(1, {dim}), cast(0 AS bigint),"
@@ -553,9 +567,17 @@ def pq_topk(
     coded_q = queries.selectExpr(
         f"{id_col} AS query_id", f"{_quantize_expr(vec_col, dim)} AS qq"
     )
-    coded_c = corpus.selectExpr(
-        f"{id_col} AS neighbor_id", f"{_quantize_expr(vec_col, dim)} AS qq"
-    ).selectExpr("neighbor_id", "qq", *code_cols)
+    # materialize qq before the per-subspace code aggregates — the
+    # collapsed projection would re-run the quantize transform for
+    # every element_at access (PLANS.md inlining hazard), and the code
+    # table is read by three downstream consumers
+    coded_c = (
+        corpus.selectExpr(
+            f"{id_col} AS neighbor_id", f"{_quantize_expr(vec_col, dim)} AS qq"
+        )
+        .localCheckpoint()
+        .selectExpr("neighbor_id", "qq", *code_cols)
+    )
     codes_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
     ccode = coded_c.select(
         "neighbor_id", "qq", F.posexplode(codes_arr).alias("j", "code")

@@ -1076,7 +1076,9 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = emb.selectExpr(
         "vec_id",
         "cast(embedding AS array<double>) AS v",
-        f"{similarity._code_expr(similarity._quantize_expr('embedding', 64), 4, 64)} AS cluster",
+        f"{similarity._quantize_expr('embedding', 64)} AS qq",
+    ).localCheckpoint().selectExpr(
+        "vec_id", "v", f"{similarity._code_expr('qq', 4, 64)} AS cluster"
     )
     a = coded.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster"
@@ -1091,7 +1093,13 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b")
     )
-    clusters = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    # star method: at sf0.1 the 0.35-threshold in-cluster pair graph has
+    # component diameter > 20, which exceeds plain propagation's round
+    # budget (observed non-convergence error); large-star/small-star
+    # converges in O(log² n) rounds regardless of diameter.
+    clusters = dedup.connected_components(
+        pairs, src="id_a", dst="id_b", method="star"
+    )
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("vec_id")
     )

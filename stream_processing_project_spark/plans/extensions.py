@@ -273,6 +273,243 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retrieval_bm25_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 8),
+stats AS (
+  SELECT count(*) AS n,
+         avg(len(string_split(trim(text), ' '))) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS c_micro
+  FROM tf t JOIN qterms q USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, score_micro, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+         row_number() OVER (ORDER BY CAST(sum(c_micro) AS BIGINT) DESC, doc_id)
+           AS rank
+  FROM scored GROUP BY doc_id
+) WHERE rank <= 20
+""",
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) lexical retrieval: top-20 documents for a
+    deterministic query (the corpus's 8 highest-df terms) — the lexical
+    half of a hybrid retrieval stack (`similarity_rank_fusion` supplies
+    the fusion step, the ANN queries the dense half).
+
+    Cross-engine exactness: each per-term partial score is quantized to
+    integer micro-units BEFORE summation (the repo's micro-nat pattern —
+    bigint sums are associative, so partial aggregation order can't
+    change the result), and the plus-one idf variant keeps every term
+    positive so HALF_UP rounding agrees across engines.
+
+    Scale shape: postings (tf) join against a BROADCAST 8-row query-term
+    list — only the query terms' posting lists survive the join, so the
+    scoring stage touches |query_terms| posting lists, not the corpus
+    vocabulary. Doc length rides along from the tokenize stage (max(dl)
+    inside the existing groupBy — no second shuffle), corpus stats are a
+    broadcast single row, and top-20 is orderBy+limit
+    (TakeOrderedAndProject: per-partition heap, no global sort). The
+    window rank is computed AFTER the limit, over 20 rows.
+
+    At bench scale the tf/dfreq/stats branches each re-scan documents
+    (Catalyst doesn't share subtrees); a production corpus materializes
+    the postings table (doc_id, term, tf, dl) once and serves every
+    query from it — the serving-side plan here (broadcast term list →
+    postings equi-join → partial-agg top-k) is the per-query cost.
+    """
+    from stream_processing_project_spark.operators.text import words as _words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(8)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_words(F.col("text")))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_micro", "rank"
+    )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*) AS n,
+         avg(len(string_split(trim(text), ' '))) AS avgdl
+  FROM documents
+),
+qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+lex10 AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT v.query_id, v.neighbor_id,
+           row_number() OVER (PARTITION BY v.query_id
+                              ORDER BY v.score_micro DESC, v.neighbor_id) AS rank
+    FROM (
+      SELECT q.query_id, t.doc_id AS neighbor_id,
+             CAST(sum(CAST(round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+                   * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf t
+      JOIN qt q USING (term)
+      JOIN dfreq d ON d.term = t.term
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ) v
+  ) WHERE rank <= 10
+),
+exact10 AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 6)
+                      DESC NULLS LAST, c.vec_id) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 10
+)
+SELECT query_id, neighbor_id, rrf, CAST(fused_rank AS INTEGER) AS fused_rank
+FROM (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(1.0 / (60 + a.rank), 0.0)
+         + COALESCE(1.0 / (60 + b.rank), 0.0) AS rrf,
+         row_number() OVER (
+           PARTITION BY COALESCE(a.query_id, b.query_id)
+           ORDER BY COALESCE(1.0 / (60 + a.rank), 0.0)
+                    + COALESCE(1.0 / (60 + b.rank), 0.0) DESC,
+                    COALESCE(a.neighbor_id, b.neighbor_id)) AS fused_rank
+  FROM exact10 a
+  FULL OUTER JOIN lex10 b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+) WHERE fused_rank <= 5
+""",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid "more-like-this" retrieval: for 10 query documents, fuse a
+    DENSE ranking (exact cosine top-10 over the parallel embeddings
+    table — ids are shared across documents/embeddings) with a LEXICAL
+    ranking (BM25 top-10 where the query is the query doc's own term
+    set) via reciprocal-rank fusion — the standard two-tower + keyword
+    serving stack, with only RANKS crossing the retriever boundary.
+
+    Lexical leg at scale: postings (with df attached — the materialized
+    postings-table design) join a BROADCAST query-term list, per-term
+    contributions micro-quantized to bigints before the per-(query,
+    candidate) sum (associative → partial-agg-safe), rank per query.
+    The dense leg is the brute-force baseline at fixture scale; swap in
+    an ANN query for production (rank_fusion only consumes ranks, so
+    the fusion stage is unchanged). Fusion cost is k·|queries| rows,
+    corpus-size-independent."""
+    from stream_processing_project_spark.operators.text import words as _words
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dfreq, "term")
+    qt = tf.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_words(F.col("text")))).alias("avgdl"),
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            ).cast("long"),
+        )
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "neighbor_id"
+    )
+    lex10 = (
+        scored.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    dense10 = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    return similarity.rank_fusion([dense10, lex10], k=5)
+
+
 # =========================== deduplication ===================================
 
 

@@ -95,6 +95,7 @@ _PRIORITY = [
     "olap_important_parts",
     "olap_dominant_shippers",
     # new or reworked this session — each needs a first driver row
+    "retrieval_bm25_topk",
     "similarity_ann_pq",
     "similarity_ann_pq_rerank",
     "text_intradoc_dedup",

@@ -96,6 +96,7 @@ _PRIORITY = [
     "olap_dominant_shippers",
     # new or reworked this session — each needs a first driver row
     "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
     "similarity_ann_pq",
     "similarity_ann_pq_rerank",
     "text_intradoc_dedup",

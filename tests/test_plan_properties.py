@@ -269,3 +269,27 @@ def test_sketch_ops_collapse_before_windows(spark):
                 if f.split(":")[0]
             }
             assert got <= cols, (name, got)
+
+
+def test_retrieval_postings_prune_through_broadcast_term_list(spark):
+    """BM25's scoring stage must reach postings through a broadcast HASH
+    join on the term list (posting-list pruning — the whole point of the
+    query shape at scale) and take its top-k with a heap, not a global
+    sort. The only nested-loop joins allowed are broadcast single-row /
+    query-row builds (corpus stats; the dense leg's broadcast queries)."""
+    plan = formatted_plan(
+        all_queries()["retrieval_bm25_topk"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj) <= 1, nlj  # the broadcast scalar-stats join only
+    assert "Cartesian" not in plan
+
+    plan = formatted_plan(
+        all_queries()["retrieval_hybrid_rrf"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj) <= 2, nlj  # scalar stats + the dense leg's queries
+    assert "Cartesian" not in plan

@@ -195,6 +195,60 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def minhash_lsh_cross_pairs(
+    batch: DataFrame, corpus: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental near-dup: LSH candidates BETWEEN a new batch and an
+    existing corpus (new_id, corpus_id, est_jaccard) — the band join
+    replaces `minhash_lsh_pairs`'s self-join, so the corpus is never
+    paired with itself. This is the continuous-ingest shape: at 100 TB
+    the corpus's signatures/bands are a PRECOMPUTED table (|corpus| × 32
+    longs, maintained alongside the data), each increment computes
+    signatures for the batch only, and the band join broadcasts the
+    small batch side against the corpus band table — per-increment cost
+    scales with the batch, not the corpus.
+    """
+    bsigs = minhash_signatures(batch).persist()
+    csigs = minhash_signatures(corpus).persist()
+    n_bands = N_PERM // BAND_ROWS
+    band_expr = F.posexplode(
+        F.expr(
+            f"transform(sequence(0, {n_bands - 1}),"
+            f" b -> xxhash64(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS})))"
+        )
+    ).alias("band_idx", "band_hash")
+    bbands = bsigs.select(F.col("doc_id").alias("new_id"), band_expr)
+    cbands = csigs.select(F.col("doc_id").alias("corpus_id"), band_expr)
+    cand = (
+        cbands.join(F.broadcast(bbands), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sig_new"), F.col("sig_corpus"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    ) / F.lit(N_PERM)
+    return (
+        cand.join(
+            bsigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_new")),
+            "new_id",
+        )
+        .join(
+            csigs.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_corpus")
+            ),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 
 

@@ -1404,6 +1404,66 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> concat(ws[i], ' ', ws[i + 1])))) AS sh
+  FROM words
+),
+rare AS (
+  SELECT * FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM rare a
+  JOIN rare b ON a.sh = b.sh AND a.doc_id < 250 AND b.doc_id >= 250
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.9
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (the sketch companion to `dedup_incremental`'s
+    exact fingerprints): the docs table split into an existing corpus
+    (doc_id < 250) and a new batch; batch docs near-identical to a corpus
+    doc are found by a cross-table MinHash band join — the corpus is
+    never self-paired, and in production its signature/band table is
+    precomputed, so each increment costs O(|batch|).
+
+    Containment gate (the oracled-sketch pattern): the output is the
+    EXACT batch-vs-corpus near-dup pairs (bigram Jaccard ≥ 0.9, fully
+    SQL-expressible) semi-joined against the LSH candidates, and the
+    oracle is the exact SQL alone — any true pair the band join misses
+    drops a row and fails the value hash, so the driver verifies the
+    incremental sketch path's recall, not just its row count."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).filter(
+        (F.col("doc_a") < 250) & (F.col("doc_b") >= 250)
+    )
+    cands = dedup.minhash_lsh_cross_pairs(batch, corpus).select(
+        F.col("corpus_id").alias("doc_a"), F.col("new_id").alias("doc_b")
+    )
+    return exact.join(cands, ["doc_a", "doc_b"], "left_semi").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+@register(
     "multimodal_resize_plan",
     oracle="""
 WITH meta AS (

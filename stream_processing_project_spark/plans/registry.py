@@ -97,6 +97,7 @@ _PRIORITY = [
     # new or reworked this session — each needs a first driver row
     "retrieval_bm25_topk",
     "retrieval_hybrid_rrf",
+    "dedup_incremental_minhash",
     "similarity_ann_pq",
     "similarity_ann_pq_rerank",
     "text_intradoc_dedup",

@@ -649,3 +649,18 @@ def test_nucleus_select_prefers_quality_and_respects_budget(spark):
         by_g.setdefault(r.source, set()).add(r.doc_id)
     assert by_g["g1"] == {1, 2}   # 40 < 60 keeps doc1; 80-40=40 < 60 keeps doc2; 120-40=80 ≥ 60 drops doc3
     assert by_g["g2"] == {4}      # crossing doc kept, everything after dropped
+
+
+def test_minhash_cross_pairs_incremental_split(spark):
+    """Cross-table band join: the batch's dups/near-dups of CORPUS docs
+    are found; corpus-corpus and batch-batch pairs never appear (the
+    incremental contract — the corpus is not re-paired per increment)."""
+    docs = _docs(spark)
+    corpus = docs.filter("doc_id <= 1")  # 0 and its exact dup 1
+    batch = docs.filter("doc_id >= 2")   # near-dup 2 + unrelated 3, 4
+    pairs = dedup.minhash_lsh_cross_pairs(batch, corpus, threshold=0.5)
+    got = {(r.new_id, r.corpus_id): r.est_jaccard for r in pairs.collect()}
+    assert (2, 0) in got and got[(2, 0)] >= 0.5
+    assert (2, 1) in got  # dup-of-dup found through the same bands
+    assert not any(n in (3, 4) for n, _ in got)  # unrelated batch docs clean
+    assert all(c in (0, 1) for _, c in got)      # corpus ids only on that side

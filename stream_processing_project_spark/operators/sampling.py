@@ -246,3 +246,35 @@ def nucleus_select(
         )
         .select(group_col, id_col, score_col, token_col, "cum_tokens")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): every row gets priority w / u with u a
+    per-row uniform, and the sample is the global top-k by priority.
+    Heavier rows surface more often, each row appears at most once,
+    and — unlike sequential reservoir algorithms — the selection is a
+    pure per-row score + top-k, so it parallelizes over any partitioning
+    (the reference's generator samples with Python `random`, one row at
+    a time — generate_data.py:110-114).
+
+    Determinism (cross-engine oracle-exact): u is the identity hash
+    shifted to [1, 2^32] and the priority is ONE IEEE-754 division of
+    exact integer-valued doubles — division is correctly rounded, so
+    Spark and DuckDB produce bit-identical priorities; ties (only
+    possible via hash collision) break on the id.
+
+    Scale: `orderBy().limit(k)` plans as TakeOrderedAndProject — a
+    per-partition heap of k rows + a driver merge of partitions×k, never
+    a global sort. At 100 TB the cost is the scan; the sample never
+    shuffles."""
+    pr = F.col(weight_col).cast("double") / (
+        (identity_hash(F.col(id_col)) + F.lit(1)).cast("double")
+    )
+    return (
+        df.withColumn("priority", pr)
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -557,3 +557,85 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl-level deduplication, the standard
+    web-curation normalization (the reference has no web layer; this
+    extends the dedup family): lowercase, strip the scheme, a leading
+    `www.`, any query string / fragment (tracking params live there),
+    and a trailing slash. Pure codegen'd regexp work — runs at scan
+    speed inside the same narrow stage as the fingerprint/dedup pass
+    that consumes it."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")  # query + fragment
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def strip_common_prefix(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n_tokens: int = 8,
+    min_frac: float = 0.25,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal, prefix flavor: if the
+    same leading `n_tokens`-token prefix opens at least `min_frac` of a
+    key's documents (site headers, navigation, subscribe banners), strip
+    it from those documents. Detection is frequency-based per key — no
+    pattern list to maintain.
+
+    Shape: one tokenized projection (the split array MATERIALIZES once
+    per row — PLANS.md HOF rule), one groupBy (key, prefix) for document
+    frequency, one groupBy (key) for totals, then the boilerplate set —
+    tiny, |keys| rows at most a few prefixes each — broadcast-joins back
+    onto the corpus. The corpus itself never shuffles; at 100 TB this is
+    scan + two small aggregates.
+
+    Emits `text_clean`, `was_stripped`, and `n_removed_tokens`; short
+    documents (< n_tokens tokens) are never stripped."""
+    toks = df.withColumn("_toks", F.split(F.col(text_col), " ")).withColumn(
+        "_prefix",
+        F.when(
+            F.size("_toks") >= n_tokens,
+            F.array_join(F.slice("_toks", 1, n_tokens), " "),
+        ),
+    )
+    totals = toks.groupBy(key_col).agg(F.count("*").alias("_n_docs"))
+    freq = (
+        toks.filter(F.col("_prefix").isNotNull())
+        .groupBy(key_col, "_prefix")
+        .agg(F.count("*").alias("_df"))
+    )
+    boiler = (
+        freq.join(totals, key_col)
+        .filter(
+            (F.col("_df") >= F.lit(min_df))
+            & (
+                F.col("_df").cast("double")
+                >= F.lit(min_frac) * F.col("_n_docs").cast("double")
+            )
+        )
+        .select(key_col, "_prefix", F.lit(True).alias("_is_boiler"))
+    )
+    out = toks.join(F.broadcast(boiler), [key_col, "_prefix"], "left")
+    stripped = F.coalesce(F.col("_is_boiler"), F.lit(False))
+    return out.select(
+        id_col,
+        key_col,
+        stripped.alias("was_stripped"),
+        F.when(
+            stripped,
+            F.array_join(
+                F.slice("_toks", n_tokens + 1, F.size("_toks") - n_tokens), " "
+            ),
+        )
+        .otherwise(F.col(text_col))
+        .alias("text_clean"),
+        F.when(stripped, F.lit(n_tokens)).otherwise(F.lit(0)).alias("n_removed_tokens"),
+    )

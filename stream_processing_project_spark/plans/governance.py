@@ -1203,3 +1203,248 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev_report.unionByName(fk)
+
+
+# =========================== web-curation additions (r02) ===================
+
+
+@register(
+    "sampling_weighted_reservoir",
+    oracle="""
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE)
+         / CAST((doc_id * 2654435761) % 4294967296 + 1 AS DOUBLE) AS priority
+  FROM documents
+) ORDER BY priority DESC, doc_id LIMIT 50
+""",
+)
+def sampling_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (priority sampling): pick
+    50 documents with probability proportional to length — the standard
+    size-biased corpus subsample. Priority = weight / hash-uniform; the
+    sample is a global top-k, planned as TakeOrderedAndProject (per-
+    partition heap of k, never a full sort). Deterministic cross-engine:
+    one IEEE division of integer-valued doubles
+    (operators/sampling.py::weighted_priority_sample)."""
+    from stream_processing_project_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_priority_sample(docs, weight_col="n_chars", k=50)
+
+
+_BOILER_HEADER = "subscribe to the {s} newsletter click here now"
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 <> 0
+              THEN 'subscribe to the ' || source
+                   || ' newsletter click here now ' || text
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS t FROM raw
+),
+pfx AS (
+  SELECT *, CASE WHEN len(t) >= 8
+                 THEN array_to_string(t[1:8], ' ') END AS prefix
+  FROM toks
+),
+totals AS (SELECT source, count(*) AS n_docs FROM pfx GROUP BY source),
+freq AS (
+  SELECT source, prefix, count(*) AS df FROM pfx
+  WHERE prefix IS NOT NULL GROUP BY source, prefix
+),
+boiler AS (
+  SELECT f.source, f.prefix
+  FROM freq f JOIN totals tt USING (source)
+  WHERE f.df >= 2
+    AND CAST(f.df AS DOUBLE) >= 0.25 * CAST(tt.n_docs AS DOUBLE)
+)
+SELECT p.doc_id, p.source,
+       (b.prefix IS NOT NULL) AS was_stripped,
+       CASE WHEN b.prefix IS NOT NULL
+            THEN array_to_string(p.t[9:], ' ') ELSE p.text END AS text_clean,
+       CAST(CASE WHEN b.prefix IS NOT NULL THEN 8 ELSE 0 END
+            AS INTEGER) AS n_removed_tokens
+FROM pfx p
+LEFT JOIN boiler b ON p.source = b.source AND p.prefix = b.prefix
+""",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal (C4/RefinedWeb line-dedup,
+    prefix flavor): an 8-token prefix shared by >= 25% of a source's
+    documents is a site header — strip it. The fixture corpus has no
+    organic boilerplate, so a deterministic per-source banner is seeded
+    onto doc_id % 3 != 0 (same construction in both engines — the
+    text_redact_pii convention), and detection then runs purely on
+    document frequency. Corpus never shuffles: two small aggregates
+    build the per-source boilerplate set, which broadcast-joins back
+    (operators/text.py::strip_common_prefix)."""
+    from stream_processing_project_spark.operators.text import strip_common_prefix
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter click here now "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_common_prefix(docs, key_col="source")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN 'https://www.' || source || '.example.com/page/'
+                       || (doc_id % 40) || '?utm_source=feed&ref=' || doc_id
+           WHEN 2 THEN 'HTTP://' || source || '.EXAMPLE.com/page/'
+                       || (doc_id % 40)
+           WHEN 3 THEN 'https://' || source || '.example.com/page/'
+                       || (doc_id % 40) || '/'
+           ELSE 'https://www.' || source || '.example.com/page/'
+                || (doc_id % 40) || '#top'
+         END AS url,
+         source
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+               '^www\\.', ''),
+             '[?#].*$', ''),
+           '/$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_urls
+FROM canon GROUP BY canonical_url
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL deduplication: canonicalize (lowercase, strip
+    scheme / www. / query+fragment / trailing slash) and keep one doc
+    per canonical URL. URL variants are synthesized deterministically
+    from fixture columns (scheme-case, tracking params, trailing-slash
+    and fragment variants of the same logical page — the corpus has no
+    organic URLs), so both engines canonicalize identical strings. One
+    groupBy on the canonical key with min/count partial aggregation —
+    the exact-dedup shuffle envelope; the regexp chain is codegen'd
+    scan-side work (operators/text.py::canonical_url)."""
+    from stream_processing_project_spark.operators.text import canonical_url
+
+    page = (F.col("doc_id") % 40).cast("string")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/page/"), page,
+                F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("HTTP://"), F.col("source"),
+                F.lit(".EXAMPLE.com/page/"), page,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/page/"), page, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/page/"), page, F.lit("#top"),
+            ),
+        )
+        .alias("url"),
+    )
+    return (
+        docs.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_urls"),
+        )
+    )
+
+
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+
+@register(
+    "text_quality_linear_score",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains({list(_QUALITY_STOPWORDS)}, x)))
+              AS DOUBLE) AS stop_hits,
+         CAST(length(text) AS DOUBLE) AS n_chars_d
+  FROM documents
+)
+SELECT doc_id,
+       (((stop_hits / n_tokens) * 8.0 - 0.5)
+        + ((n_chars_d / n_tokens) * -0.25))
+       + (n_tokens * 0.015625) AS z_score,
+       ((((stop_hits / n_tokens) * 8.0 - 0.5)
+         + ((n_chars_d / n_tokens) * -0.25))
+        + (n_tokens * 0.015625)) > 0.5 AS keep
+FROM feats
+""",
+)
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, linear flavor (the fasttext-
+    classifier stage of every web-corpus pipeline, scored engine-side):
+    a fixed logistic-regression weight vector over cheap text features
+    (stopword ratio, mean token length, length) scores every document
+    in one narrow codegen pass — weights ride along as literals exactly
+    as a broadcast model would. The decision threshold applies to the
+    LOGIT (no transcendental sigmoid → bit-exact cross-engine: weights
+    are dyadic rationals, ops are correctly-rounded IEEE mul/add/div in
+    a pinned association order). At 100 TB: scan-bound, zero shuffle,
+    composes into corpus_build_pipeline's fused-scan stage."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_QUALITY_STOPWORDS))
+    ).cast("double")
+    n_chars_d = F.length("text").cast("double")
+    z = (
+        ((stop_hits / n_tokens) * F.lit(8.0) - F.lit(0.5))
+        + ((n_chars_d / n_tokens) * F.lit(-0.25))
+    ) + (n_tokens * F.lit(0.015625))
+    return docs.select(
+        "doc_id", z.alias("z_score"), (z > F.lit(0.5)).alias("keep")
+    )

@@ -111,6 +111,11 @@ _PRIORITY = [
     "profile_distinct_overlap_hll",
     "text_char_entropy",
     "corpus_refine_pipeline",
+    # web-curation additions (r02 cont.)
+    "sampling_weighted_reservoir",
+    "text_boilerplate_strip",
+    "dedup_url_canonical",
+    "text_quality_linear_score",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

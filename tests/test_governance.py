@@ -272,3 +272,60 @@ def test_char_entropy_extremes_and_determinism(spark):
     a = sorted(map(tuple, char_entropy(df).collect()))
     b = sorted(map(tuple, char_entropy(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_canonical_url_collapses_variants(spark):
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.text import canonical_url
+
+    variants = [
+        "https://www.Site.Example.com/Page/1?utm_source=x&id=9",
+        "HTTP://site.example.com/page/1#frag",
+        "https://site.example.com/page/1/",
+        "site.example.com/page/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = df.select(canonical_url(F.col("url")).alias("c")).distinct().collect()
+    assert [r.c for r in got] == ["site.example.com/page/1"]
+
+
+def test_strip_common_prefix_edge_cases(spark):
+    from stream_processing_project_spark.operators.text import strip_common_prefix
+
+    header = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rows = [
+        # 3-of-4 docs in source A share the 8-token header -> stripped
+        (0, "A", header + " body zero"),
+        (1, "A", header + " body one"),
+        (2, "A", header),  # exactly 8 tokens: strips to empty text
+        (3, "A", "short doc"),  # < 8 tokens: never a candidate
+        # source B: prefix unique per doc -> nothing stripped
+        (4, "B", "b4 " + header),
+        (5, "B", "b5 " + header),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in strip_common_prefix(df, key_col="source").collect()}
+    assert got[0].was_stripped and got[0].text_clean == "body zero"
+    assert got[1].was_stripped and got[1].text_clean == "body one"
+    assert got[2].was_stripped and got[2].text_clean == ""
+    assert not got[3].was_stripped and got[3].text_clean == "short doc"
+    assert not got[4].was_stripped and not got[5].was_stripped
+    assert got[0].n_removed_tokens == 8 and got[3].n_removed_tokens == 0
+
+
+def test_weighted_priority_sample_is_size_biased_and_exact_k(spark):
+    from stream_processing_project_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    # one giant weight among uniform small ones: must always be sampled
+    rows = [(i, 10) for i in range(200)] + [(200, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_priority_sample(df, weight_col="w", k=20)
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == len(set(ids)) == 20  # without replacement
+    assert 200 in ids
+    # deterministic: same input -> same sample, any partitioning
+    again = weighted_priority_sample(df.repartition(7), weight_col="w", k=20)
+    assert sorted(ids) == sorted(r.doc_id for r in again.collect())

@@ -129,11 +129,39 @@ _MODULE_ORDER = [
 ]
 
 
+def _driver_green() -> set[str]:
+    """Names with a passing row in the newest CORRECTNESS_r{N}.json —
+    these already have hard driver signal, so within each module's
+    round-robin queue they yield their slot to still-unverified queries
+    (matters only if the driver's correctness window truncates)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rounds = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not rounds:
+        return set()
+    try:
+        with open(rounds[-1]) as f:
+            rows = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return set()
+    return {
+        n
+        for n, r in rows.items()
+        if isinstance(r, dict) and r.get("rows_match") and r.get("hash_match")
+    }
+
+
 def _reorder() -> None:
+    green = _driver_green()
     by_module: dict[str, list[Query]] = {m: [] for m in _MODULE_ORDER}
     for q in _REGISTRY.values():
         mod = q.builder.__module__.rsplit(".", 1)[-1]
         by_module.setdefault(mod, []).append(q)
+    for qs in by_module.values():
+        qs.sort(key=lambda q: q.name in green)  # stable: unverified first
 
     ordered: list[Query] = []
     seen: set[str] = set()

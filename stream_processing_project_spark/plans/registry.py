@@ -116,6 +116,7 @@ _PRIORITY = [
     "text_boilerplate_strip",
     "dedup_url_canonical",
     "text_quality_linear_score",
+    "streaming_scd2_enrich",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

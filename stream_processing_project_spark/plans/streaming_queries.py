@@ -614,3 +614,90 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
             * 8.0
         ).alias("p90"),
     )
+
+
+@register(
+    "streaming_scd2_enrich",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment || '/v1' AS segment_v,
+         CAST(1 AS INTEGER) AS version,
+         make_timestamp(946684800000000) AS valid_from,
+         make_timestamp(1704067200000000
+           + ((c_custkey * 2654435761) % 4294967296 % 30)
+             * 86400000000) AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '/v2',
+         CAST(2 AS INTEGER),
+         make_timestamp(1704067200000000
+           + ((c_custkey * 2654435761) % 4294967296 % 30)
+             * 86400000000),
+         make_timestamp(4102444800000000)
+  FROM customer
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       d.segment_v, d.version
+FROM events e
+LEFT JOIN dim d
+  ON e.user_id = d.c_custkey
+ AND e.ts >= d.valid_from AND e.ts < d.valid_to
+""",
+)
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) stream enrichment against a VERSIONED
+    dimension — the SCD2 upgrade of J1's stream-static join: each event
+    picks the dimension version whose [valid_from, valid_to) interval
+    contains its EVENT time, so replays and late events enrich with the
+    attributes that were true when the event happened — not whatever is
+    current (Flink calls this a temporal table join; the reference's
+    load-once heap cache, EngagementProcessor.scala:147-148, is
+    version-less and silently time-travels old events forward). The
+    versioned dimension is built deterministically from `customer`
+    (per-key hash-dated cut between v1 and v2 attribute values — both
+    engines construct identical intervals from pure integer micros).
+
+    Shape: stream-static LEFT OUTER broadcast join; the interval
+    predicate rides the same broadcast hash join on the key (non-equi
+    conjuncts evaluate post-probe). Map-only append — every input row
+    emits exactly once, so the batch join is the exact oracle. At scale
+    the dimension is |keys|×|versions| — broadcast while it fits, else
+    the as-of bucketing path (operators/asof.py) takes over."""
+    cust = t(spark, sf_dir, "customer")
+    cut = F.timestamp_micros(
+        F.lit(1704067200000000)
+        + (F.col("c_custkey") * F.lit(2654435761))
+        % F.lit(4294967296)
+        % F.lit(30)
+        * F.lit(86400000000)
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit("/v1")).alias("segment_v"),
+        F.lit(1).alias("version"),
+        F.timestamp_micros(F.lit(946684800000000)).alias("valid_from"),
+        cut.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit("/v2")).alias("segment_v"),
+        F.lit(2).alias("version"),
+        cut.alias("valid_from"),
+        F.timestamp_micros(F.lit(4102444800000000)).alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    events = pipeline.file_event_stream(spark, sf_dir)
+    joined = events.join(
+        F.broadcast(dim),
+        (events.user_id == dim.c_custkey)
+        & (events.ts >= dim.valid_from)
+        & (events.ts < dim.valid_to),
+        "left_outer",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "segment_v",
+        "version",
+    )
+    return pipeline.run_to_completion(joined)

@@ -198,3 +198,68 @@ def drift_psi(
             F.max("nbins").alias("n_bins"),
         )
     )
+
+
+# Count-min sketch geometry: d pairwise-independent integer hash rows
+# over w buckets. (a_i, b_i) pairs are fixed odd constants; p is the
+# Mersenne prime 2^31-1 (the classic universal-hash family ax+b mod p).
+CMS_HASHES = ((998244353, 12345), (805306457, 54321), (469762049, 98765), (167772161, 24680))
+CMS_PRIME = 2147483647
+
+
+def _cms_bucket(item, a: int, b: int, width: int):
+    return ((item * F.lit(a) + F.lit(b)) % F.lit(CMS_PRIME)) % F.lit(width)
+
+
+def cms_sketch(df: DataFrame, item_col: str, width: int = 1024) -> DataFrame:
+    """Build a count-min sketch of an integer item column: d×w counters
+    as rows (h_row, bucket, cnt). The sketch is MERGEABLE by bucket-wise
+    addition (shards/days/streams combine with a groupBy-sum), its size
+    is d·w counters regardless of item cardinality, and — because the
+    hash family is fixed integer arithmetic — the whole structure is
+    reproducible on any engine, so estimates value-hash-oracle exactly
+    (unlike library sketches with opaque seeds). One map-side-combined
+    groupBy: the shuffle carries ≤ d·w rows per task."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_row"),
+                _cms_bucket(F.col(item_col), a, b, width).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("h"))
+        .groupBy("h.h_row", "h.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, item_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each candidate item: estimate =
+    min over hash rows of the counter at (row, h_row(item)). Guaranteed
+    >= the true count (CMS never undercounts); error is bounded by
+    (2/w)·N with high probability. The candidate set equi-joins the
+    d·w-row sketch — broadcast-sized at any corpus scale."""
+    probes = candidates.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h_row"),
+                        _cms_bucket(F.col(item_col), a, b, width).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(CMS_HASHES)
+                ]
+            )
+        ).alias("h"),
+    ).select(item_col, "h.h_row", "h.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["h_row", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -1448,3 +1448,63 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", z.alias("z_score"), (z > F.lit(0.5)).alias("keep")
     )
+
+
+@register(
+    "profile_heavy_hitters_cms",
+    oracle="""
+WITH hashes(h_row, a, b) AS (
+  VALUES (0, 998244353, 12345), (1, 805306457, 54321),
+         (2, 469762049, 98765), (3, 167772161, 24680)
+),
+expl AS (
+  SELECT h.h_row,
+         ((e.user_id * h.a + h.b) % 2147483647) % 1024 AS bucket
+  FROM events e CROSS JOIN hashes h
+),
+sketch AS (
+  SELECT h_row, bucket, count(*) AS cnt FROM expl GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT c.user_id, h.h_row,
+         ((c.user_id * h.a + h.b) % 2147483647) % 1024 AS bucket
+  FROM cand c CROSS JOIN hashes h
+),
+est AS (
+  SELECT p.user_id, min(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s USING (h_row, bucket) GROUP BY 1
+),
+exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1)
+SELECT e.user_id, e.exact_cnt, est.cms_est,
+       est.cms_est - e.exact_cnt AS overcount
+FROM exact e JOIN est USING (user_id)
+""",
+)
+def profile_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation over the event stream's
+    user ids, audited against exact counts (overcount >= 0 by CMS's
+    one-sided error). The third mergeable-sketch family in the profiling
+    suite (HLL = distinct, histogram = quantiles, CMS = frequencies):
+    the sketch is d×w counters that combine across shards/days/streams
+    by bucket-wise ADDITION — at 100 TB each shard sketches locally and
+    only d·w counters travel, the shape exact per-key counts can't
+    match when the key space itself is too big to hold. Deterministic
+    integer hashing makes the whole estimate value-hash-oracled — the
+    approximation error itself is checked, not just the happy path
+    (operators/profiling.py::cms_sketch/cms_estimate)."""
+    from stream_processing_project_spark.operators.profiling import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id")
+    est = cms_estimate(sketch, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -329,3 +329,32 @@ def test_weighted_priority_sample_is_size_biased_and_exact_k(spark):
     # deterministic: same input -> same sample, any partitioning
     again = weighted_priority_sample(df.repartition(7), weight_col="w", k=20)
     assert sorted(ids) == sorted(r.doc_id for r in again.collect())
+
+
+def test_cms_sketch_merges_and_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.profiling import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(300)] + [(300 + i, 99) for i in range(50)],
+        "rid long, item long",
+    )
+    whole = cms_sketch(df, "item")
+    # mergeable: sketches of disjoint halves sum bucket-wise to the whole
+    h1 = cms_sketch(df.filter("rid < 175"), "item")
+    h2 = cms_sketch(df.filter("rid >= 175"), "item")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("h_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    # one-sided error: estimate >= true count, exact for the heavy item
+    est = {r.item: r.cms_est for r in cms_estimate(whole, df.distinct(), "item").collect()}
+    exact = {r.item: r["count"] for r in df.groupBy("item").count().collect()}
+    for k, v in exact.items():
+        assert est[k] >= v

@@ -1450,9 +1450,7 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "profile_heavy_hitters_cms",
-    oracle="""
+CMS_ORACLE = """
 WITH hashes(h_row, a, b) AS (
   VALUES (0, 998244353, 12345), (1, 805306457, 54321),
          (2, 469762049, 98765), (3, 167772161, 24680)
@@ -1479,8 +1477,10 @@ exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1)
 SELECT e.user_id, e.exact_cnt, est.cms_est,
        est.cms_est - e.exact_cnt AS overcount
 FROM exact e JOIN est USING (user_id)
-""",
-)
+"""
+
+
+@register("profile_heavy_hitters_cms", oracle=CMS_ORACLE)
 def profile_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation over the event stream's
     user ids, audited against exact counts (overcount >= 0 by CMS's

@@ -118,6 +118,7 @@ _PRIORITY = [
     "text_quality_linear_score",
     "streaming_scd2_enrich",
     "profile_heavy_hitters_cms",
+    "streaming_heavy_hitters_cms",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

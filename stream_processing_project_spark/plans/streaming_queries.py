@@ -23,7 +23,10 @@ from stream_processing_project_spark.plans.extensions import (
     TEXT_CHUNK_ORACLE,
     TEXT_QUALITY_ORACLE,
 )
-from stream_processing_project_spark.plans.governance import TEXT_REDACT_ORACLE
+from stream_processing_project_spark.plans.governance import (
+    CMS_ORACLE,
+    TEXT_REDACT_ORACLE,
+)
 from stream_processing_project_spark.plans.scalar_surface import CDC_UPSERT_ORACLE
 from stream_processing_project_spark.plans.registry import register
 from stream_processing_project_spark.streaming import pipeline, sinks
@@ -701,3 +704,51 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
     )
     return pipeline.run_to_completion(joined)
+
+
+@register("streaming_heavy_hitters_cms", oracle=CMS_ORACLE)
+def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS sketch maintained as STREAMING STATE: the d×w counter
+    table is a complete-mode streaming aggregation over the event
+    stream (state is exactly the sketch — d·w counters, constant in
+    both stream length and key cardinality), and point queries then
+    read the materialized counter table batch-side. Because CMS
+    counters are plain sums, the streaming sketch equals the batch
+    sketch exactly, so the whole estimate pipeline shares the batch
+    query's oracle — the same merge-by-addition property that shards
+    sketches across executors also unifies batch and streaming
+    (operators/profiling.py::cms_sketch)."""
+    from stream_processing_project_spark.operators.profiling import (
+        CMS_HASHES,
+        CMS_PRIME,
+        cms_estimate,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir).select("user_id")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_row"),
+                (
+                    (F.col("user_id") * F.lit(a) + F.lit(b)) % F.lit(CMS_PRIME)
+                    % F.lit(1024)
+                ).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(CMS_HASHES)
+        ]
+    )
+    sketch_stream = (
+        events.select(F.explode(rows).alias("h"))
+        .groupBy("h.h_row", "h.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = pipeline.run_to_completion(sketch_stream, output_mode="complete")
+    ev = t(spark, sf_dir, "events").select("user_id")
+    est = cms_estimate(sketch, ev.distinct(), "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -1508,3 +1508,146 @@ def profile_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# =========================== BPE tokenizer training =========================
+
+_BPE_MERGE_LAMBDA = """list_reduce(list_prepend('|', w.l), (acc, x) -> CASE
+           WHEN split_part(acc,'|',2) = ''
+             THEN split_part(acc,'|',1) || '|' || x
+           WHEN split_part(acc,'|',2) = b.lft AND x = b.rgt
+             THEN CASE WHEN split_part(acc,'|',1) = ''
+                       THEN b.lft || b.rgt
+                       ELSE split_part(acc,'|',1) || ' ' || b.lft || b.rgt
+                  END || '|'
+           ELSE CASE WHEN split_part(acc,'|',1) = ''
+                     THEN split_part(acc,'|',2)
+                     ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2)
+                END || '|' || x
+         END)"""
+
+
+def _bpe_rounds_cte(k: int) -> str:
+    """Unrolled-SQL BPE training rounds (the PageRank convention for
+    iterative algorithms): r0 = char symbols of the word-frequency
+    table; each round computes adjacent-pair counts, the argmax rule
+    (lexicographic tie-break), and the greedy left-to-right merge as a
+    list_reduce fold over a 'result|pending' serialized state."""
+    parts = [
+        """w AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+r0 AS (SELECT word, cnt, string_split(word, '') AS l FROM w)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS (
+  SELECT l[i] AS lft, l[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, l, unnest(range(1, len(l))) AS i FROM r{r-1})
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT lft, rgt, pair_count FROM p{r}
+         ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+m{r} AS (
+  SELECT w.word, w.cnt, {_BPE_MERGE_LAMBDA} AS acc
+  FROM r{r-1} w CROSS JOIN b{r} b
+),
+r{r} AS (
+  SELECT word, cnt, string_split(
+    CASE WHEN split_part(acc,'|',2) = '' THEN split_part(acc,'|',1)
+         WHEN split_part(acc,'|',1) = '' THEN split_part(acc,'|',2)
+         ELSE split_part(acc,'|',1) || ' ' || split_part(acc,'|',2)
+    END, ' ') AS l
+  FROM m{r}
+)""")
+    return ",\n".join(parts)
+
+
+_BPE_K = 8
+
+_BPE_TRAIN_ORACLE = (
+    "WITH "
+    + _bpe_rounds_cte(_BPE_K)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, lft, rgt, lft || rgt AS merged,"
+        f" pair_count FROM b{r}"
+        for r in range(1, _BPE_K + 1)
+    )
+)
+
+
+@register("text_bpe_train", oracle=_BPE_TRAIN_ORACLE)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE tokenizer on the corpus: 8 merge rules learned from
+    the word-frequency table (operators/bpe.py::bpe_train — pair-count
+    groupBy + 1-row argmax + narrow merge fold per round; the collected
+    row per round is the merge RULE, the model, MLlib-style). The
+    oracle replays all 8 rounds as unrolled SQL — pair counts, argmax
+    with lexicographic tie-break, and the greedy left-to-right merge as
+    a serialized-state list fold — so the training trajectory is
+    value-hash-checked end to end, not just the final vocab."""
+    from stream_processing_project_spark.operators.bpe import bpe_train
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_train(words, _BPE_K)
+
+
+_BPE_TOKENIZE_ORACLE = (
+    "WITH "
+    + _bpe_rounds_cte(_BPE_K)
+    + f"""
+, vocab AS (SELECT word, CAST(len(l) AS INTEGER) AS n_word_tokens FROM r{_BPE_K})
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_word_tokens) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+JOIN vocab v USING (word)
+GROUP BY 1
+"""
+)
+
+
+@register("text_bpe_tokenize", oracle=_BPE_TOKENIZE_ORACLE)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer: per-document BPE token counts
+    under the 8-rule merge table from text_bpe_train. The corpus-wide
+    pass never re-folds per document — each distinct word is segmented
+    ONCE (narrow fold over the |vocab| table) and documents join their
+    exploded words against the broadcast word→token-count vocab, the
+    shape that tokenizes 100 TB at scan speed. Oracle: the same
+    unrolled training rounds, final symbol table joined back to the
+    corpus."""
+    from stream_processing_project_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        chars,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rules = bpe_train(words, _BPE_K).collect()
+    merges = [(r["lft"], r["rgt"]) for r in rules]
+    vocab = words.select(
+        "word",
+        F.size(bpe_segment(chars(F.col("word")), merges)).alias("n_word_tokens"),
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_word_tokens").alias("n_bpe_tokens"),
+        )
+    )

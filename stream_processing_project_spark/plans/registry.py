@@ -119,6 +119,8 @@ _PRIORITY = [
     "streaming_scd2_enrich",
     "profile_heavy_hitters_cms",
     "streaming_heavy_hitters_cms",
+    "text_bpe_train",
+    "text_bpe_tokenize",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

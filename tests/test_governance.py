@@ -358,3 +358,54 @@ def test_cms_sketch_merges_and_never_undercounts(spark):
     exact = {r.item: r["count"] for r in df.groupBy("item").count().collect()}
     for k, v in exact.items():
         assert est[k] >= v
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from stream_processing_project_spark.operators.bpe import bpe_segment, bpe_train, chars
+    from pyspark.sql import functions as F
+
+    words = [("table", 10), ("tablet", 5), ("stable", 3), ("able", 7),
+             ("tab", 2), ("a", 1), ("belt", 4)]
+
+    def py_bpe(ws, k):
+        syms = {w: list(w) for w, _ in ws}
+        cnts = dict(ws)
+        rules = []
+        for r in range(1, k + 1):
+            pc = {}
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + cnts[w]
+            if not pc:
+                break
+            (x, y), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rules.append((r, x, y, x + y, c))
+            for w, s in syms.items():
+                out, pend = [], None
+                for tok in s:
+                    if pend is None:
+                        pend = tok
+                    elif pend == x and tok == y:
+                        out.append(x + y)
+                        pend = None
+                    else:
+                        out.append(pend)
+                        pend = tok
+                if pend is not None:
+                    out.append(pend)
+                syms[w] = out
+        return rules, syms
+
+    exp_rules, exp_syms = py_bpe(words, 6)
+    wdf = spark.createDataFrame(words, "word string, cnt long")
+    got = [tuple(r) for r in bpe_train(wdf, 6).collect()]
+    assert got == exp_rules
+    # encode step reproduces the trained segmentation per word
+    merges = [(x, y) for _, x, y, _, _ in exp_rules]
+    seg = {
+        r.word: r.toks
+        for r in wdf.select(
+            "word", bpe_segment(chars(F.col("word")), merges).alias("toks")
+        ).collect()
+    }
+    assert seg == exp_syms

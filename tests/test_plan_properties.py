@@ -293,3 +293,38 @@ def test_retrieval_postings_prune_through_broadcast_term_list(spark):
     nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(nlj) <= 2, nlj  # scalar stats + the dense leg's queries
     assert "Cartesian" not in plan
+
+
+def test_weighted_reservoir_is_heap_topk_no_exchange(spark):
+    """Priority sampling plans as TakeOrderedAndProject over a pruned
+    2-column scan — no Exchange, no global Sort (the per-partition
+    heap + driver merge shape that scales to any corpus)."""
+    plan = formatted_plan(
+        all_queries()["sampling_weighted_reservoir"].builder(spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert all("doc_id" in s and "n_chars" in s and "text" not in s
+               for s in read_schemas(plan))
+
+
+def test_boilerplate_strip_broadcasts_the_boiler_set(spark):
+    """The per-source boilerplate set joins back onto the corpus as a
+    broadcast hash join — the corpus side never shuffles for the join
+    (its only exchanges feed the two small aggregates)."""
+    plan = formatted_plan(
+        all_queries()["text_boilerplate_strip"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch_and_partial_aggregates(spark):
+    """Point queries probe the d×w counter table via a broadcast join;
+    both the sketch build and the exact audit partial-aggregate
+    map-side."""
+    plan = formatted_plan(
+        all_queries()["profile_heavy_hitters_cms"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan and "partial_count" in plan

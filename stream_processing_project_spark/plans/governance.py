@@ -10,7 +10,7 @@ column expressions with a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_project_spark.operators.linkage import (
@@ -1650,4 +1650,153 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
             F.sum("n_word_tokens").alias("n_bpe_tokens"),
         )
+    )
+
+
+@register(
+    "sampling_dialogue_assemble",
+    oracle="""
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+flags AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS dialogue
+FROM isl GROUP BY user_id, sid
+""",
+)
+def sampling_dialogue_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly from an interaction log: sessionize
+    each user's events (30-min inactivity gap), then concatenate every
+    session's events IN ORDER into one training string — the
+    conversation/trajectory-building pass that turns clickstreams and
+    chat logs into sequence-model examples. One shuffle on user_id
+    feeds both the gaps-and-islands pass and the assembly (AQE reuses
+    the exchange); ordering inside a session is (ts, event_id) — total
+    and engine-invariant. At 100 TB this is the SCD2-sort envelope:
+    bucket the log by user_id to pre-sort (PLANS.md sessionize note)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flags = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us >= F.lit(1800000000)), 1
+        ).otherwise(0),
+    )
+    sid = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = flags.withColumn("sid", F.sum("new_sess").over(sid))
+    return isl.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).alias("sess_start_us"),
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            " ",
+        ).alias("dialogue"),
+    ).drop("sid")
+
+
+@register(
+    "similarity_negative_sample",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv,
+                      c.embedding::DOUBLE[]), 6) DESC NULLS LAST,
+                      c.vec_id) AS rank
+    FROM q, embeddings c WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 10
+),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neg_id,
+         ((q.query_id * 1000003 + c.vec_id) * 2654435761) % 4294967296 AS h
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+    AND NOT EXISTS (SELECT 1 FROM topk t
+                    WHERE t.query_id = q.query_id
+                      AND t.neighbor_id = c.vec_id)
+)
+SELECT query_id, neg_id, CAST(h_rank AS INTEGER) AS h_rank FROM (
+  SELECT query_id, neg_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY h, neg_id) AS h_rank
+  FROM cand
+) WHERE h_rank <= 5
+""",
+)
+def similarity_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative mining for contrastive training: per
+    query, 5 pseudo-random corpus items that are provably NOT among its
+    true top-10 cosine neighbors (in-batch/random negatives with a
+    hard-positive exclusion — the pair-construction stage of embedding
+    fine-tuning). The per-(query, candidate) hash is pure integer
+    arithmetic, so the sample is engine- and partitioning-invariant;
+    the exclusion set reuses the exact brute-force ranking
+    (operators/similarity.py::brute_force_topk). Only slim id rows flow
+    through the ranking shuffle (vectors touched solely by the top-10
+    pass); at 100 TB pre-filter candidates to a hash stratum
+    (h % K == 0) so the per-query pool is O(cap), then rank — the
+    per_key_cap hot-domain mitigation applied to negatives."""
+    from stream_processing_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=10
+    ).select(
+        F.col("query_id").alias("_tq"), F.col("neighbor_id").alias("_tn")
+    )
+    cand = (
+        emb.select(F.col("vec_id").alias("neg_id"))
+        .join(F.broadcast(queries.select("query_id")), how="cross")
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .join(
+            topk,
+            (F.col("query_id") == F.col("_tq"))
+            & (F.col("neg_id") == F.col("_tn")),
+            "left_anti",
+        )
+        .withColumn(
+            "h",
+            (
+                (F.col("query_id") * F.lit(1000003) + F.col("neg_id"))
+                * F.lit(2654435761)
+            )
+            % F.lit(4294967296),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "neg_id")
+    return (
+        cand.withColumn("h_rank", F.row_number().over(w))
+        .filter(F.col("h_rank") <= 5)
+        .select("query_id", "neg_id", "h_rank")
     )

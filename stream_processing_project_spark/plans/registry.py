@@ -121,6 +121,8 @@ _PRIORITY = [
     "streaming_heavy_hitters_cms",
     "text_bpe_train",
     "text_bpe_tokenize",
+    "sampling_dialogue_assemble",
+    "similarity_negative_sample",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

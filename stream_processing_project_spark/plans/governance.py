@@ -1800,3 +1800,98 @@ def similarity_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h_rank") <= 5)
         .select("query_id", "neg_id", "h_rank")
     )
+
+
+@register(
+    "timeseries_paa_similarity",
+    oracle="""
+WITH hours AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000) AS BIGINT) AS h,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, s.seg,
+         COALESCE(sum(hh.cents), 0) AS seg_cents
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS seg) s
+  LEFT JOIN hours hh
+    ON hh.user_id = u.user_id AND hh.h >= s.seg * 8 AND hh.h < (s.seg + 1) * 8
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT user_id, list(seg_cents ORDER BY seg) AS l FROM grid GROUP BY 1
+)
+SELECT user_a, user_b, dist_sq FROM (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         list_sum(list_transform(range(1, 9),
+           i -> (a.l[i] - b.l[i]) * (a.l[i] - b.l[i]))) AS dist_sq
+  FROM sk a JOIN sk b ON a.user_id < b.user_id
+) ORDER BY dist_sq, user_a, user_b LIMIT 20
+""",
+)
+def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search via PAA sketches (piecewise
+    aggregate approximation — the EDBT'19 streaming-similarity shape in
+    PAPERS.md): each user's first 64 hours of activity compress to an
+    8-segment profile, and the 20 most-similar user pairs rank by exact
+    squared distance between profiles. Everything is integers — hourly
+    sums quantize to cents (the repo's micro-unit convention) and
+    segment sums/distances are bigint algebra — so the approximate
+    REPRESENTATION itself is value-hash-oracled. Shape: the raw scan
+    collapses to |users|×64 hour rows, then |users|×8 segments; the
+    pair join runs on the tiny aggregated PROFILE table (never raw
+    events), and at warehouse scale the sketches grid-bucket for an
+    equi-join candidate step exactly like the embedding LSH path.
+    Top-20 is TakeOrderedAndProject."""
+    ev = t(spark, sf_dir, "events")
+    origin = 1704067200000000
+    hours = (
+        ev.groupBy(
+            "user_id",
+            F.floor((F.unix_micros("ts") - F.lit(origin)) / F.lit(3600000000))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    )
+    segs = (
+        hours.filter((F.col("h") >= 0) & (F.col("h") < 64))
+        .groupBy("user_id", (F.col("h") / 8).cast("long").alias("seg"))
+        .agg(F.sum("cents").alias("seg_cents"))
+    )
+    # dense 8-slot profile per user (users with no activity in a segment
+    # get 0 — the map materializes once, then a fixed-index transform)
+    sk = (
+        segs.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("seg", "seg_cents"))
+            ).alias("m")
+        )
+        .join(ev.select("user_id").distinct(), "user_id", "right")
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.coalesce(
+                    F.element_at("m", s.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("l"),
+        )
+    )
+    a = sk.select(F.col("user_id").alias("user_a"), F.col("l").alias("la"))
+    b = sk.select(F.col("user_id").alias("user_b"), F.col("l").alias("lb"))
+    pairs = a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
+    dist = F.aggregate(
+        F.zip_with(F.col("la"), F.col("lb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select("user_a", "user_b", dist.alias("dist_sq"))
+        .orderBy("dist_sq", "user_a", "user_b")
+        .limit(20)
+    )

@@ -123,6 +123,7 @@ _PRIORITY = [
     "text_bpe_tokenize",
     "sampling_dialogue_assemble",
     "similarity_negative_sample",
+    "timeseries_paa_similarity",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

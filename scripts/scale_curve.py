@@ -1,0 +1,97 @@
+"""Scaling-curve measurement for the LLM-pipeline query families.
+
+Synthesizes a 10× corpus (sf≈1) from the sf0.1 fixtures into /tmp —
+ids offset per replica so dedup/join semantics stay meaningful — and
+times representative extension queries at sf0.01 / sf0.1 / sf1 to
+check the scaling exponent empirically (a ~linear curve backs the
+PLANS.md 100 TB arguments; anything super-linear is a candidate for
+the smoke table's plan audit).
+
+    python scripts/scale_curve.py            # ~10 min on local[32]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF1 = "/tmp/sfcurve1"
+SRC = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_winnow_candidates",
+    "retrieval_bm25_topk",
+    "similarity_bruteforce_topk",
+    "similarity_ann_pq",
+    "linkage_fuzzy_parts",
+    "corpus_build_pipeline",
+    "text_bpe_train",
+    "dedup_url_canonical",
+    "text_boilerplate_strip",
+]
+
+# tables the query families above touch; replicated 10× with offset ids
+SCALED = {
+    "documents": "SELECT doc_id + {off} AS doc_id, text, lang, source, n_chars FROM t",
+    "embeddings": "SELECT vec_id + {off} AS vec_id, embedding, label FROM t",
+    "part": (
+        "SELECT p_partkey + {off} AS p_partkey, p_name, p_brand,"
+        " p_type, p_size, p_retailprice FROM t"
+    ),
+}
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "orders", "lineitem", "events"]
+
+
+def build_sf1() -> None:
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    for name, sel in SCALED.items():
+        out = os.path.join(SF1, f"{name}.parquet")
+        if os.path.exists(out):
+            continue
+        con.execute(f"CREATE OR REPLACE VIEW t AS SELECT * FROM read_parquet('{SRC}/{name}.parquet')")
+        # id stride: next power of ten above the max id keeps replicas disjoint
+        id_col = sel.split(" + ")[0].replace("SELECT ", "").strip()
+        mx = con.execute(f"SELECT max({id_col}) FROM t").fetchone()[0]
+        stride = 10 ** len(str(mx))
+        union = " UNION ALL ".join(sel.format(off=i * stride) for i in range(10))
+        con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
+        print("built", out, flush=True)
+    for name in PASSTHROUGH:
+        out = os.path.join(SF1, f"{name}.parquet")
+        if not os.path.exists(out):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), out)
+
+
+def main() -> None:
+    build_sf1()
+    from stream_processing_project_spark.session import get_spark
+    from stream_processing_project_spark.plans.registry import all_queries
+
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    print(f"{'query':32s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>8s} {'x(0.1->1)':>10s}")
+    for name in QUERIES:
+        row = [name]
+        times = []
+        for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", SF1]:
+            force(qs[name].builder(spark, sf_dir))  # warm codegen
+            t0 = time.perf_counter()
+            force(qs[name].builder(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        ratio = times[2] / times[1] if times[1] > 0 else float("nan")
+        print(f"{name:32s} {times[0]:8.2f} {times[1]:8.2f} {times[2]:8.2f} {ratio:10.1f}")
+
+
+if __name__ == "__main__":
+    main()

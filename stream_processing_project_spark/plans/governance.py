@@ -1895,3 +1895,63 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_sq", "user_a", "user_b")
         .limit(20)
     )
+
+
+@register(
+    "profile_winsorize_clip",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cuts AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                  THEN value END) AS p05,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                  THEN value END) AS p95
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_id, r.event_type, r.value,
+       least(greatest(r.value, c.p05), c.p95) AS value_clipped,
+       (r.value < c.p05 OR r.value > c.p95) AS was_clipped
+FROM ranked r JOIN cuts c USING (event_type)
+""",
+)
+def profile_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization for robust feature scaling: clip each event's value
+    to its event-type's exact [p5, p95] order statistics — the
+    outlier-taming preprocessing step before z-scoring or histogram
+    features (the z-score sibling `olap_outlier_zscore` DETECTS
+    outliers; this one bounds them). Order statistics are exact kth
+    values (rank = ceil(q·n), identical IEEE mul/ceil cross-engine), so
+    the whole transform value-hash-oracles — no approx_percentile
+    digest. Shape: one event_type exchange serves ranking, counting,
+    and the clip join (the cuts table is |types| rows, broadcast); at
+    100 TB swap the exact rank for the mergeable histogram sketch
+    (`profile_histogram_quantiles`) and keep the same clip join."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    k05 = F.greatest(F.lit(1), F.ceil(F.lit(0.05) * F.col("n")))
+    k95 = F.ceil(F.lit(0.95) * F.col("n"))
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k05, F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("rn") == k95, F.col("value"))).alias("p95"),
+    )
+    return ranked.join(F.broadcast(cuts), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "value_clipped"
+        ),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+            "was_clipped"
+        ),
+    )

@@ -124,6 +124,7 @@ _PRIORITY = [
     "sampling_dialogue_assemble",
     "similarity_negative_sample",
     "timeseries_paa_similarity",
+    "profile_winsorize_clip",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

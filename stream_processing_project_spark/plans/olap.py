@@ -1818,3 +1818,185 @@ def olap_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("w"))
     )
     return pagerank(edges, iterations=10, damping=0.85)
+
+
+@register(
+    "olap_mv_incremental_refresh",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-01') AS month,
+       o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) / count(*)
+         AS avg_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def olap_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly
+    revenue-per-priority MV is kept current by aggregating ONLY the
+    delta (orders on/after the refresh cutoff) and merging its partial
+    aggregates into the stored base MV — the view never recomputes from
+    the full fact table. The mergeable state is (count, revenue_cents):
+    bigint partial sums are associative, so base+delta merge equals the
+    full aggregate EXACTLY (the oracle computes the full aggregate —
+    that equality IS the correctness claim; deletions/retractions merge
+    the same way with negated partials). Derived columns (revenue,
+    avg_price) are computed once at read-out from the merged state,
+    never maintained incrementally. Scale shape: the refresh scans
+    |delta| rows (partition-pruned by o_orderdate at 100 TB), its
+    groupBy is map-side combined, and the merge touches only
+    |months × priorities| MV rows. In production the base MV is a
+    stored table; here both halves build from the same scan so one
+    query states the full invariant. Reference analogue: the serving
+    sink's re-aggregated snapshot (EngagementRedisSink.scala:189-193)
+    — this is its warehouse-table, exactly-mergeable generalization."""
+    cutoff = "2001-01-01"
+    month = F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-01")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            month.alias("month"), F.col("o_orderpriority")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    base_mv = partials(o.filter(F.col("o_orderdate") < F.lit(cutoff)))
+    delta_mv = partials(o.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    merged = (
+        base_mv.unionByName(delta_mv)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    revenue = F.col("revenue_cents") / 100.0
+    return merged.select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        revenue.alias("revenue"),
+        (revenue / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+@register(
+    "olap_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+  GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS a,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS b,
+         CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN dv.d ELSE du.d END AS db
+  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oe e1 JOIN oe e2
+    ON e2.a = e1.a AND ((e1.db, e1.b) < (e2.db, e2.b))
+  JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       3.0 * n_triangles / (SELECT sum(d * (d - 1) / 2) FROM deg)
+         AS clustering_coeff
+FROM tri
+""",
+)
+def olap_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph (parts
+    appearing in the same order; edge = distinct unordered part pair),
+    plus the global clustering coefficient 3·triangles/wedges — the
+    classic graph-analytics primitive the reference's engine cannot
+    express. Built the scale-correct way: every edge is ORIENTED from
+    its lower-(degree, id) endpoint to its higher one, so each triangle
+    is found exactly once at its lowest-degree vertex and the wedge
+    join fans out by ORIENTED out-degree, which is O(sqrt(|E|))-bounded
+    per node regardless of skew (a celebrity node with 10^6 undirected
+    neighbors has few OUT-edges because almost all its edges orient
+    toward it — the standard compact-forward / degree-ordering bound).
+    Wedge enumeration and closure are both equi-joins on node ids —
+    hash-partitionable, no broadcast of anything big; the final result
+    is one row of exact bigints (clustering_coeff is a single IEEE
+    division of integer-valued doubles, bit-identical cross-engine)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    p = pairs.alias("p")
+    u_first = F.struct(F.col("du.d"), F.col("p.u")) < F.struct(
+        F.col("dv.d"), F.col("p.v")
+    )
+    oe = (
+        p.join(du, F.col("du.node") == F.col("p.u"))
+        .join(dv, F.col("dv.node") == F.col("p.v"))
+        .select(
+            F.when(u_first, F.col("p.u")).otherwise(F.col("p.v")).alias("a"),
+            F.when(u_first, F.col("p.v")).otherwise(F.col("p.u")).alias("b"),
+            F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("db"),
+        )
+        .localCheckpoint()  # oriented edges reused 3x in the wedge join
+    )
+    e1 = oe.alias("e1")
+    e2 = oe.alias("e2")
+    e3 = oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.a") == F.col("e1.a"))
+            & (
+                F.struct(F.col("e1.db"), F.col("e1.b"))
+                < F.struct(F.col("e2.db"), F.col("e2.b"))
+            ),
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+    return tri.crossJoin(stats).select(  # three 1-row aggregates merge
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+            "clustering_coeff"
+        ),
+    )

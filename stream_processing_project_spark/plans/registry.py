@@ -125,6 +125,8 @@ _PRIORITY = [
     "similarity_negative_sample",
     "timeseries_paa_similarity",
     "profile_winsorize_clip",
+    "olap_mv_incremental_refresh",
+    "olap_triangle_count",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

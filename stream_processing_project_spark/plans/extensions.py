@@ -1915,3 +1915,152 @@ def vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
         F.round(F.array_max(v), 6).alias("max_dim"),
     )
+
+
+@register(
+    "text_unigram_xent",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+dt AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY doc_id, w),
+vocab AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(round(k * ln(tot.n * 1.0 / v.c) * 1e6) AS BIGINT)) AS BIGINT)
+           AS xent_micro
+  FROM dt JOIN vocab v USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, xent_micro,
+       xent_micro * 1.0 / n_tokens AS xent_per_token_micro
+FROM agg
+""",
+)
+def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality scoring: train a unigram model
+    on the corpus itself (token -> corpus frequency) and score every
+    document by its total and per-token cross-entropy under that model
+    — the cheap KenLM-style perplexity proxy used to rank web text for
+    LLM training mixes (low per-token xent = stereotyped/boilerplate,
+    high = rare-token junk; the selection signal feeds `nucleus_select`
+    like any other scorer). One corpus scan: tokens collapse straight to
+    per-(doc, token) counts, the vocab and grand total are CASCADED
+    rollups of that table (no second scan, map-side combined), and the
+    score join is vocab-sized, not corpus-sized. Each token's
+    contribution k·ln(N/c) quantizes to micro-nats independently
+    (round-then-bigint-sum, the `text_char_entropy` convention) so the
+    unordered float sum can't leak engine order; the per-token rate is
+    one IEEE division of integer-valued doubles. At 100 TB the vocab
+    join shuffles on token — the Zipf head (a few thousand tokens
+    covering most mass) is broadcast-able as a split dimension, and
+    tokens travel as xxhash64 ids, not strings."""
+    from stream_processing_project_spark.operators.text import words
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    dt = (
+        tok.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()  # one tokenize pass feeds dt, vocab, and tot
+    )
+    vocab = dt.groupBy("w").agg(F.sum("k").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    term = F.round(
+        F.col("k") * F.log(F.col("n") * 1.0 / F.col("c")) * 1e6
+    ).cast("long")
+    agg = (
+        dt.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(term).cast("long").alias("xent_micro"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "xent_micro",
+        (F.col("xent_micro") * 1.0 / F.col("n_tokens")).alias(
+            "xent_per_token_micro"
+        ),
+    )
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS gram
+  FROM d, unnest(range(1, len(toks) - 3)) AS t(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(dup.gram) AS n_dup_grams
+  FROM g LEFT JOIN dup ON g.gram = dup.gram
+  GROUP BY g.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN p.n_grams > 0 THEN p.n_dup_grams * 1.0 / p.n_grams
+            ELSE 0.0 END AS dup_frac
+FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+""",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection (the span-level complement
+    of whole-doc near-dup): every 5-token window position is checked
+    against the corpus, and a document reports how much of it is built
+    from spans that also occur in OTHER documents — the signal behind
+    substring-level train-data dedup (boilerplate headers, license
+    blocks, syndicated paragraphs that whole-doc MinHash misses because
+    the surrounding text differs). Position-level counting, not
+    distinct-gram counting: dup_frac approximates the fraction of the
+    document covered by shared material. Shape: gram windows inline via
+    sequence/slice (no intermediate explode until the corpus-wide
+    count), the duplicated-gram set is the HAVING >= 2 side of one
+    gram-keyed exchange, and the marking join is gram-keyed equi — at
+    100 TB grams travel as xxhash64 ids (operators/text.py::
+    ngram_hash_set) and the df>=2 table is Zipf-small relative to the
+    corpus. Docs shorter than 5 tokens surface with n_grams = 0 via the
+    final left join rather than vanishing."""
+    from stream_processing_project_spark.operators.text import words
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words(F.col("text"))
+    grams_arr = F.when(
+        F.size(w) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 4),
+            lambda i: F.array_join(F.slice(w, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams_arr).alias("gram")).localCheckpoint()
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        g.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_raw"),
+            F.count("is_dup").alias("n_dup_raw"),
+        )
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams_raw"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_raw"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams_raw") > 0,
+            F.col("n_dup_raw") * 1.0 / F.col("n_grams_raw"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -127,6 +127,8 @@ _PRIORITY = [
     "profile_winsorize_clip",
     "olap_mv_incremental_refresh",
     "olap_triangle_count",
+    "text_unigram_xent",
+    "dedup_repeated_spans",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

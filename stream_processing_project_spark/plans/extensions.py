@@ -1918,76 +1918,6 @@ def vector_stats_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_unigram_xent",
-    oracle="""
-WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
-dt AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY doc_id, w),
-vocab AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY w),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
-agg AS (
-  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-         CAST(sum(CAST(round(k * ln(tot.n * 1.0 / v.c) * 1e6) AS BIGINT)) AS BIGINT)
-           AS xent_micro
-  FROM dt JOIN vocab v USING (w) CROSS JOIN tot
-  GROUP BY doc_id
-)
-SELECT doc_id, n_tokens, xent_micro,
-       xent_micro * 1.0 / n_tokens AS xent_per_token_micro
-FROM agg
-""",
-)
-def text_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM cross-entropy quality scoring: train a unigram model
-    on the corpus itself (token -> corpus frequency) and score every
-    document by its total and per-token cross-entropy under that model
-    — the cheap KenLM-style perplexity proxy used to rank web text for
-    LLM training mixes (low per-token xent = stereotyped/boilerplate,
-    high = rare-token junk; the selection signal feeds `nucleus_select`
-    like any other scorer). One corpus scan: tokens collapse straight to
-    per-(doc, token) counts, the vocab and grand total are CASCADED
-    rollups of that table (no second scan, map-side combined), and the
-    score join is vocab-sized, not corpus-sized. Each token's
-    contribution k·ln(N/c) quantizes to micro-nats independently
-    (round-then-bigint-sum, the `text_char_entropy` convention) so the
-    unordered float sum can't leak engine order; the per-token rate is
-    one IEEE division of integer-valued doubles. At 100 TB the vocab
-    join shuffles on token — the Zipf head (a few thousand tokens
-    covering most mass) is broadcast-able as a split dimension, and
-    tokens travel as xxhash64 ids, not strings."""
-    from stream_processing_project_spark.operators.text import words
-
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
-    dt = (
-        tok.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint()  # one tokenize pass feeds dt, vocab, and tot
-    )
-    vocab = dt.groupBy("w").agg(F.sum("k").alias("c"))
-    tot = vocab.agg(F.sum("c").alias("n"))
-    term = F.round(
-        F.col("k") * F.log(F.col("n") * 1.0 / F.col("c")) * 1e6
-    ).cast("long")
-    agg = (
-        dt.join(vocab, "w")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").cast("long").alias("n_tokens"),
-            F.sum(term).cast("long").alias("xent_micro"),
-        )
-    )
-    return agg.select(
-        "doc_id",
-        "n_tokens",
-        "xent_micro",
-        (F.col("xent_micro") * 1.0 / F.col("n_tokens")).alias(
-            "xent_per_token_micro"
-        ),
-    )
-
-
-@register(
     "dedup_repeated_spans",
     oracle="""
 WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),

@@ -2000,3 +2000,98 @@ def olap_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+_BLOOM_P = 2147483647  # Mersenne prime 2^31-1; (x%P)*A+B stays < 2^62
+_BLOOM_M = 2048  # bits — sized so the fixture exercises false positives
+_BLOOM_HASHES = ((1103515245, 12345), (214013, 2531011), (69069, 362437))
+
+
+def _bloom_pos_sql(col: str, a: int, b: int) -> str:
+    return f"(({col} % {_BLOOM_P}) * {a} + {b}) % {_BLOOM_P} % {_BLOOM_M}"
+
+
+@register(
+    "olap_bloom_semijoin",
+    oracle=f"""
+WITH keys AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT DISTINCT {_bloom_pos_sql('k', *_BLOOM_HASHES[0])} AS p FROM keys
+  UNION SELECT DISTINCT {_bloom_pos_sql('k', *_BLOOM_HASHES[1])} FROM keys
+  UNION SELECT DISTINCT {_bloom_pos_sql('k', *_BLOOM_HASHES[2])} FROM keys
+),
+bl AS (SELECT list(p) AS ps FROM pos),
+probe AS (
+  SELECT o.o_orderpriority,
+         (list_contains(bl.ps, {_bloom_pos_sql('o_custkey', *_BLOOM_HASHES[0])})
+          AND list_contains(bl.ps, {_bloom_pos_sql('o_custkey', *_BLOOM_HASHES[1])})
+          AND list_contains(bl.ps, {_bloom_pos_sql('o_custkey', *_BLOOM_HASHES[2])})) AS pass,
+         (kk.k IS NOT NULL) AS is_true
+  FROM orders o CROSS JOIN bl LEFT JOIN keys kk ON o.o_custkey = kk.k
+)
+SELECT o_orderpriority,
+       count(*) AS n_probed,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM probe GROUP BY 1
+""",
+)
+def olap_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join pruning — the technique that
+    makes selective big-big joins survive 100 TB: the build side's keys
+    (BUILDING-segment customers) compress into an m-bit filter
+    that ships to every probe task, so the fact table is pre-filtered
+    BEFORE its shuffle (Catalyst injects the same thing adaptively via
+    spark.sql.optimizer.runtime.bloomFilter; this is the data-level,
+    cross-engine-checkable form — and the filter itself is mergeable
+    state: per-partition filters OR together). Hashes are pure bigint
+    affine maps mod a Mersenne prime then mod m — identical arithmetic
+    in any engine, no library hash — so the exact set-bit positions,
+    every probe verdict, and the per-priority false-positive audit
+    (bloom pass minus exact semi-join truth, deliberately sized to be
+    non-empty at fixture scale) all value-hash-oracle. The probe plan
+    never shuffles: the position set is one broadcast row, the truth
+    check a broadcast left join, the audit one map-side-combined agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pos(col: F.Column, a: int, b: int) -> F.Column:
+        return ((col % _BLOOM_P) * a + b) % _BLOOM_P % _BLOOM_M
+
+    bloom = (
+        keys.select(
+            F.explode(
+                F.array(*[pos(F.col("k"), a, b) for a, b in _BLOOM_HASHES])
+            ).alias("p")
+        )
+        .distinct()
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    probes = [pos(F.col("o_custkey"), a, b) for a, b in _BLOOM_HASHES]
+    passed = (
+        F.array_contains(F.col("ps"), probes[0])
+        & F.array_contains(F.col("ps"), probes[1])
+        & F.array_contains(F.col("ps"), probes[2])
+    )
+    probe = (
+        o.crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(keys), o.o_custkey == keys.k, "left")
+        .select(
+            "o_orderpriority",
+            passed.alias("pass"),
+            F.col("k").isNotNull().alias("is_true"),
+        )
+    )
+    return probe.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("pass") & ~F.col("is_true")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )

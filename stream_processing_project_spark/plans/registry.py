@@ -127,8 +127,8 @@ _PRIORITY = [
     "profile_winsorize_clip",
     "olap_mv_incremental_refresh",
     "olap_triangle_count",
-    "text_unigram_xent",
     "dedup_repeated_spans",
+    "olap_bloom_semijoin",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

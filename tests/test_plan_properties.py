@@ -328,3 +328,60 @@ def test_cms_estimate_broadcasts_sketch_and_partial_aggregates(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_mv_refresh_prunes_partitions_and_merges_partials(spark):
+    """Incremental MV maintenance: both the base and the delta branch
+    push their o_orderdate cut into the scan (at 100 TB this is the
+    partition-pruning that makes the refresh |delta|-sized), the scan
+    reads only the 3 needed columns, and every aggregate has a map-side
+    partial below its exchange."""
+    plan = formatted_plan(
+        all_queries()["olap_mv_incremental_refresh"].builder(spark, SF_SMOKE)
+    )
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert all(s.count(",") <= 2 for s in read_schemas(plan)), read_schemas(plan)
+    assert plan.count("HashAggregate") >= 6  # partial+final × (base, delta, merge)
+
+
+def test_triangle_count_joins_are_equi_not_cartesian(spark):
+    """Wedge enumeration and closure run as equi-joins on node ids
+    (hash-partitionable at any scale); the only nested-loop joins are
+    the 1-row aggregate merges. Lineitem scans read exactly
+    (l_orderkey, l_partkey)."""
+    plan = formatted_plan(
+        all_queries()["olap_triangle_count"].builder(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+    for s in read_schemas(plan):
+        assert "l_orderkey" in s and "l_partkey" in s and s.count(",") == 1, s
+
+
+def test_bloom_semijoin_probe_side_never_shuffles(spark):
+    """The bloom position set reaches the probe as ONE broadcast row,
+    the exact-truth check is a broadcast left join, and the fact table's
+    only exchange is the final partial-aggregated groupBy — no
+    SortMergeJoin anywhere, orders scan pruned to 2 columns."""
+    plan = formatted_plan(
+        all_queries()["olap_bloom_semijoin"].builder(spark, SF_SMOKE)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert any(
+        "o_custkey" in s and "o_orderpriority" in s and s.count(",") == 1
+        for s in read_schemas(plan)
+    ), read_schemas(plan)
+
+
+def test_repeated_spans_marking_join_broadcasts_dup_set(spark):
+    """The duplicated-gram set (HAVING >= 2 side) broadcasts onto the
+    gram stream; the reinstating doc join reads doc_id only from the
+    second documents scan (column pruning through the left join)."""
+    plan = formatted_plan(
+        all_queries()["dedup_repeated_spans"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert any(s == "struct<doc_id:bigint>" for s in read_schemas(plan)), (
+        read_schemas(plan)
+    )

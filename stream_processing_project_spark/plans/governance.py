@@ -1955,3 +1955,136 @@ def profile_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+def _skew_cte(table: str, col: str) -> str:
+    return f"""
+  SELECT '{table}.{col}' AS key_col,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_key_rows,
+         max(CASE WHEN rn = CAST(ceil(0.50 * nk) AS BIGINT) THEN c END) AS p50_key_rows,
+         max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT) THEN c END) AS p99_key_rows,
+         max(c) * 1.0 * count(*) / sum(c) AS skew_factor
+  FROM (
+    SELECT c, row_number() OVER (ORDER BY c, key) AS rn,
+           count(*) OVER () AS nk
+    FROM (SELECT {col} AS key, count(*) AS c FROM {table} GROUP BY 1)
+  )"""
+
+
+@register(
+    "profile_join_skew",
+    oracle=f"""
+{_skew_cte('lineitem', 'l_partkey')}
+UNION ALL
+{_skew_cte('orders', 'o_custkey')}
+UNION ALL
+{_skew_cte('events', 'user_id')}
+""",
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic that decides WHEN the
+    engine's mitigation machinery (operators/skew.py salted join, AQE
+    skew-join splitting) is needed: for each prospective join/groupBy
+    key it reports cardinality, the heaviest key's row count, exact
+    p50/p99 per-key counts (order statistics at rank ceil(q·n), the
+    `profile_winsorize_clip` convention — ties broken by (count, key)
+    so the rank is total), and skew_factor = max/mean (1.0 = perfectly
+    uniform; > ~4 means the hottest key's shuffle partition dominates
+    the stage at 100 TB). Per key column: one map-side-combined count
+    aggregate over the slim key column, then stats over the |keys|-row
+    count table — the raw table is scanned once and never re-shuffled.
+    All outputs are exact integers except the final division."""
+    out = None
+    for table, col in (
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        counts = (
+            t(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wr = Window.orderBy("c", "key")
+        ranked = counts.withColumn("rn", F.row_number().over(wr)).withColumn(
+            "nk", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        stats = ranked.agg(
+            F.lit(f"{table}.{col}").alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(0.50) * F.col("nk")).cast("long"),
+                    F.col("c"),
+                )
+            ).alias("p50_key_rows"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(0.99) * F.col("nk")).cast("long"),
+                    F.col("c"),
+                )
+            ).alias("p99_key_rows"),
+            (
+                F.max("c") * 1.0 * F.count(F.lit(1)) / F.sum("c")
+            ).alias("skew_factor"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+@register(
+    "features_target_encode_loo",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM o GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CASE WHEN g.n > 1
+            THEN (g.s - o.cents) * 1.0 / (g.n - 1) / 100.0 END AS te_loo,
+       g.s * 1.0 / g.n / 100.0 AS te_naive
+FROM o JOIN g USING (o_orderpriority)
+""",
+)
+def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature prep
+    that replaces a category with the mean target of the OTHER rows in
+    that category, the standard leakage guard (the naive encoding
+    te_naive leaks each row's own target into its feature; LOO removes
+    it exactly: (sum - own)/(n - 1), no K-fold machinery needed when
+    sums are exact). Targets live in integer cents so group sums are
+    associative bigints; each row's encoding is then two IEEE divisions
+    in a fixed order — value-hash parity without any float-sum
+    ordering hazard. Shape: ONE map-side-combined aggregate produces
+    the |categories|-row (n, sum) table, which broadcast-joins back
+    onto the fact rows — the fact table is scanned once and never
+    shuffles (the same envelope at 100 TB; K-fold variants just add a
+    fold column to the group key)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    return o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("cents")) * 1.0 / (F.col("n") - 1) / 100.0,
+        ).alias("te_loo"),
+        (F.col("s") * 1.0 / F.col("n") / 100.0).alias("te_naive"),
+    )

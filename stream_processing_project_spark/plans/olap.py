@@ -2095,3 +2095,66 @@ def olap_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos"
         ),
     )
+
+
+@register(
+    "olap_aqp_sample_estimate",
+    oracle="""
+WITH sample AS (
+  SELECT * FROM events
+  WHERE ((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 100 < 10
+),
+est AS (
+  SELECT event_type, count(*) * 10 AS n_est, round(sum(value) * 10, 2) AS sum_est
+  FROM sample GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS n_exact, round(sum(value), 2) AS sum_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, n_exact, coalesce(n_est, 0) AS n_est, sum_exact,
+       coalesce(sum_est, 0.0) AS sum_est,
+       coalesce(n_est, 0) * 1.0 / n_exact AS count_ratio
+FROM exact e LEFT JOIN est USING (event_type)
+""",
+)
+def olap_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic hash sampling: a
+    10% sample selected by a pure affine hash of the row key (NOT
+    rand() or TABLESAMPLE — the sample is a property of the DATA, so it
+    is identical across engines, executors, retries, and runs, and at
+    100 TB it can be materialized once as a sample TABLE and reused by
+    every dashboard query at 1/10 the scan cost). Estimates are
+    inverse-probability-scaled (x10) grouped count/sum; the exact pass
+    runs alongside so the result audits the estimator's own error
+    (count_ratio) rather than asking the reader to trust it. Shape: the
+    sample predicate is codegen'd into the scan projection — the
+    sampled branch reads and aggregates ~10% of rows; both branches
+    partial-aggregate map-side and the audit join is |event_type|-sized
+    broadcast."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    in_sample = (
+        ((F.col("event_id") % _BLOOM_P) * 1103515245 + 12345) % _BLOOM_P % 100
+    ) < 10
+    est = (
+        ev.filter(in_sample)
+        .groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) * 10).alias("n_est"),
+            F.round(F.sum("value") * 10, 2).alias("sum_est"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.round(F.sum("value"), 2).alias("sum_exact"),
+    )
+    return exact.join(F.broadcast(est), "event_type", "left").select(
+        "event_type",
+        "n_exact",
+        F.coalesce(F.col("n_est"), F.lit(0)).alias("n_est"),
+        "sum_exact",
+        F.coalesce(F.col("sum_est"), F.lit(0.0)).alias("sum_est"),
+        (F.coalesce(F.col("n_est"), F.lit(0)) * 1.0 / F.col("n_exact")).alias(
+            "count_ratio"
+        ),
+    )

@@ -129,6 +129,9 @@ _PRIORITY = [
     "olap_triangle_count",
     "dedup_repeated_spans",
     "olap_bloom_semijoin",
+    "olap_aqp_sample_estimate",
+    "profile_join_skew",
+    "features_target_encode_loo",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -2088,3 +2088,76 @@ def features_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("te_loo"),
         (F.col("s") * 1.0 / F.col("n") / 100.0).alias("te_naive"),
     )
+
+
+@register(
+    "profile_correlation",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, n,
+       sx * 1.0 / n AS mean_qty,
+       sy * 1.0 / n AS mean_price,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_r
+FROM s
+""",
+)
+def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-pass Pearson correlation / covariance between two
+    measures per group (quantity vs price per return flag) — the
+    feature-redundancy screen run before training-set assembly, and
+    the textbook case for SUFFICIENT STATISTICS at scale: one
+    map-side-combined aggregate carries (n, Σx, Σy, Σxy, Σx², Σy²) as
+    exact bigints (quantity is integer-valued; price is rounded to
+    whole units so squares stay < 2^63), and mean/covariance/r are
+    derived afterward by a FIXED sequence of IEEE double ops —
+    bit-identical cross-engine, unlike corr()/covar_samp() whose
+    internal float accumulation is partitioning-dependent. The same
+    six sums merge associatively across shards, days, or engines —
+    this is the incremental-statistics pattern (`olap_mv_incremental_
+    refresh` applies it to count/sum state)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") * 1.0 / F.col("n")).alias("mean_qty"),
+        (F.col("sy") * 1.0 / F.col("n")).alias("mean_price"),
+        (num / (nd * nd)).alias("covar"),
+        (
+            num
+            / (
+                F.sqrt(nd * sxxd - sxd * sxd)
+                * F.sqrt(nd * syyd - syd * syd)
+            )
+        ).alias("corr_r"),
+    )

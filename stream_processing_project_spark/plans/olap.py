@@ -2158,3 +2158,274 @@ def olap_aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_ratio"
         ),
     )
+
+
+@register(
+    "timeseries_m4_downsample",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         strftime(to_timestamp(CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200),
+                  '%Y-%m-%d %H:%M:%S') AS bucket,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 7200) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 7200) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket,
+       count(*) AS n_points,
+       max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+       min(value) AS v_min, max(value) AS v_max
+FROM ranked GROUP BY 1, 2
+""",
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling — the width-preserving dashboard
+    reducer (Jugel et al., VLDB 2014): per series and per pixel-column
+    bucket (2 h here), keep exactly the first, last, min, and max
+    values, which is provably sufficient to render the same line a
+    full-resolution plot would produce. This is what turns a 100 TB
+    raw series into a few thousand plotted points with ONE grouped
+    aggregate — first/last are order statistics over the total order
+    (ts, event_id), so the result is partitioning-invariant (the
+    engine's min_by/max_by shape, spelled as rank-1-within-bucket so
+    every engine agrees on ties). One event_type×bucket exchange
+    serves both rank directions and the final aggregate."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    b = (F.unix_seconds(F.col("ts")) / 7200).cast("long")  # floor for t >= 0
+    wa = Window.partitionBy("event_type", "b").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        ev.withColumn("b", b)
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    return (
+        ranked.groupBy(
+            "event_type",
+            F.from_unixtime(F.col("b") * 7200, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
+def _hourly_cents_series(spark: SparkSession, sf_dir: str, fill: bool):
+    """Shared spine: per-type hourly revenue cents over the full hour
+    range, gaps as NULL (fill=False) or 0 (fill=True)."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    ser = spine.join(hourly, ["event_type", "h"], "left")
+    if fill:
+        ser = ser.withColumn("cents", F.coalesce(F.col("cents"), F.lit(0)))
+    return ser
+
+
+@register(
+    "timeseries_interpolate",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+spine AS (
+  SELECT et.event_type, CAST(hh.h AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) hh
+),
+ser AS (
+  SELECT s.event_type, s.h, hr.cents
+  FROM spine s LEFT JOIN hourly hr ON s.event_type = hr.event_type AND s.h = hr.h
+),
+w AS (
+  SELECT event_type, h, cents,
+         last_value(cents IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(cents IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM ser
+)
+SELECT event_type,
+       strftime(to_timestamp(h * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+       cents,
+       prev_v AS locf_cents,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+            WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+            ELSE CAST(prev_v AS DOUBLE)
+                 + CAST(next_v - prev_v AS DOUBLE)
+                   * (CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+       END AS lerp_cents
+FROM w
+""",
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair for regular time series — the TimescaleDB
+    locf()/interpolate() pair: the hourly revenue series is completed
+    over a generated hour spine, then each missing hour is filled two
+    ways: last-observation-carried-forward (the monitoring default)
+    and linear interpolation between the bracketing observations
+    (the training-data default — no discontinuities). Neighbor lookup
+    is two IGNORE-NULLS window scans (no self-join per gap); the lerp
+    is exact bigint deltas with ONE double multiply-divide in fixed
+    order, so the repaired values hash identically cross-engine.
+    Series values stay integer cents end-to-end otherwise. At 100 TB
+    the window partitions by series key — embarrassingly parallel
+    across series, and the spine join prunes to each series' own
+    range."""
+    ser = _hourly_cents_series(spark, sf_dir, fill=False)
+    back = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    h_obs = F.when(F.col("cents").isNotNull(), F.col("h"))
+    w = (
+        ser.withColumn("prev_v", F.last("cents", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last(h_obs, ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("cents", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first(h_obs, ignorenulls=True).over(fwd))
+    )
+    lerp = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .otherwise(
+            F.col("prev_v").cast("double")
+            + (F.col("next_v") - F.col("prev_v")).cast("double")
+            * (
+                (F.col("h") - F.col("prev_h")).cast("double")
+                / (F.col("next_h") - F.col("prev_h")).cast("double")
+            )
+        )
+    )
+    return w.select(
+        "event_type",
+        F.from_unixtime(F.col("h") * 3600, "yyyy-MM-dd HH:mm:ss").alias(
+            "w_start"
+        ),
+        "cents",
+        F.col("prev_v").alias("locf_cents"),
+        lerp.alias("lerp_cents"),
+    )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+spine AS (
+  SELECT et.event_type, CAST(hh.h AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds) hh
+),
+ser AS (
+  SELECT s.event_type, s.h, coalesce(hr.cents, 0) AS cents
+  FROM spine s LEFT JOIN hourly hr ON s.event_type = hr.event_type AND s.h = hr.h
+),
+tr AS (
+  SELECT event_type, h, cents,
+         CAST(sum(cents) OVER fr AS DOUBLE) / CAST(count(*) OVER fr AS DOUBLE) AS trend
+  FROM ser
+  WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+),
+detr AS (
+  SELECT *, CAST(round((CAST(cents AS DOUBLE) - trend) * 1e6) AS BIGINT) AS detr_micro,
+         h % 24 AS hod
+  FROM tr
+),
+seas AS (
+  SELECT event_type, hod,
+         CAST(sum(detr_micro) AS BIGINT) * 1.0 / count(*) / 1e6 AS seasonal
+  FROM detr GROUP BY 1, 2
+)
+SELECT d.event_type,
+       strftime(to_timestamp(d.h * 3600), '%Y-%m-%d %H:%M:%S') AS w_start,
+       d.cents, d.trend, s.seasonal,
+       (CAST(d.cents AS DOUBLE) - d.trend) - s.seasonal AS residual
+FROM detr d JOIN seas s ON d.event_type = s.event_type AND d.hod = s.hod
+""",
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + hour-of-day
+    seasonality + residual) of the hourly revenue series — the anomaly
+    -detection preprocessing that separates "traffic is down" from
+    "it's 4 AM": trend is a centered 24-row moving average (bigint
+    window sum / count — exact operands), the seasonal component is
+    the per-hour-of-day mean of the detrended series, and the residual
+    is what monitoring alerts on. The detrended doubles are quantized
+    to integer micro-cents BEFORE the seasonal mean so that unordered
+    group sum is exact bigint arithmetic (the micro-nat convention) —
+    the whole decomposition value-hash-oracles, which approx-digest
+    implementations cannot. Shape: one series-key window pass for the
+    trend, one |type × 24|-row aggregate for seasonality broadcast
+    back — per-series parallel at any scale."""
+    ser = _hourly_cents_series(spark, sf_dir, fill=True)
+    fr = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    tr = ser.withColumn(
+        "trend",
+        F.sum("cents").over(fr).cast("double")
+        / F.count(F.lit(1)).over(fr).cast("double"),
+    )
+    detr = tr.withColumn(
+        "detr_micro",
+        F.round((F.col("cents").cast("double") - F.col("trend")) * 1e6, 0).cast(
+            "long"
+        ),
+    ).withColumn("hod", F.col("h") % 24)
+    seas = detr.groupBy("event_type", "hod").agg(
+        (F.sum("detr_micro") * 1.0 / F.count(F.lit(1)) / 1e6).alias("seasonal")
+    )
+    return detr.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        F.from_unixtime(F.col("h") * 3600, "yyyy-MM-dd HH:mm:ss").alias(
+            "w_start"
+        ),
+        "cents",
+        "trend",
+        "seasonal",
+        ((F.col("cents").cast("double") - F.col("trend")) - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )

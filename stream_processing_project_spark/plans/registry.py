@@ -132,6 +132,10 @@ _PRIORITY = [
     "olap_aqp_sample_estimate",
     "profile_join_skew",
     "features_target_encode_loo",
+    "timeseries_m4_downsample",
+    "timeseries_interpolate",
+    "timeseries_seasonal_decompose",
+    "profile_correlation",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

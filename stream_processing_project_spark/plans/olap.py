@@ -2429,3 +2429,124 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             "residual"
         ),
     )
+
+
+@register(
+    "maintenance_zorder_layout",
+    oracle="""
+WITH base AS (
+  SELECT l_partkey AS x, l_suppkey AS y, l_orderkey, l_linenumber FROM lineitem
+),
+b AS (
+  SELECT *,
+         ntile(64) OVER (ORDER BY x, l_orderkey, l_linenumber) - 1 AS bx,
+         ntile(64) OVER (ORDER BY y, l_orderkey, l_linenumber) - 1 AS by
+  FROM base
+),
+z AS (
+  SELECT *,
+    (((bx >> 0) & 1) << 0) | (((by >> 0) & 1) << 1) |
+    (((bx >> 1) & 1) << 2) | (((by >> 1) & 1) << 3) |
+    (((bx >> 2) & 1) << 4) | (((by >> 2) & 1) << 5) |
+    (((bx >> 3) & 1) << 6) | (((by >> 3) & 1) << 7) |
+    (((bx >> 4) & 1) << 8) | (((by >> 4) & 1) << 9) |
+    (((bx >> 5) & 1) << 10) | (((by >> 5) & 1) << 11) AS zcode
+  FROM b
+),
+layouts AS (
+  SELECT 'zorder' AS layout,
+         ntile(32) OVER (ORDER BY zcode, l_orderkey, l_linenumber) AS file_id, x, y
+  FROM z
+  UNION ALL
+  SELECT 'range_x', ntile(32) OVER (ORDER BY x, l_orderkey, l_linenumber), x, y
+  FROM z
+),
+files AS (
+  SELECT layout, file_id, min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout, count(*) AS n_files,
+       CAST(sum(CASE WHEN 1000 BETWEEN min_x AND max_x THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_hit_x1000,
+       CAST(sum(CASE WHEN 50 BETWEEN min_y AND max_y THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_hit_y50
+FROM files GROUP BY 1
+""",
+)
+def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout AUDIT — the decision query behind
+    `operators/maintenance.py::compact_zorder` (OPTIMIZE ZORDER in
+    table formats): both columns are bucketed into 64 exact quantile
+    ranks (ntile over a TOTAL order, so bucketing is engine-invariant;
+    the production operator swaps in approxQuantile sketches at 100 TB
+    — same bits, sample-derived cuts), the bits interleave into a
+    Z-address, and 32 candidate files are cut from each layout. The
+    output is per-file min/max envelopes reduced to the number Delta/
+    Iceberg's file skipping would actually read for a point filter on
+    EACH dimension: range-clustering on x alone prunes x-probes
+    perfectly but reads every file for y-probes; Z-order pays a little
+    on x to prune both (the measured 32→11/4 vs 2/32 tradeoff at
+    fixture scale). Shape: two window ranks + one grouped min/max —
+    the audit runs on the slim (x, y, key) projection, never the full
+    row."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ord_cols = ["l_orderkey", "l_linenumber"]
+    b = li.withColumn(
+        "bx", F.ntile(64).over(Window.orderBy("x", *ord_cols)) - 1
+    ).withColumn("by", F.ntile(64).over(Window.orderBy("y", *ord_cols)) - 1)
+    zc = F.lit(0)
+    for bit in range(6):
+        zc = zc.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("bx"), bit).bitwiseAND(F.lit(1)), 2 * bit)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col("by"), bit).bitwiseAND(F.lit(1)), 2 * bit + 1
+            )
+        )
+    z = b.withColumn("zcode", zc)
+    zorder = z.select(
+        F.lit("zorder").alias("layout"),
+        F.ntile(32).over(Window.orderBy("zcode", *ord_cols)).alias("file_id"),
+        "x",
+        "y",
+    )
+    range_x = z.select(
+        F.lit("range_x").alias("layout"),
+        F.ntile(32).over(Window.orderBy("x", *ord_cols)).alias("file_id"),
+        "x",
+        "y",
+    )
+    files = (
+        zorder.unionByName(range_x)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(
+            F.when(
+                (F.lit(1000) >= F.col("min_x")) & (F.lit(1000) <= F.col("max_x")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("files_hit_x1000"),
+        F.sum(
+            F.when(
+                (F.lit(50) >= F.col("min_y")) & (F.lit(50) <= F.col("max_y")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("files_hit_y50"),
+    )

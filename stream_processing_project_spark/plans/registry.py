@@ -136,6 +136,7 @@ _PRIORITY = [
     "timeseries_interpolate",
     "timeseries_seasonal_decompose",
     "profile_correlation",
+    "maintenance_zorder_layout",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

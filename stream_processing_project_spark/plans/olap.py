@@ -2550,3 +2550,66 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("files_hit_y50"),
     )
+
+
+@register(
+    "olap_event_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, 'v+cp')) AS BIGINT) AS n_funnel,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts,
+       CAST(len(s) AS BIGINT) AS n_events
+FROM seq
+WHERE len(regexp_extract_all(s, 'v+cp')) > 0
+   OR len(regexp_extract_all(s, 'ee+')) > 0
+""",
+)
+def olap_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching (MATCH_RECOGNIZE /
+    Flink-CEP class, which plain SQL engines and the reference lack):
+    each user's event history becomes an ordered symbol string — one
+    initial per event over the (ts, event_id) total order — and CEP
+    patterns are then ordinary regular expressions evaluated per user:
+    'v+cp' (one-or-more views immediately followed by click then
+    purchase — the strict-contiguity funnel, stronger than
+    `olap_funnel_stages`' eventually-ordered semantics) and 'ee+'
+    (error bursts, the alerting pattern). Non-overlapping greedy match
+    counts are engine-invariant for these anchored-free patterns.
+    Shape: ONE user_id exchange; the symbol string builds via
+    collect_list + array_sort inside the aggregate (in-memory per
+    user, bounded by events-per-user), and the regex scan is a narrow
+    codegen'd pass over |users| rows — at 100 TB sequences shard by
+    (user, day) exactly like `sampling_dialogue_assemble`'s
+    trajectories."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n_funnel = F.size(F.regexp_extract_all(F.col("s"), F.lit("v+cp"), F.lit(0)))
+    n_bursts = F.size(F.regexp_extract_all(F.col("s"), F.lit("ee+"), F.lit(0)))
+    return (
+        seq.select(
+            "user_id",
+            n_funnel.cast("long").alias("n_funnel"),
+            n_bursts.cast("long").alias("n_error_bursts"),
+            F.length("s").cast("long").alias("n_events"),
+        )
+        .filter((F.col("n_funnel") > 0) | (F.col("n_error_bursts") > 0))
+    )

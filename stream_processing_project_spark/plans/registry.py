@@ -137,6 +137,7 @@ _PRIORITY = [
     "timeseries_seasonal_decompose",
     "profile_correlation",
     "maintenance_zorder_layout",
+    "olap_event_pattern_match",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

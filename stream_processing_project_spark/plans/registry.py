@@ -138,6 +138,7 @@ _PRIORITY = [
     "profile_correlation",
     "maintenance_zorder_layout",
     "olap_event_pattern_match",
+    "streaming_m4_downsample",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -752,3 +752,59 @@ def streaming_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+@register(
+    "streaming_m4_downsample",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+ranked AS (
+  SELECT event_type, value,
+         to_timestamp(CAST(floor(epoch(ts) / 7200) AS BIGINT) * 7200) AS wb,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 7200) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 7200) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, strftime(wb, '%Y-%m-%d %H:%M:%S') AS w_start,
+       count(*) AS n_points,
+       max(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+       min(value) AS v_min, max(value) AS v_max
+FROM ranked, mx
+WHERE wb + INTERVAL 2 HOUR <= m - INTERVAL 15 MINUTE
+GROUP BY 1, 2
+""",
+)
+def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`timeseries_m4_downsample` as a live dashboard feed: the stream
+    maintains one (first, last, min, max, count) tuple per series per
+    2 h pixel bucket — M4 state is four scalars, so memory is bounded
+    by |windows|·|series| regardless of event volume — and watermark-
+    closed buckets emit append-only, ready to plot. first/last ride on
+    min_by/max_by over the (ts, event_id) total order, the same
+    engine-invariant tie rule as the batch twin, whose oracle this
+    restricts to closed windows."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "2 hours").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("v_first"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_points",
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
+        )
+    )
+    return pipeline.run_to_completion(agg)

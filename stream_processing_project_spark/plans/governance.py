@@ -2161,3 +2161,135 @@ def profile_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_r"),
     )
+
+
+_KMV_P = 2147483647
+_KMV_K = 64
+
+
+@register(
+    "profile_distinct_kmv_theta",
+    oracle=f"""
+WITH cohorts AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS cohort, user_id
+  FROM events
+  WHERE value > 135 AND event_type IN ('purchase', 'error')
+),
+hashes AS (
+  SELECT DISTINCT cohort, ((user_id % {_KMV_P}) * 1103515245 + 12345) % {_KMV_P} AS h
+  FROM cohorts
+),
+sk AS (
+  SELECT cohort, h, row_number() OVER (PARTITION BY cohort ORDER BY h) AS rn
+  FROM hashes
+),
+kmv AS (SELECT cohort, h FROM sk WHERE rn <= {_KMV_K}),
+est AS (
+  SELECT cohort, max(h) AS hk, count(*) AS nk,
+         CASE WHEN count(*) < {_KMV_K} THEN count(*) * 1.0
+              ELSE ({_KMV_K} - 1) * {_KMV_P}.0 / max(h) END AS est_distinct
+  FROM kmv GROUP BY cohort
+),
+theta AS (SELECT min(hk) AS th, min(nk) AS min_nk FROM est),
+inter AS (
+  SELECT count(*) AS n_common
+  FROM kmv a JOIN kmv b ON a.h = b.h AND a.cohort = 'a' AND b.cohort = 'b'
+  CROSS JOIN theta
+  WHERE a.h < theta.th OR theta.min_nk < {_KMV_K}
+),
+exact AS (
+  SELECT
+    (SELECT count(DISTINCT user_id) FROM cohorts WHERE cohort = 'a') AS exact_a,
+    (SELECT count(DISTINCT user_id) FROM cohorts WHERE cohort = 'b') AS exact_b,
+    (SELECT count(*) FROM
+      (SELECT DISTINCT user_id FROM cohorts WHERE cohort = 'a'
+       INTERSECT SELECT DISTINCT user_id FROM cohorts WHERE cohort = 'b')) AS exact_both
+)
+SELECT (SELECT est_distinct FROM est WHERE cohort = 'a') AS est_a,
+       (SELECT est_distinct FROM est WHERE cohort = 'b') AS est_b,
+       CASE WHEN (SELECT min_nk FROM theta) < {_KMV_K} THEN n_common * 1.0
+            ELSE n_common * 1.0 * {_KMV_P} / (SELECT th FROM theta) END AS est_both,
+       exact_a, exact_b, exact_both
+FROM inter, exact
+""",
+)
+def profile_distinct_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-sketch distinct counting with SET-OPERATION support
+    — the fourth mergeable-sketch family (HLL = distinct rollup,
+    histogram = quantiles, CMS = frequencies, KMV/theta = distinct
+    algebra): each cohort's sketch is its k smallest deterministic key
+    hashes, mergeable by union-then-truncate, and — unlike HLL, which
+    only unions — two sketches INTERSECT directly (count common hashes
+    below the shared theta = min of the two k-th minima, scale by
+    P/theta). The hash is the engine's affine-mod-Mersenne map, so
+    sketch contents, theta, and both estimates reproduce bit-exactly
+    cross-engine — the approximation itself is oracled, alongside the
+    exact audit. Sub-k cohorts degrade to exact counts (the estimator
+    guard). Shape: per-cohort distinct-hash aggregate (map-side
+    combined), a k-row-per-cohort rank, and 1-row broadcast merges —
+    the raw table is scanned once per branch and the sketches are KB-
+    sized no matter the cohort cardinality."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    cohorts = ev.filter(
+        (F.col("value") > 135) & F.col("event_type").isin("purchase", "error")
+    ).select(
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("cohort"),
+        "user_id",
+    )
+    h = ((F.col("user_id") % _KMV_P) * 1103515245 + 12345) % _KMV_P
+    hashes = cohorts.select("cohort", h.alias("h")).distinct()
+    rn = F.row_number().over(Window.partitionBy("cohort").orderBy("h"))
+    kmv = hashes.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K)
+    est = kmv.groupBy("cohort").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("nk"),
+        F.when(
+            F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)) * 1.0
+        )
+        .otherwise(F.lit(_KMV_K - 1) * float(_KMV_P) / F.max("h"))
+        .alias("est_distinct"),
+    )
+    theta = est.agg(F.min("hk").alias("th"), F.min("nk").alias("min_nk"))
+    a = kmv.filter(F.col("cohort") == "a").select(F.col("h").alias("ha"))
+    b = kmv.filter(F.col("cohort") == "b").select(F.col("h").alias("hb"))
+    inter = (
+        a.join(b, F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(theta))
+        .filter((F.col("ha") < F.col("th")) | (F.col("min_nk") < _KMV_K))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    dist_users = cohorts.distinct()
+    exact = (
+        dist_users.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("cohort") == "a", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("cohort") == "b", 1).otherwise(0)).alias("in_b"),
+        )
+        .agg(
+            F.sum("in_a").cast("long").alias("exact_a"),
+            F.sum("in_b").cast("long").alias("exact_b"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_both"),
+        )
+    )
+    est_a = est.filter(F.col("cohort") == "a").select(
+        F.col("est_distinct").alias("est_a")
+    )
+    est_b = est.filter(F.col("cohort") == "b").select(
+        F.col("est_distinct").alias("est_b")
+    )
+    return (
+        inter.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            F.when(F.col("min_nk") < _KMV_K, F.col("n_common") * 1.0)
+            .otherwise(F.col("n_common") * 1.0 * _KMV_P / F.col("th"))
+            .alias("est_both"),
+            "exact_a",
+            "exact_b",
+            "exact_both",
+        )
+    )

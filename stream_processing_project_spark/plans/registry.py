@@ -139,6 +139,7 @@ _PRIORITY = [
     "maintenance_zorder_layout",
     "olap_event_pattern_match",
     "streaming_m4_downsample",
+    "profile_distinct_kmv_theta",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -107,3 +107,58 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Synchronous weighted label propagation (community detection).
+
+    edges: (src, dst, w) with EXACT INTEGER weights. The graph is
+    symmetrized (parallel edges sum); every node starts in its own
+    community (label = node id) and each round SIMULTANEOUSLY adopts
+    the label carrying the maximum total incident weight among its
+    neighbors, ties to the SMALLEST label — both rules are pure integer
+    comparisons, so a fixed iteration count reproduces bit-for-bit in
+    unrolled SQL (the pagerank determinism contract, with no float ops
+    at all). Synchronous + tie-to-min also makes the result
+    partitioning-invariant, unlike the asynchronous textbook LPA whose
+    outcome depends on visit order.
+
+    Scale shape: the symmetrized edge table is built once and
+    localCheckpoint-ed; each round is one broadcast join of the
+    O(|nodes|) label table against the edges, one (node, label)
+    weight aggregate (map-side combined), and one integer argmax —
+    label lineage truncates per round."""
+    a, b = "_a", "_b"
+    und = (
+        edges.select(F.col(src).alias(a), F.col(dst).alias(b), F.col(w).alias("_w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias(a), F.col(src).alias(b), F.col(w).alias("_w")
+            )
+        )
+        .groupBy(a, b)
+        .agg(F.sum("_w").alias("_w"))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col(a).alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iterations):
+        scores = (
+            und.join(F.broadcast(labels), und[b] == labels["node"])
+            .groupBy(F.col(a).alias("node"), "lbl")
+            .agg(F.sum("_w").alias("s"))
+        )
+        labels = (
+            scores.groupBy("node")
+            .agg(F.max(F.struct(F.col("s"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

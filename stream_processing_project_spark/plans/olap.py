@@ -2613,3 +2613,71 @@ def olap_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_funnel") > 0) | (F.col("n_error_bursts") > 0))
     )
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Unrolled-SQL replay of operators/graph.py::label_propagation on
+    the nation trade graph — the PageRank convention for iterative
+    algorithms (pure integer arithmetic, so the replay is bit-exact)."""
+    head = """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src AS a, dst AS b, w FROM edges
+    UNION ALL SELECT dst AS a, src AS b, w FROM edges
+  ) GROUP BY 1, 2
+),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)"""
+    step = """,
+sc{k} AS (
+  SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS s
+  FROM und e JOIN l{prev} l ON l.node = e.b GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl, s, max(s) OVER (PARTITION BY node) AS ms FROM sc{k}
+  ) WHERE s = ms GROUP BY node
+)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, iterations + 1))
+    return f"{head}{body}\nSELECT node, lbl AS community FROM l{iterations}\n"
+
+
+@register("olap_nation_communities", oracle=_lpa_oracle(4))
+def olap_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    over the inter-nation trade graph (self-trade edges dropped so
+    communities reflect CROSS-border affinity) — the clustering member
+    of the graph family (components = connectivity, PageRank =
+    centrality, triangles = cohesion, LPA = mesoscale structure). Four
+    synchronous rounds, max-incident-weight label with ties to the
+    smallest — all integer comparisons, so the full trajectory
+    value-hash-oracles against an unrolled-SQL replay
+    (operators/graph.py::label_propagation). Heavy work is the one-time
+    edge extraction; per round: one broadcast label join + one
+    map-side-combined (node, label) aggregate."""
+    from stream_processing_project_spark.operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey != s.s_nationkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.sum(cents).alias("w"))
+    )
+    return label_propagation(edges, iterations=4)

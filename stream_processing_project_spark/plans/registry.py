@@ -140,6 +140,7 @@ _PRIORITY = [
     "olap_event_pattern_match",
     "streaming_m4_downsample",
     "profile_distinct_kmv_theta",
+    "olap_nation_communities",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

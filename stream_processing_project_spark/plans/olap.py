@@ -2205,18 +2205,24 @@ def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn_d", F.row_number().over(wd))
     )
     return (
-        ranked.groupBy(
-            "event_type",
-            F.from_unixtime(F.col("b") * 7200, "yyyy-MM-dd HH:mm:ss").alias(
-                "bucket"
-            ),
-        )
+        ranked.groupBy("event_type", "b")  # window partitioning reused: no 2nd exchange
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
             F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
             F.min("value").alias("v_min"),
             F.max("value").alias("v_max"),
+        )
+        .select(
+            "event_type",
+            F.from_unixtime(F.col("b") * 7200, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            "n_points",
+            "v_first",
+            "v_last",
+            "v_min",
+            "v_max",
         )
     )
 

@@ -385,3 +385,87 @@ def test_repeated_spans_marking_join_broadcasts_dup_set(spark):
     assert any(s == "struct<doc_id:bigint>" for s in read_schemas(plan)), (
         read_schemas(plan)
     )
+
+
+def test_aqp_estimate_prunes_and_broadcasts_audit_join(spark):
+    """Both AQP branches read ≤3 pruned columns; the estimate joins the
+    exact audit as a |groups|-row broadcast — never a shuffle join."""
+    plan = formatted_plan(
+        all_queries()["olap_aqp_sample_estimate"].builder(spark, SF_SMOKE)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert all(s.count(",") <= 2 for s in read_schemas(plan)), read_schemas(plan)
+
+
+def test_target_encode_fact_scan_never_shuffles(spark):
+    """LOO target encoding: ONE exchange total (the category partial
+    aggregate); the fact side reaches the broadcast join unshuffled."""
+    plan = formatted_plan(
+        all_queries()["features_target_encode_loo"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1, plan.count("+- Exchange")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_correlation_is_one_partial_aggregated_pass(spark):
+    """Sufficient-statistics correlation: one exchange, partial+final
+    aggregate pair, 3-column pruned scan."""
+    plan = formatted_plan(
+        all_queries()["profile_correlation"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial below + final above
+    assert all(s.count(",") == 2 for s in read_schemas(plan)), read_schemas(plan)
+
+
+def test_cep_pattern_match_single_user_exchange(spark):
+    """CEP sequences: the only exchange is the user_id aggregate; the
+    regex pass adds no further shuffle."""
+    plan = formatted_plan(
+        all_queries()["olap_event_pattern_match"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_m4_downsample_single_exchange_serves_windows_and_agg(spark):
+    """M4: one (series, bucket) exchange feeds both rank directions AND
+    the final aggregate (grouping on the window partition keys, not the
+    derived bucket string)."""
+    plan = formatted_plan(
+        all_queries()["timeseries_m4_downsample"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1, plan.count("+- Exchange")
+
+
+def test_timeseries_gap_ops_broadcast_the_small_sides(spark):
+    """Interpolation/decomposition: the hour spine bounds are a 1-row
+    broadcast, the hourly table broadcasts onto the spine, and no
+    sort-merge join appears anywhere."""
+    for name in ["timeseries_interpolate", "timeseries_seasonal_decompose"]:
+        plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_kmv_theta_merges_are_broadcast_only(spark):
+    """KMV/theta: sketches and 1-row merge tables move only by
+    broadcast; the raw scans never sort-merge join."""
+    plan = formatted_plan(
+        all_queries()["profile_distinct_kmv_theta"].builder(spark, SF_SMOKE)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_propagation_rounds_stay_flat(spark):
+    """LPA: label lineage truncates per round — the returned plan reads
+    the final checkpoint, not a replay of 4 rounds of joins over the
+    parquet scans (the flat-iteration property that keeps round N's
+    plan the same size as round 1's)."""
+    plan = formatted_plan(
+        all_queries()["olap_nation_communities"].builder(spark, SF_SMOKE)
+    )
+    assert "Scan parquet" not in plan  # lineage truncated at the checkpoint
+    assert "Join" not in plan

@@ -54,3 +54,35 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, pagerank(e, iterations=8).collect()))
     b = sorted(map(tuple, pagerank(e.repartition(13), iterations=8).collect()))
     assert a == b
+
+
+def test_label_propagation_finds_two_cliques(spark):
+    """Two 3-cliques joined by one weak bridge: LPA must give each
+    clique one community and keep the two apart (the bridge weight
+    cannot outvote in-clique mass)."""
+    from stream_processing_project_spark.operators.graph import label_propagation
+
+    clique1 = [(0, 1, 10), (1, 2, 10), (0, 2, 10)]
+    clique2 = [(3, 4, 10), (4, 5, 10), (3, 5, 10)]
+    bridge = [(2, 3, 1)]
+    got = {
+        r.node: r.community
+        for r in label_propagation(
+            _edges(spark, clique1 + clique2 + bridge), iterations=4
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    """Synchronous update + tie-to-min label: identical output on a
+    repartitioned edge table."""
+    from stream_processing_project_spark.operators.graph import label_propagation
+
+    rows = [(i, (i * 5 + 2) % 11, (i % 4) + 1) for i in range(11)]
+    e = _edges(spark, rows)
+    a = sorted(map(tuple, label_propagation(e, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(e.repartition(13), iterations=3).collect()))
+    assert a == b

@@ -17,11 +17,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF1 = "/tmp/sfcurve1"
+SF1 = "/tmp/sfcurve2"
 SRC = "/root/testdata/sf0.1"
 
 QUERIES = [
     "dedup_exact_stats",
+    "dedup_repeated_spans",
+    "olap_triangle_count",
+    "olap_mv_incremental_refresh",
+    "olap_event_pattern_match",
+    "olap_bloom_semijoin",
+    "timeseries_m4_downsample",
+    "timeseries_interpolate",
+    "profile_join_skew",
+    "profile_correlation",
+    "features_target_encode_loo",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "text_winnow_candidates",
@@ -43,8 +53,24 @@ SCALED = {
         "SELECT p_partkey + {off} AS p_partkey, p_name, p_brand,"
         " p_type, p_size, p_retailprice FROM t"
     ),
+    # 10x traffic: same time range / customer dim, disjoint event/user,
+    # order, and part id spaces per replica (models a true scale-up:
+    # more series, more orders, more parts — not a denser graph)
+    "events": (
+        "SELECT event_id + {off} AS event_id, ts, user_id + {off} AS user_id,"
+        " event_type, value, props FROM t"
+    ),
+    "orders": (
+        "SELECT o_orderkey + {off} AS o_orderkey, o_custkey, o_orderstatus,"
+        " o_totalprice, o_orderdate, o_orderpriority FROM t"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey + {off} AS l_orderkey, l_partkey + {off} AS l_partkey,"
+        " l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,"
+        " l_tax, l_returnflag, l_linestatus, l_shipdate FROM t"
+    ),
 }
-PASSTHROUGH = ["region", "nation", "customer", "supplier", "orders", "lineitem", "events"]
+PASSTHROUGH = ["region", "nation", "customer", "supplier"]
 
 
 def build_sf1() -> None:

@@ -2293,3 +2293,58 @@ def profile_distinct_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_both",
         )
     )
+
+
+@register(
+    "governance_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band
+  FROM customer
+),
+cls AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+         count(DISTINCT bal_band) AS l_diversity
+  FROM qi GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_nationkey, class_size, l_diversity,
+       (class_size < 12) AS k_risk, (l_diversity < 3) AS l_risk
+FROM cls
+""",
+)
+def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk assessment before a dataset release: k-anonymity
+    and l-diversity over the quasi-identifier combination
+    (segment, nation) — an equivalence class smaller than k re-
+    identifies its members by linkage; one whose sensitive attribute
+    (account-balance band) shows fewer than l distinct values leaks it
+    even without re-identification (the homogeneity attack k-anonymity
+    alone misses). The flagged classes are the rows a release pipeline
+    must suppress or generalize (coarsen nation → region, widen bands)
+    before export — the k-anonymization loop's measurement half.
+    Shape: ONE map-side-combined aggregate over the slim QI projection;
+    class stats are |QI-combinations| rows. Exact integers end to end."""
+    c = t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cls = (
+        c.select("c_mktsegment", "c_nationkey", band.alias("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("bal_band").alias("l_diversity"),
+        )
+    )
+    return cls.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        "l_diversity",
+        (F.col("class_size") < 12).alias("k_risk"),
+        (F.col("l_diversity") < 3).alias("l_risk"),
+    )

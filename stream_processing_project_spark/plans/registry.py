@@ -141,6 +141,7 @@ _PRIORITY = [
     "streaming_m4_downsample",
     "profile_distinct_kmv_theta",
     "olap_nation_communities",
+    "governance_k_anonymity",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

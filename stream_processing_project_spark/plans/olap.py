@@ -2687,3 +2687,101 @@ def olap_nation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("w"))
     )
     return label_propagation(edges, iterations=4)
+
+
+@register(
+    "olap_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+""",
+)
+def olap_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the behavioral model behind Sankey flow diagrams, next-action
+    prediction baselines, and journey-drop-off analysis (where
+    `olap_funnel_stages` asks "did the funnel complete", this measures
+    EVERY observed step's probability). One user_id window pass pairs
+    each event with its predecessor over the (ts, event_id) total
+    order; the |types|² count matrix aggregates map-side and the row-
+    normalized probability is one division per cell. At 100 TB the
+    window shards by (user, day) — transitions across shard cuts are
+    the standard boundary trim."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(dur_us) AS n_intervals,
+       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+       CAST(sum(cents * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE) / 100.0
+         AS twa_value
+FROM seq WHERE dur_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB `time_weight('LOCF')`) — the
+    correct mean for IRREGULARLY sampled state: each observation's
+    value is weighted by how long it was held (until the next
+    observation), so a sensor that reports rarely while steady isn't
+    drowned out by one that chatters — plain AVG over samples is
+    sampling-rate-biased; this is the integral ∫v dt / T. Durations
+    are exact epoch-MICROSECOND bigints (second-granularity epochs
+    would round sub-second timestamps differently across engines) and
+    value·duration products stay in bigint; the final ratio casts BOTH
+    sums explicitly to DOUBLE (numerators exceed 2^53 here, where
+    DuckDB's `* 1.0` would take its DECIMAL path and round
+    differently than an IEEE conversion — explicit casts keep one
+    arithmetic). One user_id window pass + one aggregate — shards by
+    series key at any scale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count("dur_us").alias("n_intervals"),
+        F.sum("dur_us").alias("total_dur_us"),
+        (
+            F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            / 100.0
+        ).alias("twa_value"),
+    )

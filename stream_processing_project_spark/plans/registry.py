@@ -142,6 +142,8 @@ _PRIORITY = [
     "profile_distinct_kmv_theta",
     "olap_nation_communities",
     "governance_k_anonymity",
+    "olap_event_transitions",
+    "timeseries_time_weighted_avg",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -2785,3 +2785,127 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("twa_value"),
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "olap_interval_overlap_join",
+    oracle="""
+WITH b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS t0 FROM events),
+marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, sid, min(tu) AS s_start, max(tu) AS s_end
+  FROM (SELECT user_id, tu,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+  GROUP BY 1, 2
+),
+promo AS (
+  SELECT n_nationkey AS promo_id,
+         t0 + n_nationkey * 86400000000 AS p_start,
+         t0 + n_nationkey * 86400000000 + 129600000000 AS p_end
+  FROM nation, b
+),
+ov AS (
+  SELECT p.promo_id, s.user_id,
+         least(s.s_end, p.p_end) - greatest(s.s_start, p.p_start) AS ov_us
+  FROM sess s JOIN promo p ON s.s_start <= p.p_end AND p.p_start <= s.s_end
+)
+SELECT promo_id, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users,
+       CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+FROM ov GROUP BY 1
+""",
+)
+def olap_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-×-INTERVAL overlap join — the temporal-join shape
+    point-in-range (`olap_range_join_price_bands`) and as-of joins
+    don't cover: user sessions (30-min-gap sessionization, exact
+    epoch-micro bounds) against campaign windows (36 h, derived
+    deterministically from the nation dim), reporting per-campaign
+    session reach and total overlap exposure time. The SCALABLE plan is
+    grid blocking: both interval sets explode onto a day-grid, the join
+    is an EQUI-join on the cell (the tiny promo side broadcasts — the
+    session table never shuffles for the join), duplicate multi-cell
+    pairs collapse by key, and the exact overlap predicate + duration
+    verify within candidates — a theta join done with hash machinery
+    (the same pattern DuckDB's oracle runs as a plain nested-loop,
+    which is the fixture-scale luxury this plan doesn't need).
+    Durations are exact bigint micros end to end."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+    tu = F.unix_micros(F.col("ts"))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        tu.alias("tu"),
+        F.when(
+            F.lag(tu).over(wo).isNull() | ((tu - F.lag(tu).over(wo)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("is_new").over(wc))
+        .groupBy("user_id", "sid")
+        .agg(F.min("tu").alias("s_start"), F.max("tu").alias("s_end"))
+    )
+    t0 = ev.agg(
+        F.unix_micros(F.date_trunc("day", F.min("ts"))).alias("t0")
+    )
+    promo = n.crossJoin(F.broadcast(t0)).select(
+        F.col("n_nationkey").alias("promo_id"),
+        (F.col("t0") + F.col("n_nationkey") * _DAY_US).alias("p_start"),
+        (F.col("t0") + F.col("n_nationkey") * _DAY_US + 129_600_000_000).alias(
+            "p_end"
+        ),
+    )
+    scell = sess.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("s_start") / _DAY_US).cast("long"),
+                (F.col("s_end") / _DAY_US).cast("long"),
+            )
+        ),
+    )
+    pcell = promo.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                (F.col("p_start") / _DAY_US).cast("long"),
+                (F.col("p_end") / _DAY_US).cast("long"),
+            )
+        ),
+    )
+    cand = (
+        scell.join(F.broadcast(pcell), "cell")
+        .filter(
+            (F.col("s_start") <= F.col("p_end"))
+            & (F.col("p_start") <= F.col("s_end"))
+        )
+        .dropDuplicates(["user_id", "sid", "promo_id"])
+    )
+    ov = F.least(F.col("s_end"), F.col("p_end")) - F.greatest(
+        F.col("s_start"), F.col("p_start")
+    )
+    return cand.groupBy("promo_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(ov).alias("total_overlap_us"),
+    )

@@ -144,6 +144,7 @@ _PRIORITY = [
     "governance_k_anonymity",
     "olap_event_transitions",
     "timeseries_time_weighted_avg",
+    "olap_interval_overlap_join",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -2909,3 +2909,88 @@ def olap_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(ov).alias("total_overlap_us"),
     )
+
+
+@register(
+    "timeseries_changepoint_cusum",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS t
+  FROM hourly GROUP BY 1
+),
+cus AS (
+  SELECT h.event_type, h.h,
+         sum(h.cents * tot.n - tot.t) OVER
+           (PARTITION BY h.event_type ORDER BY h.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_scaled
+  FROM hourly h JOIN tot ON h.event_type = tot.event_type
+),
+mx AS (SELECT event_type, max(abs(s_scaled)) AS m FROM cus GROUP BY 1)
+SELECT c.event_type,
+       strftime(to_timestamp(min(c.h) * 3600), '%Y-%m-%d %H:%M:%S') AS change_at,
+       CAST(max(abs(c.s_scaled)) AS BIGINT) AS cusum_scaled,
+       CAST(max(CASE WHEN abs(c.s_scaled) = mx.m THEN sign(c.s_scaled) END) AS BIGINT)
+         AS direction
+FROM cus c JOIN mx ON c.event_type = mx.event_type
+WHERE abs(c.s_scaled) = mx.m
+GROUP BY 1
+""",
+)
+def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection by CUSUM: per series, the hour
+    where the cumulative deviation from the series mean peaks — the
+    single most likely level-shift point (the monitoring question
+    "WHEN did the metric change", where `olap_outlier_zscore` asks
+    "which points are odd" and the seasonal decomposition asks "what
+    is normal"). INTEGER formulation: instead of Σ(x_i − mean) with a
+    fractional mean, track Σ(n·x_i − T) = n·CUSUM — same argmax, but
+    every term and prefix sum is an exact bigint, so the detected
+    change point, its scaled statistic, and the shift direction all
+    value-hash-oracle with no float anywhere. Shape: hourly rollup
+    (map-side combined), a |types|-row total broadcast back, one
+    per-series prefix-sum window, one argmax aggregate."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("t")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.sum(F.col("cents") * F.col("n") - F.col("t")).over(wc),
+        )
+    )
+    mx = cus.groupBy("event_type").agg(F.max(F.abs(F.col("s_scaled"))).alias("m"))
+    return (
+        cus.join(F.broadcast(mx), "event_type")
+        .filter(F.abs(F.col("s_scaled")) == F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.from_unixtime(F.min("h") * 3600, "yyyy-MM-dd HH:mm:ss").alias(
+                "change_at"
+            ),
+            F.max(F.abs(F.col("s_scaled"))).alias("cusum_scaled"),
+            F.max(
+                F.when(
+                    F.abs(F.col("s_scaled")) == F.col("m"),
+                    F.signum(F.col("s_scaled")),
+                )
+            )
+            .cast("long")
+            .alias("direction"),
+        )
+    )

@@ -145,6 +145,7 @@ _PRIORITY = [
     "olap_event_transitions",
     "timeseries_time_weighted_avg",
     "olap_interval_overlap_join",
+    "timeseries_changepoint_cusum",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

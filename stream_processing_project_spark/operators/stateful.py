@@ -155,3 +155,78 @@ def event_type_counts_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+TRANSITION_LOG_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+    ]
+)
+
+_LAST_EVENT_SCHEMA = StructType(
+    [
+        StructField("tu", LongType()),
+        StructField("eid", LongType()),
+        StructField("etype", StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit one (prev, next) row per consecutive event of this user,
+    BRIDGING micro-batch boundaries through the stored last event —
+    the sequence join a stateless stream cannot express. Rows within
+    the batch are ordered by the (ts, event_id) total key; arrival is
+    assumed in-order across batches (the Kafka-per-key guarantee; an
+    out-of-order source needs an event-time buffer in front)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values(["tu", "event_id"], kind="mergesort")
+    types = pdf["event_type"].tolist()
+    prevs, nexts = [], []
+    if state.exists:
+        _, _, last_type = state.get
+        prevs.append(last_type)
+        nexts.append(types[0])
+    prevs.extend(types[:-1])
+    nexts.extend(types[1:])
+    last = pdf.iloc[-1]
+    state.update((int(last["tu"]), int(last["event_id"]), str(last["event_type"])))
+    if prevs:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(prevs),
+                "prev_type": prevs,
+                "next_type": nexts,
+            }
+        )
+
+
+def transition_log_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-transition log as an arbitrary-state streaming op:
+    state is ONE row per user (its last event), so the state store is
+    O(|users|) regardless of stream length, and each emitted row is a
+    consecutive-pair observation ready for downstream counting."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        F.col("event_id"),
+        "event_type",
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        TRANSITION_LOG_SCHEMA,
+        _LAST_EVENT_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

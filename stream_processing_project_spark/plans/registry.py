@@ -146,6 +146,7 @@ _PRIORITY = [
     "timeseries_time_weighted_avg",
     "olap_interval_overlap_join",
     "timeseries_changepoint_cusum",
+    "streaming_event_transitions",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

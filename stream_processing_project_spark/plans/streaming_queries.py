@@ -808,3 +808,50 @@ def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pipeline.run_to_completion(agg)
+
+
+@register(
+    "streaming_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+""",
+)
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`olap_event_transitions` as a LIVE stateful stream: the
+    arbitrary-state op (`operators/stateful.py::transition_log_stream`)
+    keeps each user's last event — one state row per user, O(|users|)
+    state forever — and emits every consecutive-pair observation,
+    bridging micro-batch boundaries (the sequence join no stateless
+    streaming aggregation can express; the same state shape Flink CEP
+    keeps per pattern). The emitted log then counts into the transition
+    matrix, which must equal the batch window-pass exactly — that
+    equivalence is the oracle."""
+    from stream_processing_project_spark.operators.stateful import (
+        transition_log_stream,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    log = pipeline.run_to_completion(
+        transition_log_stream(events), output_mode="append"
+    )
+    pairs = log.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("p"),
+    )

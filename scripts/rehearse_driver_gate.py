@@ -35,6 +35,40 @@ def canon(v):
         return canon(v.item())
     return v
 
+
+def _kind(pa_type):
+    """Collapse an Arrow type to the representation class the driver's
+    value-hash distinguishes: int / float / decimal / bool / other.
+    DuckDB HUGEINT and DECIMAL both export as Arrow decimal128, which a
+    dataframe materialization turns into float64 while Spark stays
+    int64 — equal values, different hash (the r02 PAA failure class).
+    Comparing kinds, not just Python values, makes the rehearsal see
+    what the driver sees."""
+    import pyarrow as pa
+    if pa.types.is_integer(pa_type):
+        return "i"
+    if pa.types.is_floating(pa_type):
+        return "f"
+    if pa.types.is_decimal(pa_type):
+        return "d"
+    if pa.types.is_boolean(pa_type):
+        return "b"
+    return "o"
+
+
+def dtype_mismatches(sdf, sql):
+    """Numeric columns whose Arrow kind differs between Spark and DuckDB."""
+    oschema = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema
+    sschema = sdf.limit(0).toArrow().schema
+    bad = []
+    for f in sschema:
+        if f.name not in oschema.names:
+            continue
+        sk, ok_ = _kind(f.type), _kind(oschema.field(f.name).type)
+        if {sk, ok_} <= {"i", "f", "d", "b"} and sk != ok_:
+            bad.append((f.name, str(f.type), str(oschema.field(f.name).type)))
+    return bad
+
 fails, errs = [], []
 for name, fn in qs.items():
     try:
@@ -47,10 +81,14 @@ for name, fn in qs.items():
             idx = [ocols.index(c) for c in sorted(ocols)]
             d = sorted([tuple(canon(r[i]) for i in idx) for r in con.execute(osql[name]).fetchall()],
                        key=lambda r: tuple((x is None, str(x)) for x in r))
-            ok = s == d
+            dt = dtype_mismatches(sdf, osql[name])
+            ok = s == d and not dt
             if not ok:
                 fails.append(name)
-            print(("OK   " if ok else "FAIL ") + name, flush=True)
+            msg = ("OK   " if ok else "FAIL ") + name
+            if dt:
+                msg += f"  [dtype divergence: {dt}]"
+            print(msg, flush=True)
         else:
             print(f"ROWS {name} ({len(s)})", flush=True)
     except Exception:

@@ -113,9 +113,9 @@ c AS (
 )
 SELECT event_type,
        CAST(max(total) AS BIGINT) AS n,
-       min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS p50,
-       min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS p90,
-       min(CASE WHEN cum >= 0.99 * total THEN bin END) * 8.0 AS p99
+       CAST(min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS DOUBLE) AS p50,
+       CAST(min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS DOUBLE) AS p90,
+       CAST(min(CASE WHEN cum >= 0.99 * total THEN bin END) * 8.0 AS DOUBLE) AS p99
 FROM c GROUP BY event_type
 """,
 )
@@ -651,7 +651,7 @@ scored AS (
          CAST(round(-ln(v.c / tt.n_total) * 1e6) AS BIGINT) AS micronats
   FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
 )
-SELECT doc_id, count(*) AS n_tokens, sum(micronats) AS surprisal_sum,
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(micronats) AS BIGINT) AS surprisal_sum,
        round(sum(micronats) / count(*) / 1e6, 4) AS avg_surprisal
 FROM scored GROUP BY doc_id
 """,
@@ -1826,8 +1826,8 @@ sk AS (
 )
 SELECT user_a, user_b, dist_sq FROM (
   SELECT a.user_id AS user_a, b.user_id AS user_b,
-         list_sum(list_transform(range(1, 9),
-           i -> (a.l[i] - b.l[i]) * (a.l[i] - b.l[i]))) AS dist_sq
+         CAST(list_sum(list_transform(range(1, 9),
+           i -> (a.l[i] - b.l[i]) * (a.l[i] - b.l[i]))) AS BIGINT) AS dist_sq
   FROM sk a JOIN sk b ON a.user_id < b.user_id
 ) ORDER BY dist_sq, user_a, user_b LIMIT 20
 """,
@@ -1840,11 +1840,18 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared distance between profiles. Everything is integers — hourly
     sums quantize to cents (the repo's micro-unit convention) and
     segment sums/distances are bigint algebra — so the approximate
-    REPRESENTATION itself is value-hash-oracled. Shape: the raw scan
-    collapses to |users|×64 hour rows, then |users|×8 segments; the
-    pair join runs on the tiny aggregated PROFILE table (never raw
-    events), and at warehouse scale the sketches grid-bucket for an
-    equi-join candidate step exactly like the embedding LSH path.
+    REPRESENTATION itself is value-hash-oracled.
+
+    Pair search is NOT all-pairs: profiles grid-bucket per segment
+    (cell width w, each value probing its own cell and cell+1) and
+    candidates come from an EQUI-join on (band, cell) — the same
+    blocking idiom as the embedding-LSH path. The result is still
+    provably EXACT by pigeonhole: if dist_sq(a,b) < 8·w², some segment
+    differs by < w, so its cells differ by ≤ 1 and the probe ring
+    catches the pair. The driver loop verifies the guarantee (20 rows
+    found and the 20th distance < 8·w²) and widens w geometrically
+    until it holds — at most a few distributed passes, each an
+    equi-join over the tiny |users|×8 band table, never O(|users|²).
     Top-20 is TakeOrderedAndProject."""
     ev = t(spark, sf_dir, "events")
     origin = 1704067200000000
@@ -1882,19 +1889,83 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l"),
         )
     )
-    a = sk.select(F.col("user_id").alias("user_a"), F.col("l").alias("la"))
-    b = sk.select(F.col("user_id").alias("user_b"), F.col("l").alias("lb"))
-    pairs = a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
-    dist = F.aggregate(
-        F.zip_with(F.col("la"), F.col("lb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (
-        pairs.select("user_a", "user_b", dist.alias("dist_sq"))
-        .orderBy("dist_sq", "user_a", "user_b")
-        .limit(20)
-    )
+    sk = sk.persist()
+    k = 20
+    # Scalars for the adaptive cell width: value spread seeds w, the
+    # global min shifts values non-negative so `div` is exact floor
+    # division (double `/` on big ints is the truncation hazard
+    # ADVICE.md flags for the interval-join grid).
+    stats = sk.select(F.explode("l").alias("v")).agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.stddev_pop("v").alias("sd"),
+        F.count(F.lit(1)).alias("nvals"),
+    ).collect()[0]
+    vmin, vrange = int(stats.vmin or 0), int((stats.vmax or 0) - (stats.vmin or 0))
+    n_users = int(stats.nvals // 8)
+    n_pairs_total = n_users * (n_users - 1) // 2
+
+    def topk_for_width(w: int) -> DataFrame:
+        # band table: (band, cell) and (band, cell+1) per profile value
+        bands = sk.select(
+            "user_id",
+            "l",
+            F.posexplode(
+                F.transform(
+                    F.col("l"), lambda v: (v - F.lit(vmin)).cast("long")
+                )
+            ).alias("band", "v"),
+        ).select(
+            "user_id",
+            "l",
+            "band",
+            F.explode(
+                F.array(
+                    F.expr(f"v div {w}"), F.expr(f"v div {w} + 1")
+                )
+            ).alias("cell"),
+        )
+        a = bands.select(
+            F.col("user_id").alias("user_a"),
+            F.col("l").alias("la"),
+            "band",
+            "cell",
+        )
+        b = bands.select(
+            F.col("user_id").alias("user_b"),
+            F.col("l").alias("lb"),
+            "band",
+            "cell",
+        )
+        cand = (
+            a.join(b, ["band", "cell"])
+            .filter(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "user_b", "la", "lb")
+            .dropDuplicates(["user_a", "user_b"])
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("la"), F.col("lb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cand.select("user_a", "user_b", dist.alias("dist_sq"))
+            .orderBy("dist_sq", "user_a", "user_b")
+            .limit(k)
+        )
+
+    w = max(1, int((stats.sd or 1.0) / 4))
+    while True:
+        top = topk_for_width(w)
+        if w > vrange:
+            break  # every pair shares a band cell ring → candidates = all pairs
+        rows = top.collect()
+        if len(rows) >= min(k, n_pairs_total) and (
+            len(rows) < k or rows[-1].dist_sq < 8 * w * w
+        ):
+            break  # pigeonhole guarantee: all pairs at ≤ the kth distance were candidates
+        w *= 8
+    return top
 
 
 @register(

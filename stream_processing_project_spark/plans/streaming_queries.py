@@ -495,7 +495,8 @@ hrs AS (
          sum(cnt) AS cnt, round(sum(sum_val), 2) AS sum_val
   FROM mins GROUP BY 1, 2
 )
-SELECT strftime(wh, '%Y-%m-%d %H:%M:%S') AS h_start, key, cnt, sum_val
+SELECT strftime(wh, '%Y-%m-%d %H:%M:%S') AS h_start, key,
+       CAST(cnt AS BIGINT) AS cnt, sum_val
 FROM hrs, mx
 WHERE wh + INTERVAL 1 HOUR <= m - INTERVAL 15 MINUTE
 """,
@@ -561,8 +562,8 @@ c AS (
 )
 SELECT strftime(wb, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
        CAST(max(total) AS BIGINT) AS n,
-       min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS p50,
-       min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS p90
+       CAST(min(CASE WHEN cum >= 0.5 * total THEN bin END) * 8.0 AS DOUBLE) AS p50,
+       CAST(min(CASE WHEN cum >= 0.9 * total THEN bin END) * 8.0 AS DOUBLE) AS p90
 FROM c GROUP BY 1, 2
 """,
 )

@@ -61,6 +61,27 @@ def test_oracle_parity(spark, duck, name, query):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
 
 
+def test_no_hugeint_or_decimal_oracle_outputs(duck):
+    """The driver's value-hash materializes both sides through an Arrow/
+    dataframe path, where DuckDB HUGEINT/UHUGEINT/DECIMAL become float64
+    while Spark stays int64 — equal values, different hashed
+    representation (the r02 `timeseries_paa_similarity` driver failure).
+    Guard the whole class: DESCRIBE every oracle and reject those types
+    (fix = CAST the output column to BIGINT / DOUBLE in the oracle)."""
+    register_duck_views(duck, SF_ORACLE)
+    bad = {}
+    for name, q in _ORACLED:
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({q.oracle}) q").fetchall()
+        hits = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if any(b in ty.upper() for b in ("HUGEINT", "UHUGEINT", "DECIMAL"))
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracle outputs with driver-hash-unsafe dtypes: {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -102,6 +102,9 @@ def test_custom_operators_avoid_nested_loop_joins(spark):
         "dedup_semantic_keep",
         "similarity_ann_lsh_oracled",
         "similarity_ann_ivf_oracled",
+        # r03: PAA pair search reworked from all-pairs broadcast to a
+        # grid-bucketed (band, cell) equi-join candidate step
+        "timeseries_paa_similarity",
     ]:
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -2060,12 +2060,17 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join splitting) is needed: for each prospective join/groupBy
     key it reports cardinality, the heaviest key's row count, exact
     p50/p99 per-key counts (order statistics at rank ceil(q·n), the
-    `profile_winsorize_clip` convention — ties broken by (count, key)
-    so the rank is total), and skew_factor = max/mean (1.0 = perfectly
-    uniform; > ~4 means the hottest key's shuffle partition dominates
-    the stage at 100 TB). Per key column: one map-side-combined count
-    aggregate over the slim key column, then stats over the |keys|-row
-    count table — the raw table is scanned once and never re-shuffled.
+    `profile_winsorize_clip` convention), and skew_factor = max/mean
+    (1.0 = perfectly uniform; > ~4 means the hottest key's shuffle
+    partition dominates the stage at 100 TB). Per key column: one
+    map-side-combined count aggregate over the slim key column, then
+    the order statistics come from the CUMULATIVE COUNT-OF-COUNTS — the
+    q-th order statistic of per-key counts is the smallest count c
+    whose cumulative key-frequency reaches ceil(q·n_keys). The one
+    unpartitioned window therefore runs over the |distinct count
+    values|-row frequency table (bounded by the heaviest key's count —
+    thousands, not billions), never the |keys|-row count table a global
+    row_number rank would single-task-sort at 100 TB (ADVICE r02).
     All outputs are exact integers except the final division."""
     out = None
     for table, col in (
@@ -2078,32 +2083,43 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col(col).alias("key"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        wr = Window.orderBy("c", "key")
-        ranked = counts.withColumn("rn", F.row_number().over(wr)).withColumn(
-            "nk", F.count(F.lit(1)).over(Window.partitionBy())
-        )
-        stats = ranked.agg(
-            F.lit(f"{table}.{col}").alias("key_col"),
+        totals = counts.agg(
             F.sum("c").cast("long").alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
             F.max("c").cast("long").alias("max_key_rows"),
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.ceil(F.lit(0.50) * F.col("nk")).cast("long"),
-                    F.col("c"),
-                )
-            ).alias("p50_key_rows"),
-            F.max(
-                F.when(
-                    F.col("rn")
-                    == F.ceil(F.lit(0.99) * F.col("nk")).cast("long"),
-                    F.col("c"),
-                )
-            ).alias("p99_key_rows"),
-            (
-                F.max("c") * 1.0 * F.count(F.lit(1)) / F.sum("c")
-            ).alias("skew_factor"),
+        )
+        freq = counts.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+        cum = freq.withColumn(
+            "cum",
+            F.sum("f").over(
+                Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        stats = (
+            cum.crossJoin(F.broadcast(totals))
+            .agg(
+                F.lit(f"{table}.{col}").alias("key_col"),
+                F.max("n_rows").alias("n_rows"),
+                F.max("n_keys").alias("n_keys"),
+                F.max("max_key_rows").alias("max_key_rows"),
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(F.lit(0.50) * F.col("n_keys")).cast("long"),
+                        F.col("c"),
+                    )
+                ).alias("p50_key_rows"),
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(F.lit(0.99) * F.col("n_keys")).cast("long"),
+                        F.col("c"),
+                    )
+                ).alias("p99_key_rows"),
+                (
+                    F.max("max_key_rows") * 1.0 * F.max("n_keys") / F.max("n_rows")
+                ).alias("skew_factor"),
+            )
         )
         out = stats if out is None else out.unionByName(stats)
     return out

@@ -2875,12 +2875,16 @@ def olap_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_end"
         ),
     )
+    # Exact integer division for the grid cell index: epoch micros sit
+    # near 1.7e18 > 2^53, where double `/` truncates an imprecise
+    # quotient and a bound within sub-millisecond of a UTC day boundary
+    # could land in the wrong cell and drop a candidate (ADVICE r02).
     scell = sess.withColumn(
         "cell",
         F.explode(
             F.sequence(
-                (F.col("s_start") / _DAY_US).cast("long"),
-                (F.col("s_end") / _DAY_US).cast("long"),
+                F.expr(f"s_start div {_DAY_US}"),
+                F.expr(f"s_end div {_DAY_US}"),
             )
         ),
     )
@@ -2888,8 +2892,8 @@ def olap_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.explode(
             F.sequence(
-                (F.col("p_start") / _DAY_US).cast("long"),
-                (F.col("p_end") / _DAY_US).cast("long"),
+                F.expr(f"p_start div {_DAY_US}"),
+                F.expr(f"p_end div {_DAY_US}"),
             )
         ),
     )

@@ -164,6 +164,56 @@ def test_fanout_three_sinks(spark):
     assert any(d.startswith("event_date=") for d in os.listdir(search))
 
 
+def test_transition_log_bridges_micro_batch_boundary(spark):
+    """The stored last event must feed the FIRST pair of the next
+    micro-batch: two time-ordered batches through transition_log_stream
+    emit the boundary-crossing transition exactly once (ADVICE r02 —
+    the single-file fixture runs as one micro-batch and never exercised
+    the bridge)."""
+    import uuid
+
+    from stream_processing_project_spark.operators.stateful import (
+        transition_log_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="spe-transition-")
+    cols = ["user_id", "event_id", "ts", "event_type"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, 10, "2024-01-01 00:00:00", "view"), (1, 11, "2024-01-01 00:01:00", "cart")])
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"transitions_{uuid.uuid4().hex[:8]}"
+    q = (
+        transition_log_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("transition_bridge"))
+        .start()
+    )
+    q.processAllAvailable()
+    batch1 = sorted(map(tuple, spark.table(name).collect()))
+    assert batch1 == [(1, "view", "cart")]
+    write([(1, 12, "2024-01-01 00:02:00", "purchase")])  # second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(map(tuple, spark.table(name).collect()))
+    # the (cart, purchase) pair spans the batch boundary — exactly once
+    assert rows == [(1, "cart", "purchase"), (1, "view", "cart")]
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark):
     """applyInPandasWithState: state persists between micro-batches —
     a key seen in two batches emits its CUMULATIVE total the second time

@@ -63,6 +63,47 @@ def checkpoint_dir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"spe-ckpt-{tag}-")
 
 
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, group_id_prefix: str = "spark-engagement"
+) -> dict[str, str]:
+    """Full option set for the kafka-format source: connection +
+    subscription + the reference's consumer fetch tuning
+    (EngagementProcessor.scala:154-168, .env:14-17). Pure function so
+    the plumbing is unit-testable without a broker or the kafka-sql
+    jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "kafka.group.id": f"{group_id_prefix}-{topic}",
+        **KAFKA_SOURCE_OPTIONS,
+    }
+
+
+def kafka_decode(kafka_df: DataFrame) -> DataFrame:
+    """Kafka records → typed event rows: the value bytes carry the
+    Debezium-unwrapped envelope JSON, so decode is exactly the file
+    path's parse (PERMISSIVE from_json + drop failures + op filter
+    downstream). Takes any DataFrame with kafka's wire schema (value
+    binary, ...), so batch tests drive the REAL decode branch without a
+    broker."""
+    return parse_envelope(kafka_df.selectExpr("CAST(value AS STRING) AS value"))
+
+
+def kafka_event_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """The S2 kafka-format branch end-to-end: tuned source → envelope
+    decode. Requires the spark-sql-kafka package on the classpath (not
+    shipped in this container — tests construct the plan and skip at
+    the data-source lookup if the jar is absent; see README S2)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .options(**kafka_source_options(bootstrap_servers, topic))
+        .load()
+    )
+    return kafka_decode(raw)
+
+
 def file_event_stream(
     spark: SparkSession, sf_dir: str, min_partitions: int | None = None
 ) -> DataFrame:

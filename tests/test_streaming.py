@@ -164,6 +164,59 @@ def test_fanout_three_sinks(spark):
     assert any(d.startswith("event_date=") for d in os.listdir(search))
 
 
+def test_monitor_snapshot_and_renderer(spark):
+    """S5 operational loop (reference monitor.py:197-296): snapshot the
+    three sinks, derive rates between polls, render lag and boards —
+    all from local tables and native lastProgress, no network scrape."""
+    from stream_processing_project_spark import monitor
+
+    events = pipeline.file_event_stream(spark, SF_SMOKE)
+    enriched = pipeline.enriched_stream(events, load_table(spark, SF_SMOKE, "customer"))
+    agg = (
+        events.withWatermark("ts", "15 minutes")
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+    )
+    serving = tempfile.mkdtemp(prefix="t-mon-serving-")
+    warehouse = tempfile.mkdtemp(prefix="t-mon-warehouse-")
+    search = tempfile.mkdtemp(prefix="t-mon-search-")
+    qs = sinks.start_fanout(enriched, agg, serving, warehouse, search)
+    try:
+        for q in qs:
+            q.processAllAvailable()
+        n = load_table(spark, SF_SMOKE, "events").count()
+        snap = monitor.take_snapshot(
+            spark, serving, warehouse, search, source_count=n, queries=qs
+        )
+        assert snap.warehouse_count == n and snap.search_count == n
+        assert {b[0] for b in snap.boards} == {"top_by_engagement", "top_by_access"}
+        assert not snap.errors
+        frame = monitor.render(snap)
+        assert "caught up" in frame and "top_by_access" in frame
+        assert f"{n:,}" in frame
+        # rates between two polls: simulate growth on the prev snapshot
+        import dataclasses
+
+        prev = dataclasses.replace(
+            snap, ts=snap.ts - 10.0, warehouse_count=snap.warehouse_count - 50
+        )
+        assert monitor.rates(prev, snap)["warehouse"] == 5.0
+        # a missing sink is an error row, not a crash
+        broken = monitor.take_snapshot(spark, "/nonexistent-a", "/nonexistent-b", search)
+        assert set(broken.errors) == {"serving", "warehouse"}
+        assert "! serving" in monitor.render(broken)
+        # the loop drives the same path end to end
+        frames = []
+        monitor.monitor_loop(
+            spark, serving, warehouse, search,
+            interval_s=0.0, iterations=2, out=frames.append,
+        )
+        assert len(frames) == 2 and "warehouse" in frames[0]
+    finally:
+        for q in qs:
+            q.stop()
+
+
 def test_redis_connector_body_matches_table_sink(spark):
     """K2 with a real foreachBatch connector body attached (VERDICT r02
     "What's missing" #2): the dict-backed fake Redis client — same

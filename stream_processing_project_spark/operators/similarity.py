@@ -242,6 +242,95 @@ def label_centroids(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook training: Lloyd's k-means over integer-quantized
+    embeddings, the iterative-ML companion of the PageRank family and
+    the step that would train the IVF/PQ coarse quantizers this module
+    otherwise derives from deterministic sign hashes.
+
+    Determinism contract (value-hash-oracled end to end, like the graph
+    iterations): vectors quantize to round(x·2^20) + 2^20 — the offset
+    keeps every value non-negative, so truncating and floor integer
+    division agree across engines, and squared distances are offset-
+    invariant; seeds are the k smallest ids; assignment ties break to
+    the smallest centroid id via lexicographic [dist, cid] min; centroid
+    updates are elementwise integer floor division; empty clusters keep
+    their previous centroid.
+
+    Scale shape: MLlib's own loop — per iteration ONE map-side-combined
+    aggregation over the corpus (k·dim running sums per task), k·dim
+    integers to the driver, re-broadcast as literals in the next pass's
+    assignment expression. No per-row Python, no |corpus|-sized state.
+    Output is the final assignment census (cluster_id, n_members,
+    inertia); inertia is exact bigint (overflows past ~10^5 vectors at
+    worst-case spread — report per-cluster means at warehouse scale)."""
+    spark_q = corpus.selectExpr(
+        f"{id_col} AS vec_id",
+        f"transform({_quantize_expr(vec_col, dim)},"
+        f" x -> x + {QUANT_SCALE}) AS qq",
+    )
+    seeds = spark_q.orderBy("vec_id").limit(k).collect()
+    centroids: list[list[int]] = [list(r.qq) for r in seeds]
+
+    def assignment(cents: list[list[int]]):
+        pairs = F.array(
+            *[
+                F.array(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qq"),
+                            F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ),
+                    F.lit(j).cast("long"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(pairs)
+        return best.getItem(0).alias("dist"), best.getItem(1).alias("cid")
+
+    for _ in range(iters):
+        dist_c, cid_c = assignment(centroids)
+        rows = (
+            spark_q.select("qq", cid_c)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("qq", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:  # absent cids keep their previous centroid
+            n = int(r["n"])
+            centroids[int(r["cid"])] = [int(r[f"s{i}"]) // n for i in range(dim)]
+
+    dist_c, cid_c = assignment(centroids)
+    return (
+        spark_q.select(dist_c, cid_c)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_members", "inertia")
+        .orderBy("cluster_id")
+    )
+
+
 # --- LSH-bucketed ANN (scale path) -------------------------------------------
 
 N_PLANES = 8

@@ -1125,6 +1125,70 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(t(spark, sf_dir, "embeddings"))
 
 
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations (the PageRank-oracle pattern): each
+    round is an assignment (lexicographic [dist, cid] list-min over the
+    CROSS JOIN with the k-row centroid table) and an update (per-dim
+    integer floor division; offset-shifted values are non-negative so
+    // == Spark's div). Seeds are the k smallest vec_ids."""
+    d1 = dim + 1
+    assign = (
+        "a{n} AS (\n"
+        "  SELECT q.vec_id, any_value(q.qq) AS qq,\n"
+        "         min([CAST(list_sum(list_transform(range(1, {d1}),\n"
+        "                d -> (q.qq[d] - c.c[d]) * (q.qq[d] - c.c[d]))) AS BIGINT),\n"
+        "              c.cid]) AS best\n"
+        "  FROM q CROSS JOIN c{p} c GROUP BY q.vec_id\n"
+        ")"
+    )
+    update = (
+        "s{n} AS (\n"
+        "  SELECT best[2] AS cid, dt.d,\n"
+        "         CAST(sum(qq[dt.d]) AS BIGINT) // count(*) AS cd\n"
+        "  FROM a{n}, range(1, {d1}) AS dt(d) GROUP BY 1, 2\n"
+        "),\n"
+        "c{n} AS (\n"
+        "  SELECT p.cid, COALESCE(nw.c, p.c) AS c\n"
+        "  FROM c{p} p LEFT JOIN\n"
+        "       (SELECT cid, list(cd ORDER BY d) AS c FROM s{n} GROUP BY cid) nw\n"
+        "       USING (cid)\n"
+        ")"
+    )
+    rounds = ",\n".join(
+        assign.format(n=i, p=i - 1, d1=d1) + ",\n" + update.format(n=i, p=i - 1, d1=d1)
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(range(1, {d1}),
+           d -> CAST(round(v[d] * 1048576.0) AS BIGINT) + 1048576) AS qq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qq AS c
+  FROM (SELECT vec_id, qq FROM q ORDER BY vec_id LIMIT {k})
+),
+{rounds},
+{assign.format(n=iters + 1, p=iters, d1=d1)}
+SELECT best[2] AS cluster_id,
+       count(*) AS n_members,
+       CAST(sum(best[1]) AS BIGINT) AS inertia
+FROM a{iters + 1} GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("similarity_kmeans_train", oracle=_kmeans_oracle(8, 3, 64))
+def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook / coarse-quantizer training: 3 Lloyd iterations of
+    k-means (k=8) over integer-quantized embeddings, fully value-hash-
+    oracled (the iterative-ML family next to PageRank/LPA — see
+    operators/similarity.py::kmeans_train for the determinism contract
+    and the MLlib-style one-aggregation-per-round scale shape). Output
+    is the final assignment census per cluster."""
+    return similarity.kmeans_train(t(spark, sf_dir, "embeddings"))
+
+
 # =========================== multimodal ========================================
 
 

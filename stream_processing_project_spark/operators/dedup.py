@@ -195,6 +195,49 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def md5_minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    perms: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """doc_id → (band_idx, band_hash) LSH band rows from a CROSS-ENGINE
+    REPRODUCIBLE MinHash: per-permutation hash = first 15 hex chars of
+    md5(shingle || '#' || p) as a 60-bit bigint, which DuckDB computes
+    identically as ('0x' || substr(md5(..), 1, 15))::BIGINT — so unlike
+    the xxhash64 signatures above (rows-only checked), pipelines built
+    on these bands carry full value-hash oracles.
+
+    Row-LOCAL (no aggregation): the whole signature folds inside one
+    projection over the document's own shingle array, which is what
+    lets a STREAM compute it per arriving document without a stateful
+    shuffle. Docs with < 2 words produce no band rows (always kept)."""
+    n_bands = perms // band_rows
+    sig = (
+        f"transform(sequence(0, {perms - 1}), p -> "
+        "array_min(transform(shingles, sh -> "
+        "CAST(conv(substr(md5(concat(sh, '#', CAST(p AS STRING))), 1, 15),"
+        " 16, 10) AS BIGINT))))"
+    )
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"md5(concat_ws(',', transform(slice(sig, b * {band_rows} + 1,"
+        f" {band_rows}), x -> CAST(x AS STRING)))))"
+    )
+    return (
+        docs.selectExpr("doc_id", f"split(trim({text_col}), ' ') AS ws")
+        .filter("size(ws) >= 2")
+        .selectExpr(
+            "doc_id",
+            "array_distinct(transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+            " AS shingles",
+        )
+        .selectExpr("doc_id", f"{sig} AS sig")
+        .selectExpr("doc_id", f"posexplode({bands}) AS (band_idx, band_hash)")
+    )
+
+
 def minhash_lsh_cross_pairs(
     batch: DataFrame, corpus: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -230,3 +230,60 @@ def transition_log_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+BUCKET_FIRST_SEEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_idx", LongType()),
+        StructField("first_seen", LongType()),
+    ]
+)
+
+_BUCKET_STATE_SCHEMA = StructType([StructField("min_id", LongType())])
+
+
+def _emit_bucket_first_seen(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per LSH bucket (band_idx, band_hash): running-min doc_id state;
+    each arriving doc emits the smallest PRIOR doc sharing its bucket
+    (NULL when it is the bucket's first) — the online near-dup verdict.
+    In-batch rows order by doc_id; arrival is assumed id-ordered across
+    batches (the transition-log convention)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    prior = int(state.get[0]) if state.exists else None
+    firsts = []
+    for did in pdf["doc_id"].tolist():
+        firsts.append(prior)
+        prior = int(did) if prior is None else min(prior, int(did))
+    state.update((int(prior),))
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].tolist(),
+            "band_idx": pdf["band_idx"].astype("int64").tolist(),
+            "first_seen": pd.array(firsts, dtype="Int64"),
+        }
+    )
+
+
+def bucket_first_seen_stream(bands: DataFrame) -> DataFrame:
+    """Streaming online near-dup primitive: state is ONE long per LSH
+    bucket (min doc_id), sharded across executors by the bucket-key
+    shuffle — O(|buckets|) state regardless of stream length. Compose
+    with a per-doc aggregation of the emitted verdicts for the
+    keep/drop decision (plans/streaming_queries.py::
+    streaming_dedup_minhash)."""
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _emit_bucket_first_seen,
+        BUCKET_FIRST_SEEN_SCHEMA,
+        _BUCKET_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

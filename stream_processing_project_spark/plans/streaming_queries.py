@@ -856,3 +856,83 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("p"),
     )
+
+
+@register(
+    "streaming_dedup_minhash",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1]))) AS s
+  FROM words WHERE len(ws) >= 2
+),
+hs AS (
+  SELECT doc_id, p.p,
+         min(('0x' || substr(md5(s || '#' || CAST(p.p AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM sh, range(0, 16) p(p) GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hs GROUP BY 1),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.b * 4 + 1, b.b * 4 + 4),
+             x -> CAST(x AS VARCHAR)), ',')) AS bh
+  FROM sig, range(0, 4) b(b)
+),
+seen AS (
+  SELECT doc_id, band_idx,
+         min(doc_id) OVER (PARTITION BY band_idx, bh ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_seen
+  FROM bands
+),
+agg AS (
+  SELECT doc_id, count(first_seen) AS n_hit_bands,
+         min(first_seen) AS first_match_id
+  FROM seen GROUP BY 1
+)
+SELECT w.doc_id,
+       a.first_match_id IS NOT NULL AS is_dup,
+       CAST(COALESCE(a.n_hit_bands, 0) AS BIGINT) AS n_hit_bands,
+       a.first_match_id
+FROM words w LEFT JOIN agg a USING (doc_id)
+""",
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online NEAR-dup filtering as a live stream — the crossover the
+    exact `streaming_dedup` can't make: each arriving document's
+    cross-engine md5-MinHash signature (operators/dedup.py::
+    md5_minhash_bands — row-local, so the stream computes it without a
+    stateful shuffle) bands into 4 LSH buckets, and a running-min
+    state per bucket (operators/stateful.py::bucket_first_seen_stream,
+    O(|buckets|) state) emits the smallest prior colliding doc per
+    band. A batch aggregation of the emitted verdict log yields the
+    keep/drop decision per document: is_dup, how many bands collided,
+    and the earliest matching document. Fully value-hash-oracled —
+    the md5-derived 60-bit hashes reproduce exactly in SQL, unlike
+    the xxhash64 batch signatures (rows-only)."""
+    from stream_processing_project_spark.operators.dedup import md5_minhash_bands
+    from stream_processing_project_spark.operators.stateful import (
+        bucket_first_seen_stream,
+    )
+
+    docs_stream = pipeline.file_document_stream(spark, sf_dir)
+    log = pipeline.run_to_completion(
+        bucket_first_seen_stream(md5_minhash_bands(docs_stream)),
+        output_mode="append",
+    )
+    per_doc = log.groupBy("doc_id").agg(
+        F.count("first_seen").alias("hit"),
+        F.min("first_seen").alias("first_match_id"),
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("first_match_id").isNotNull().alias("is_dup"),
+        F.coalesce("hit", F.lit(0)).cast("long").alias("n_hit_bands"),
+        "first_match_id",
+    )

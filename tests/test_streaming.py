@@ -322,6 +322,55 @@ def test_transition_log_bridges_micro_batch_boundary(spark):
     assert rows == [(1, "cart", "purchase"), (1, "view", "cart")]
 
 
+def test_minhash_bucket_state_bridges_micro_batches(spark):
+    """Online near-dup: a doc arriving in a LATER micro-batch must be
+    flagged against a bucket claimed in an EARLIER one (running-min
+    bucket state persists across batches)."""
+    import uuid
+
+    from stream_processing_project_spark.operators.dedup import md5_minhash_bands
+    from stream_processing_project_spark.operators.stateful import (
+        bucket_first_seen_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="spe-minhash-")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, ["doc_id", "text"])
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, text), (2, "completely different words entirely here now")])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"minhash_{uuid.uuid4().hex[:8]}"
+    q = (
+        bucket_first_seen_stream(md5_minhash_bands(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("minhash_bridge"))
+        .start()
+    )
+    q.processAllAvailable()
+    write([(3, text)])  # exact copy of doc 1, second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    log = spark.table(name)
+    doc3 = log.filter(F.col("doc_id") == 3).collect()
+    assert len(doc3) == 4  # all four bands emitted
+    assert all(r.first_seen == 1 for r in doc3)  # matched doc 1 across the batch boundary
+    doc1 = log.filter(F.col("doc_id") == 1).collect()
+    assert all(r.first_seen is None for r in doc1)  # first claimant
+
+
 def test_stateful_running_totals_accumulate_across_batches(spark):
     """applyInPandasWithState: state persists between micro-batches —
     a key seen in two batches emits its CUMULATIVE total the second time

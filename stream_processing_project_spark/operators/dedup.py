@@ -202,22 +202,35 @@ def md5_minhash_bands(
     band_rows: int = 4,
 ) -> DataFrame:
     """doc_id → (band_idx, band_hash) LSH band rows from a CROSS-ENGINE
-    REPRODUCIBLE MinHash: per-permutation hash = first 15 hex chars of
-    md5(shingle || '#' || p) as a 60-bit bigint, which DuckDB computes
-    identically as ('0x' || substr(md5(..), 1, 15))::BIGINT — so unlike
-    the xxhash64 signatures above (rows-only checked), pipelines built
-    on these bands carry full value-hash oracles.
+    REPRODUCIBLE MinHash: the shingle's base hash is the first 15 hex
+    chars of md5(shingle) as a 60-bit bigint — which DuckDB computes
+    identically as ('0x' || substr(md5(..), 1, 15))::BIGINT — and the
+    permutations are affine maps of that base mod 2^31-1. Unlike the
+    xxhash64 signatures above (rows-only checked), pipelines built on
+    these bands carry full value-hash oracles.
 
     Row-LOCAL (no aggregation): the whole signature folds inside one
     projection over the document's own shingle array, which is what
     lets a STREAM compute it per arriving document without a stateful
     shuffle. Docs with < 2 words produce no band rows (always kept)."""
     n_bands = perms // band_rows
+    # One md5 per shingle; the `perms` permutations are affine maps of
+    # that 60-bit base modulo the Mersenne prime 2^31-1 (operands stay
+    # under 2^62 — no bigint overflow, so identical under ANSI mode and
+    # in DuckDB). 16x fewer md5 calls than hashing (shingle, p) pairs.
+    # The per-perm SHIFT before the multiply matters: without it, a
+    # shingle whose base lands near 0 maps to a tiny value under EVERY
+    # perm at once (value = B_p << m), wins every minimum, and two docs
+    # sharing one such shingle collide in all bands — measured 4x
+    # false-positive inflation. Shifting moves each perm's danger zone
+    # to a different base region, restoring per-perm independence.
+    m = 2_147_483_647
     sig = (
         f"transform(sequence(0, {perms - 1}), p -> "
-        "array_min(transform(shingles, sh -> "
-        "CAST(conv(substr(md5(concat(sh, '#', CAST(p AS STRING))), 1, 15),"
-        " 16, 10) AS BIGINT))))"
+        f"array_min(transform(hs, h -> "
+        f"(((h + CAST(p + 1 AS BIGINT) * 1122334455) % {m})"
+        f" * ((2654435761 * (p + 1)) % {m})"
+        f" + (40503 * (p + 7)) % {m}) % {m})))"
     )
     bands = (
         f"transform(sequence(0, {n_bands - 1}), b -> "
@@ -233,6 +246,17 @@ def md5_minhash_bands(
             " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
             " AS shingles",
         )
+        .selectExpr(
+            "doc_id",
+            "transform(shingles, sh -> "
+            "CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+            f" % {m}) AS hs",
+        )
+        # Exchange barrier: without it the hs projection alias-inlines
+        # into the 16-perm transform and the md5 pass re-evaluates 16x
+        # (measured: sig cost == 16 x hs cost). The shuffle carries
+        # |docs| rows of ~50 longs — trivial next to the recompute.
+        .repartition(F.col("doc_id"))
         .selectExpr("doc_id", f"{sig} AS sig")
         .selectExpr("doc_id", f"posexplode({bands}) AS (band_idx, band_hash)")
     )

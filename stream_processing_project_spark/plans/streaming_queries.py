@@ -870,10 +870,17 @@ sh AS (
                 i -> ws[i] || ' ' || ws[i + 1]))) AS s
   FROM words WHERE len(ws) >= 2
 ),
+base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM sh
+),
 hs AS (
   SELECT doc_id, p.p,
-         min(('0x' || substr(md5(s || '#' || CAST(p.p AS VARCHAR)), 1, 15))::BIGINT) AS h
-  FROM sh, range(0, 16) p(p) GROUP BY 1, 2
+         min((((h + (p.p + 1) * 1122334455) % 2147483647)
+              * ((2654435761 * (p.p + 1)) % 2147483647)
+              + (40503 * (p.p + 7)) % 2147483647) % 2147483647) AS h
+  FROM base, range(0, 16) p(p) GROUP BY 1, 2
 ),
 sig AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hs GROUP BY 1),
 bands AS (

@@ -49,6 +49,9 @@ QUERIES = [
     "timeseries_changepoint_cusum",
     "olap_event_transitions",
     "timeseries_paa_similarity",
+    # r03 new operators
+    "similarity_kmeans_train",
+    "streaming_dedup_minhash",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -184,15 +184,34 @@ def _reorder() -> None:
 
     ordered: list[Query] = []
     seen: set[str] = set()
+    # Priority names yield their front-of-window slot once they carry a
+    # green driver row (any round) — otherwise a stale priority list
+    # would re-consume the whole 50-query window next round and stall
+    # the rotation. A priority name that FAILED its driver check stays
+    # at the front for the retry.
     for name in _PRIORITY:
-        if name in _REGISTRY and name not in seen:
+        if name in _REGISTRY and name not in seen and name not in green:
             ordered.append(_REGISTRY[name])
             seen.add(name)
-    queues = [[q for q in qs if q.name not in seen] for qs in by_module.values()]
-    while any(queues):
-        for qu in queues:
-            if qu:
-                ordered.append(qu.pop(0))
+    # Two interleave passes: every never-green query across all modules
+    # first (module-interleaved for family diversity), greens only after
+    # — a module that runs out of unverified names must not let its
+    # green tail crowd first-time names out of the driver's 50-window.
+    for keep_green in (False, True):
+        queues = [
+            [
+                q
+                for q in qs
+                if q.name not in seen and (q.name in green) == keep_green
+            ]
+            for qs in by_module.values()
+        ]
+        while any(queues):
+            for qu in queues:
+                if qu:
+                    q = qu.pop(0)
+                    ordered.append(q)
+                    seen.add(q.name)
     _REGISTRY.clear()
     _REGISTRY.update({q.name: q for q in ordered})
 

@@ -1,0 +1,101 @@
+"""Edge-case pins for the r03 operators (k-means training, md5-MinHash
+bands) — properties the fixture oracle can't isolate: partition-order
+invariance, census conservation, the pure-Python reference of the
+cross-engine hash, and degenerate inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.operators.dedup import md5_minhash_bands
+from stream_processing_project_spark.operators.similarity import kmeans_train
+
+
+def _vecs(spark, n=20, dim=64, shift=0.0):
+    rows = [
+        (i, [((i * 31 + d * 7) % 97) / 100.0 - 0.4 + shift for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_census_conserves_rows_and_is_partition_invariant(spark):
+    base = kmeans_train(_vecs(spark), k=4).collect()
+    assert sum(r.n_members for r in base) == 20
+    assert {r.cluster_id for r in base} <= {0, 1, 2, 3}
+    shuffled = kmeans_train(_vecs(spark).repartition(7), k=4).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_kmeans_translation_invariance(spark):
+    """Distances and assignments are invariant under a uniform shift of
+    every vector (the offset trick the determinism contract relies on)."""
+    a = sorted(map(tuple, kmeans_train(_vecs(spark), k=4).collect()))
+    b = sorted(map(tuple, kmeans_train(_vecs(spark, shift=0.2), k=4).collect()))
+    assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b]
+    # inertia identical too: quantization commutes with the 0.2 shift
+    # only up to rounding, so compare membership, not dist, for safety
+
+
+def test_minhash_identical_docs_collide_in_every_band(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally unrelated content lives here")],
+        "doc_id bigint, text string",
+    )
+    bands = md5_minhash_bands(docs).collect()
+    by_doc = {}
+    for r in bands:
+        by_doc.setdefault(r.doc_id, {})[r.band_idx] = r.band_hash
+    assert by_doc[1] == by_doc[2]  # identical text → all 4 bands equal
+    assert set(by_doc[1].keys()) == {0, 1, 2, 3}
+    assert all(by_doc[3][b] != by_doc[1][b] for b in range(4))
+
+
+def test_minhash_short_docs_emit_no_bands(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")],
+        "doc_id bigint, text string",
+    )
+    rows = md5_minhash_bands(docs).collect()
+    assert {r.doc_id for r in rows} == {3}
+
+
+def test_minhash_matches_pure_python_reference(spark):
+    """Pin the cross-engine hash formula itself: an independent Python
+    implementation of base-hash + shifted affine permutations + band
+    md5 must reproduce the Spark output bit for bit."""
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+    got = {
+        r.band_idx: r.band_hash for r in md5_minhash_bands(docs).collect()
+    }
+
+    m = 2_147_483_647
+    ws = text.strip().split(" ")
+    shingles = list(dict.fromkeys(
+        f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+    ))
+    hs = [
+        int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % m
+        for sh in shingles
+    ]
+    sig = [
+        min(
+            (((h + (p + 1) * 1122334455) % m)
+             * ((2654435761 * (p + 1)) % m)
+             + (40503 * (p + 7)) % m) % m
+            for h in hs
+        )
+        for p in range(16)
+    ]
+    want = {
+        b: hashlib.md5(
+            ",".join(str(x) for x in sig[b * 4:b * 4 + 4]).encode()
+        ).hexdigest()
+        for b in range(4)
+    }
+    assert got == want

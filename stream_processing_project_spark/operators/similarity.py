@@ -271,6 +271,56 @@ def kmeans_train(
     Output is the final assignment census (cluster_id, n_members,
     inertia); inertia is exact bigint (overflows past ~10^5 vectors at
     worst-case spread — report per-cluster means at warehouse scale)."""
+    spark_q, centroids = kmeans_fit(corpus, k, iters, dim, id_col, vec_col)
+    dist_c, cid_c = _centroid_assignment(centroids)
+    return (
+        spark_q.select(dist_c, cid_c)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_members", "inertia")
+        .orderBy("cluster_id")
+    )
+
+
+def _centroid_assignment(cents: list[list[int]]):
+    """(dist, cid) columns: exact bigint distance to each centroid
+    literal, lexicographic [dist, cid] array-min (ties → smallest id)."""
+    pairs = F.array(
+        *[
+            F.array(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qq"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+                F.lit(j).cast("long"),
+            )
+            for j, c in enumerate(cents)
+        ]
+    )
+    best = F.array_min(pairs)
+    return best.getItem(0).alias("dist"), best.getItem(1).alias("cid")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run the Lloyd loop and return (quantized corpus frame
+    `(vec_id, qq)`, trained centroid list) — the reusable half of
+    kmeans_train, so downstream index builds (ivf_trained_topk) consume
+    the trained codebook directly."""
     spark_q = corpus.selectExpr(
         f"{id_col} AS vec_id",
         f"transform({_quantize_expr(vec_col, dim)},"
@@ -278,30 +328,8 @@ def kmeans_train(
     )
     seeds = spark_q.orderBy("vec_id").limit(k).collect()
     centroids: list[list[int]] = [list(r.qq) for r in seeds]
-
-    def assignment(cents: list[list[int]]):
-        pairs = F.array(
-            *[
-                F.array(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qq"),
-                            F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ),
-                    F.lit(j).cast("long"),
-                )
-                for j, c in enumerate(cents)
-            ]
-        )
-        best = F.array_min(pairs)
-        return best.getItem(0).alias("dist"), best.getItem(1).alias("cid")
-
     for _ in range(iters):
-        dist_c, cid_c = assignment(centroids)
+        dist_c, cid_c = _centroid_assignment(centroids)
         rows = (
             spark_q.select("qq", cid_c)
             .groupBy("cid")
@@ -317,17 +345,83 @@ def kmeans_train(
         for r in rows:  # absent cids keep their previous centroid
             n = int(r["n"])
             centroids[int(r["cid"])] = [int(r[f"s{i}"]) // n for i in range(dim)]
+    return spark_q, centroids
 
-    dist_c, cid_c = assignment(centroids)
-    return (
-        spark_q.select(dist_c, cid_c)
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("dist").alias("inertia"),
+
+def ivf_trained_topk(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF retrieval over a TRAINED coarse quantizer — the composition
+    the sign-hash IVF twin (ivf_topk_oracled) stands in for: k-means
+    codebook (kmeans_fit) → inverted lists (each corpus vector assigned
+    to its nearest trained centroid) → queries probe their `n_probe`
+    nearest centroids and scan only those lists with exact bigint
+    distances. Deterministic end to end (integer distances, [dist, id]
+    lexicographic tie-breaks), so the whole train→index→query pipeline
+    value-hash-oracles.
+
+    Scale shape: the corpus pass is ONE assignment projection plus an
+    equi-join on cid — the probe step broadcasts k centroid literals,
+    never pairs vectors all-to-all; per query the scan is
+    |corpus|·n_probe/k in expectation."""
+    spark_q, centroids = kmeans_fit(corpus, k, iters, dim, id_col, vec_col)
+    _, cid_c = _centroid_assignment(centroids)
+    lists = spark_q.select("vec_id", "qq", cid_c)
+    probe_pairs = F.array(
+        *[
+            F.array(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qq"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+                F.lit(j).cast("long"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    probes = (
+        spark_q.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qq").alias("qq_q"),
+            F.explode(
+                F.slice(F.array_sort(probe_pairs), 1, n_probe)
+            ).alias("probe"),
         )
-        .select(F.col("cid").alias("cluster_id"), "n_members", "inertia")
-        .orderBy("cluster_id")
+        .select("query_id", "qq_q", F.col("probe").getItem(1).alias("cid"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qq_q"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        probes.join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist.alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "dist_sq", F.col("rank").cast("long").alias("rank"))
     )
 
 

@@ -1125,12 +1125,15 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(t(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """Unrolled Lloyd's iterations (the PageRank-oracle pattern): each
-    round is an assignment (lexicographic [dist, cid] list-min over the
-    CROSS JOIN with the k-row centroid table) and an update (per-dim
-    integer floor division; offset-shifted values are non-negative so
-    // == Spark's div). Seeds are the k smallest vec_ids."""
+def _kmeans_rounds_cte(k: int, iters: int, dim: int) -> str:
+    """Shared WITH-body for the Lloyd's-training oracles: quantized
+    vectors `q`, seed centroids `c0`, unrolled assign/update rounds,
+    and a final assignment `a{iters+1}` against the trained centroids
+    `c{iters}`. Each assignment is a lexicographic [dist, cid] list-min
+    over the CROSS JOIN with the k-row centroid table; each update is
+    per-dim integer floor division (offset-shifted values are
+    non-negative so // == Spark's div). Seeds are the k smallest
+    vec_ids."""
     d1 = dim + 1
     assign = (
         "a{n} AS (\n"
@@ -1158,8 +1161,7 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
         assign.format(n=i, p=i - 1, d1=d1) + ",\n" + update.format(n=i, p=i - 1, d1=d1)
         for i in range(1, iters + 1)
     )
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id,
          list_transform(range(1, {d1}),
            d -> CAST(round(v[d] * 1048576.0) AS BIGINT) + 1048576) AS qq
@@ -1170,12 +1172,70 @@ c0 AS (
   FROM (SELECT vec_id, qq FROM q ORDER BY vec_id LIMIT {k})
 ),
 {rounds},
-{assign.format(n=iters + 1, p=iters, d1=d1)}
+{assign.format(n=iters + 1, p=iters, d1=d1)}"""
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's iterations (the PageRank-oracle pattern)."""
+    return f"""
+WITH {_kmeans_rounds_cte(k, iters, dim)}
 SELECT best[2] AS cluster_id,
        count(*) AS n_members,
        CAST(sum(best[1]) AS BIGINT) AS inertia
 FROM a{iters + 1} GROUP BY 1 ORDER BY 1
 """
+
+
+def _ivf_trained_oracle(
+    k: int, iters: int, dim: int, n_probe: int, topk: int, n_queries: int
+) -> str:
+    """Trained-IVF retrieval oracle: the shared Lloyd's rounds, then
+    inverted lists from the final assignment, probe ranking against the
+    trained centroid table, and exact bigint top-k within probed lists
+    — same tie-breaks as the Spark plan ([dist, id] lexicographic)."""
+    d1 = dim + 1
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d1}),"
+        " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_rounds_cte(k, iters, dim)},
+lists AS (SELECT vec_id, qq, best[2] AS cid FROM a{iters + 1}),
+qs AS (SELECT vec_id AS query_id, qq FROM q WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT s.query_id, c.cid,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             {dist.format(d1=d1, a="s.qq", b="c.c")}, c.cid) AS rn
+    FROM qs s CROSS JOIN c{iters} c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         {dist.format(d1=d1, a="s.qq", b="l.qq")} AS dist_sq
+  FROM probes p
+  JOIN lists l ON l.cid = p.cid
+  JOIN qs s ON s.query_id = p.query_id
+  WHERE l.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_sq, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {topk}
+"""
+
+
+@register("similarity_ann_ivf_trained", oracle=_ivf_trained_oracle(8, 3, 64, 2, 5, 10))
+def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a TRAINED coarse quantizer — the full
+    train→index→query composition: Lloyd's codebook (kmeans_fit) →
+    inverted lists by nearest trained centroid → 2-probe exact-bigint
+    scan of the probed lists only. Deterministic end to end, so the
+    entire pipeline (training included) value-hash-oracles — the
+    trained counterpart of the sign-hash `similarity_ann_ivf_oracled`
+    twin (operators/similarity.py::ivf_trained_topk)."""
+    return similarity.ivf_trained_topk(t(spark, sf_dir, "embeddings"))
 
 
 @register("similarity_kmeans_train", oracle=_kmeans_oracle(8, 3, 64))

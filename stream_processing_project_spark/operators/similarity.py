@@ -285,15 +285,17 @@ def kmeans_train(
     )
 
 
-def _centroid_assignment(cents: list[list[int]]):
-    """(dist, cid) columns: exact bigint distance to each centroid
-    literal, lexicographic [dist, cid] array-min (ties → smallest id)."""
-    pairs = F.array(
+def _centroid_pairs(cents: list[list[int]], vec_col: str = "qq") -> Column:
+    """array of [dist, cid] pairs — exact bigint distance from `vec_col`
+    to each centroid literal; single source of the distance/tie-break
+    formula shared by assignment (array_min) and probe ranking
+    (array_sort), and mirrored verbatim in the oracles."""
+    return F.array(
         *[
             F.array(
                 F.aggregate(
                     F.zip_with(
-                        F.col("qq"),
+                        F.col(vec_col),
                         F.array(*[F.lit(int(v)).cast("long") for v in c]),
                         lambda x, y: (x - y) * (x - y),
                     ),
@@ -305,7 +307,12 @@ def _centroid_assignment(cents: list[list[int]]):
             for j, c in enumerate(cents)
         ]
     )
-    best = F.array_min(pairs)
+
+
+def _centroid_assignment(cents: list[list[int]]):
+    """(dist, cid) columns: lexicographic [dist, cid] array-min over the
+    shared pairs expression (ties → smallest centroid id)."""
+    best = F.array_min(_centroid_pairs(cents))
     return best.getItem(0).alias("dist"), best.getItem(1).alias("cid")
 
 
@@ -325,7 +332,10 @@ def kmeans_fit(
         f"{id_col} AS vec_id",
         f"transform({_quantize_expr(vec_col, dim)},"
         f" x -> x + {QUANT_SCALE}) AS qq",
-    )
+    ).persist()  # the training set: every Lloyd round + the final
+    # census/index read it — caching is what keeps each round ONE pass
+    # over (vec_id, qq) instead of a fresh corpus scan (MLlib does the
+    # same); stays cached for the caller's downstream reads.
     seeds = spark_q.orderBy("vec_id").limit(k).collect()
     centroids: list[list[int]] = [list(r.qq) for r in seeds]
     for _ in range(iters):
@@ -375,30 +385,13 @@ def ivf_trained_topk(
     spark_q, centroids = kmeans_fit(corpus, k, iters, dim, id_col, vec_col)
     _, cid_c = _centroid_assignment(centroids)
     lists = spark_q.select("vec_id", "qq", cid_c)
-    probe_pairs = F.array(
-        *[
-            F.array(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qq"),
-                        F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ),
-                F.lit(j).cast("long"),
-            )
-            for j, c in enumerate(centroids)
-        ]
-    )
     probes = (
         spark_q.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qq").alias("qq_q"),
             F.explode(
-                F.slice(F.array_sort(probe_pairs), 1, n_probe)
+                F.slice(F.array_sort(_centroid_pairs(centroids)), 1, n_probe)
             ).alias("probe"),
         )
         .select("query_id", "qq_q", F.col("probe").getItem(1).alias("cid"))

@@ -1931,12 +1931,16 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("dist_sq"),
         )
     )
-    zero_top = zero_pairs.orderBy("user_a", "user_b").limit(k)
-    n_zero = zero_top.count()
+    zero_rows = zero_pairs.orderBy("user_a", "user_b").limit(k).collect()
+    n_zero = len(zero_rows)
     if n_zero >= k:
         # ≥k exact-duplicate pairs: no positive pair can rank above any
         # zero pair, so the grid never runs at all.
-        return zero_top.orderBy("dist_sq", "user_a", "user_b").limit(k)
+        groups.unpersist()
+        return spark.createDataFrame(
+            [(int(r.user_a), int(r.user_b), 0) for r in zero_rows],
+            "user_a bigint, user_b bigint, dist_sq bigint",
+        )
 
     # 2. Scalars for the adaptive cell width: seed fine (per-profile
     # value spacing) and widen geometrically. The global min shifts
@@ -2045,15 +2049,21 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = max(1, math.isqrt(bound // 8) + 1)
     while True:
         top = topk_for_width(w)
+        rows = top.collect()
         if w > vrange:
             break  # every profile pair shares a band cell ring → candidates = all pairs
-        rows = top.collect()
         if len(rows) >= min(k, n_pairs_total) and (
             len(rows) < k or rows[-1].dist_sq < 8 * w * w
         ):
             break  # pigeonhole: all pairs at ≤ the kth distance were candidates
         w *= 8
-    return top
+    groups.unpersist()
+    # the verification collect already materialized the answer — return
+    # it as a local frame instead of re-executing the winning grid pass
+    return spark.createDataFrame(
+        [(int(r.user_a), int(r.user_b), int(r.dist_sq)) for r in rows],
+        "user_a bigint, user_b bigint, dist_sq bigint",
+    )
 
 
 @register(

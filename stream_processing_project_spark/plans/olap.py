@@ -2875,10 +2875,10 @@ def olap_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_end"
         ),
     )
-    # Exact integer division for the grid cell index: epoch micros sit
-    # near 1.7e18 > 2^53, where double `/` truncates an imprecise
-    # quotient and a bound within sub-millisecond of a UTC day boundary
-    # could land in the wrong cell and drop a candidate (ADVICE r02).
+    # Exact integer division for the grid cell index (ADVICE r02):
+    # epoch micros (~1.7e15) still fit a double exactly, but the double
+    # QUOTIENT is rounded, so a bound within ~an ulp of a UTC day
+    # boundary could land in the wrong cell — integer `div` is exact.
     scell = sess.withColumn(
         "cell",
         F.explode(

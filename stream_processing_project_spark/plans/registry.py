@@ -146,31 +146,30 @@ _MODULE_ORDER = [
 
 
 def _driver_green() -> set[str]:
-    """Names with a passing row in ANY CORRECTNESS_r{N}.json — these
-    already have hard driver signal, so within each module's
-    round-robin queue they yield their slot to still-unverified queries
-    (matters only if the driver's correctness window truncates). Union
-    across rounds, not just the newest file: the driver samples a
-    near-disjoint 50-query window each round, so a query green in r01
-    but absent from r02 must still yield its slot."""
+    """Names whose MOST RECENT driver row passed — these already have
+    hard driver signal, so they yield their window slot to
+    still-unverified queries (matters only if the driver's correctness
+    window truncates). Latest status wins, scanning all rounds: the
+    driver samples a near-disjoint 50-query window each round, so a
+    query green in r01 but absent from r02 must still yield — but a
+    query that REGRESSED in a later round must lose its green and move
+    back to the front of the rotation for the retry."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    green: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        green |= {
-            n
-            for n, r in rows.items()
-            if isinstance(r, dict) and r.get("rows_match") and r.get("hash_match")
-        }
-    return green
+        for n, r in rows.items():
+            if isinstance(r, dict):
+                latest[n] = bool(r.get("rows_match") and r.get("hash_match"))
+    return {n for n, ok in latest.items() if ok}
 
 
 def _reorder() -> None:

@@ -23,8 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from stream_processing_project_spark.streaming.pipeline import checkpoint_dir
@@ -119,15 +118,20 @@ def make_redis_serving_body(
         client = client_factory()
         pipe = client.pipeline()
         scored = []
+        # complete mode RE-STATES cumulative totals every batch, so every
+        # structure rebuilds via delete+set — an additive ZINCRBY here
+        # would double-count each key's running sum on every micro-batch
+        # (the reference's HINCRBY/ZINCRBY accumulate because its source
+        # is per-flush DELTAS, EngagementRedisSink.scala:126-158)
+        pipe.delete("engagement_sum")
         for r in rows:
             avg = float(r.sum_val) / max(int(r.cnt), 1)
             scored.append((str(r.key), int(r.cnt), avg))
-            # per-key engagement counters (EngagementRedisSink.scala:126-158):
-            # complete mode re-states totals, so set-via-delta = delete+incr
             pipe.delete(f"engagement:{r.key}")
             pipe.hincrby(f"engagement:{r.key}", "access_count", int(r.cnt))
-            pipe.zincrby("engagement_sum", float(r.sum_val), str(r.key))
+            pipe.zadd("engagement_sum", {str(r.key): float(r.sum_val)})
             pipe.expire(f"engagement:{r.key}", ttl_s)
+        pipe.expire("engagement_sum", ttl_s)
         # delete-and-rebuild top-k boards (EngagementRedisSink.scala:186-197)
         top_eng = sorted(scored, key=lambda s: (-s[2], s[0]))[:k_engagement]
         top_acc = sorted(scored, key=lambda s: (-s[1], s[0]))[:k_access]

@@ -80,13 +80,17 @@ def kafka_source_options(
 
 
 def kafka_decode(kafka_df: DataFrame) -> DataFrame:
-    """Kafka records → typed event rows: the value bytes carry the
-    Debezium-unwrapped envelope JSON, so decode is exactly the file
-    path's parse (PERMISSIVE from_json + drop failures + op filter
-    downstream). Takes any DataFrame with kafka's wire schema (value
-    binary, ...), so batch tests drive the REAL decode branch without a
-    broker."""
-    return parse_envelope(kafka_df.selectExpr("CAST(value AS STRING) AS value"))
+    """Kafka records → the topology's typed event rows: the value bytes
+    carry the Debezium-unwrapped envelope JSON, so decode is exactly the
+    file path's pipeline (PERMISSIVE from_json + drop failures + op
+    filter + typed projection with event-time `ts`) — the output shape
+    is identical to cdc_event_stream's, so every downstream consumer
+    (enriched_stream, windows, watermarks) works unchanged. Takes any
+    DataFrame with kafka's wire schema (value binary, ...), so batch
+    tests drive the REAL decode branch without a broker."""
+    return typed_events(
+        parse_envelope(kafka_df.selectExpr("CAST(value AS STRING) AS value"))
+    )
 
 
 def kafka_event_stream(
@@ -147,17 +151,21 @@ def cdc_event_stream(
     """Full ingest path: stream → envelope JSON → PERMISSIVE parse →
     op-filter → typed event rows with event-time column `ts` (P1+P2)."""
     raw = to_envelope_json(file_event_stream(spark, sf_dir, min_partitions))
-    return (
-        parse_envelope(raw)
-        .filter(F.col("__op").isin("r", "c"))
-        .select(
-            F.col("id").alias("event_id"),
-            F.col("user_id"),
-            F.col("event_type"),
-            F.to_timestamp("event_ts").alias("ts"),
-            F.col("value"),
-            F.col("props"),
-        )
+    return typed_events(parse_envelope(raw))
+
+
+def typed_events(parsed: DataFrame) -> DataFrame:
+    """Envelope payload → the topology's typed event shape: op-filter to
+    inserts/reads (P2) and project event_id/user_id/event_type/ts/value/
+    props with the event-time `ts` column every downstream consumer
+    (enrichment, windows, watermarks) expects."""
+    return parsed.filter(F.col("__op").isin("r", "c")).select(
+        F.col("id").alias("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.to_timestamp("event_ts").alias("ts"),
+        F.col("value"),
+        F.col("props"),
     )
 
 

@@ -39,8 +39,9 @@ def test_kafka_source_options_match_reference_tuning():
 
 def test_kafka_decode_runs_on_wire_schema_batch(spark):
     """kafka_decode consumes kafka's wire schema (value binary + broker
-    metadata columns) and must parse good envelopes and drop bad bytes —
-    the same PERMISSIVE-parse semantics as the file path."""
+    metadata columns) and must yield the SAME typed event shape as
+    cdc_event_stream — parse good envelopes, drop bad bytes, filter to
+    insert/read ops, project the event-time `ts` column."""
     from stream_processing_project_spark.sources.cdc import to_envelope_json
     from stream_processing_project_spark.sources.fixtures import load_table
 
@@ -65,9 +66,14 @@ def test_kafka_decode_runs_on_wire_schema_batch(spark):
     )
     decoded = pipeline.kafka_decode(good.unionByName(bad))
     rows = decoded.collect()
-    assert len(rows) == 50  # bad bytes dropped, good envelopes parsed
-    assert {r.id for r in rows} == {r.event_id for r in events.collect()}
-    assert "event_type" in decoded.columns and "__op" in decoded.columns
+    # bad bytes dropped, u/d ops filtered (event_id % 20 in {0, 1})
+    want = {
+        r.event_id for r in events.collect() if r.event_id % 20 not in (0, 1)
+    }
+    assert {r.event_id for r in rows} == want
+    assert decoded.columns == [
+        "event_id", "user_id", "event_type", "ts", "value", "props",
+    ]  # identical shape to cdc_event_stream — downstream consumers work unchanged
 
 
 def test_kafka_format_plan_construction(spark):
@@ -76,9 +82,10 @@ def test_kafka_format_plan_construction(spark):
     try:
         df = pipeline.kafka_event_stream(spark, "localhost:9092", "events")
     except Exception as exc:  # noqa: BLE001
-        msg = str(exc)
-        if "Failed to find data source" in msg or "KAFKA" in msg.upper():
+        # gate ONLY on the missing-jar lookup failure — any other
+        # construction error (e.g. a dropped required option) must FAIL
+        if "Failed to find data source" in str(exc):
             pytest.skip("spark-sql-kafka package not on the classpath (README S2)")
         raise
     assert df.isStreaming
-    assert "event_type" in df.columns
+    assert "event_type" in df.columns and "ts" in df.columns

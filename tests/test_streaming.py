@@ -272,6 +272,50 @@ def test_redis_connector_body_matches_table_sink(spark):
     assert fake.ttls["top_by_engagement"] == SERVING_TTL_S
 
 
+def test_redis_connector_restates_totals_across_micro_batches(spark):
+    """Complete mode re-states cumulative totals every batch, so the
+    connector must REBUILD (delete+set), never accumulate — an additive
+    ZINCRBY would double-count the running sum on every micro-batch."""
+    from stream_processing_project_spark.streaming.connectors import (
+        FakeRedisClient,
+        redis_serving_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="t-redis-2b-")
+    cols = ["event_id", "ts", "key", "value"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, "2024-01-01 00:00:00", "view", 10.0)])
+    agg = (
+        spark.readStream.schema("event_id long, ts timestamp, key string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "15 minutes")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_val"))
+    )
+    fake = FakeRedisClient()
+    q = redis_serving_sink(agg, lambda: fake)
+    try:
+        q.processAllAvailable()
+        assert fake.zsets["engagement_sum"] == {"view": 10.0}
+        write([(2, "2024-01-01 00:01:00", "view", 5.0)])  # second micro-batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # cumulative total is 15.0 — NOT 10 + 15 = 25 (the double-count bug)
+    assert fake.zsets["engagement_sum"] == {"view": 15.0}
+    assert fake.hashes["engagement:view"]["access_count"] == 2
+
+
 def test_transition_log_bridges_micro_batch_boundary(spark):
     """The stored last event must feed the FIRST pair of the next
     micro-batch: two time-ordered batches through transition_log_stream

@@ -30,6 +30,12 @@ from stream_processing_project_spark.operators.text import (
 from stream_processing_project_spark.plans.common import t
 from stream_processing_project_spark.plans.registry import register
 
+# Physical plan of timeseries_paa_similarity's winning grid pass, for
+# test introspection: the builder returns the verification collect as a
+# local frame (no re-execution), so tests/test_plan_properties.py pins
+# the no-BroadcastNestedLoopJoin invariant on the pass that actually ran.
+_LAST_PAA_GRID_PLAN: str | None = None
+
 _SW_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
@@ -2047,8 +2053,10 @@ def timeseries_paa_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         need = max(1, k - n_zero)
         bound = dists[min(need, len(dists)) - 1]
         w = max(1, math.isqrt(bound // 8) + 1)
+    global _LAST_PAA_GRID_PLAN
     while True:
         top = topk_for_width(w)
+        _LAST_PAA_GRID_PLAN = top._jdf.queryExecution().executedPlan().toString()
         rows = top.collect()
         if w > vrange:
             break  # every profile pair shares a band cell ring → candidates = all pairs

@@ -102,13 +102,21 @@ def test_custom_operators_avoid_nested_loop_joins(spark):
         "dedup_semantic_keep",
         "similarity_ann_lsh_oracled",
         "similarity_ann_ivf_oracled",
-        # r03: PAA pair search reworked from all-pairs broadcast to a
-        # grid-bucketed (band, cell) equi-join candidate step
-        "timeseries_paa_similarity",
     ]:
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Cartesian" not in plan, name
+    # r03: PAA pair search reworked from all-pairs broadcast to a
+    # grid-bucketed (band, cell) equi-join candidate step. The builder
+    # returns its verification collect as a local frame, so pin the
+    # invariant on the captured plan of the grid pass that actually ran.
+    from stream_processing_project_spark.plans import governance
+
+    all_queries()["timeseries_paa_similarity"].builder(spark, SF_SMOKE)
+    grid_plan = governance._LAST_PAA_GRID_PLAN
+    assert grid_plan is not None
+    assert "BroadcastNestedLoopJoin" not in grid_plan
+    assert "CartesianProduct" not in grid_plan
 
 
 def test_fan_out_is_conditional(spark):

@@ -2541,3 +2541,275 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("class_size") < 12).alias("k_risk"),
         (F.col("l_diversity") < 3).alias("l_risk"),
     )
+
+
+@register(
+    "features_standard_scale",
+    oracle="""
+WITH x AS (
+  SELECT event_id, event_type,
+         CAST(round(value) AS BIGINT) AS v
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         CAST(sum(v * v) AS BIGINT) AS sxx,
+         CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+  FROM x GROUP BY 1
+)
+SELECT x.event_id, x.event_type, x.v AS value_unit,
+       CASE WHEN s.n > 1 AND s.n * s.sxx - s.sx * s.sx > 0
+            THEN (x.v - s.sx * 1.0 / s.n)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx) * 1.0
+                        / (s.n * 1.0 * (s.n - 1))) END AS z_score,
+       CASE WHEN s.mx > s.mn
+            THEN (x.v - s.mn) * 1.0 / (s.mx - s.mn) END AS minmax_scaled
+FROM x JOIN s USING (event_type)
+""",
+)
+def features_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature scaling (z-score + min-max) — the numeric-
+    feature normalization every training pipeline runs before fitting,
+    as the two-pass pattern that actually distributes: pass one is ONE
+    map-side-combined aggregate collecting exact-bigint sufficient
+    statistics (n, Σx, Σx², min, max) per group (values in whole units
+    so squares stay < 2^63 at warehouse row counts — the
+    `profile_correlation` convention); pass two broadcast-joins the
+    |groups|-row stats table back and derives z = (x − mean)/std and
+    (x − min)/(max − min) by a FIXED sequence of IEEE double ops —
+    partitioning-invariant, unlike stddev_samp() whose float
+    accumulation order varies by shard. Sample std uses the
+    integer-exact variance numerator n·Σx² − (Σx)² so the only floats
+    are the final divisions. Degenerate groups (n = 1, zero variance,
+    constant min = max) yield NULL rather than a division by zero —
+    the contract a feature-store writer needs. The fact table is
+    scanned twice but never shuffled (stats shuffle |groups| rows;
+    the join is broadcast). At 100 TB the same stats merge
+    associatively across shards/days — incremental re-scaling without
+    a full rescan."""
+    x = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 0).cast("long").alias("v"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return x.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").alias("value_unit"),
+        F.when(
+            (F.col("n") > 1) & (var_num > 0),
+            (F.col("v") - F.col("sx") * 1.0 / F.col("n"))
+            / F.sqrt(var_num * 1.0 / (F.col("n") * 1.0 * (F.col("n") - 1))),
+        ).alias("z_score"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("v") - F.col("mn")) * 1.0 / (F.col("mx") - F.col("mn")),
+        ).alias("minmax_scaled"),
+    )
+
+
+@register(
+    "features_mutual_info_rank",
+    oracle="""
+WITH base AS (
+  SELECT CAST(o_totalprice > 150000 AS BIGINT) AS label,
+         o_orderpriority, o_orderstatus,
+         CAST(year(o_orderdate) AS VARCHAR) AS o_year
+  FROM orders
+),
+stacked AS (
+  SELECT 'priority' AS feature, o_orderpriority AS val, label FROM base
+  UNION ALL
+  SELECT 'status' AS feature, o_orderstatus AS val, label FROM base
+  UNION ALL
+  SELECT 'year' AS feature, o_year AS val, label FROM base
+),
+joint AS (
+  SELECT feature, val, label, count(*) AS c_xy
+  FROM stacked GROUP BY 1, 2, 3
+),
+margx AS (SELECT feature, val, CAST(sum(c_xy) AS BIGINT) AS c_x
+          FROM joint GROUP BY 1, 2),
+margy AS (SELECT feature, label, CAST(sum(c_xy) AS BIGINT) AS c_y
+          FROM joint GROUP BY 1, 2),
+tot AS (SELECT feature, CAST(sum(c_xy) AS BIGINT) AS n FROM joint GROUP BY 1),
+cells AS (
+  SELECT j.feature, j.val,
+         CAST(round(j.c_xy * ln((j.c_xy * 1.0 * t.n)
+                                / (mx.c_x * 1.0 * my.c_y))
+                    / t.n * 1e6) AS BIGINT) AS cell_micronats
+  FROM joint j
+  JOIN margx mx ON j.feature = mx.feature AND j.val = mx.val
+  JOIN margy my ON j.feature = my.feature AND j.label = my.label
+  JOIN tot t ON j.feature = t.feature
+),
+pf AS (
+  SELECT feature, CAST(count(DISTINCT val) AS BIGINT) AS n_values,
+         CAST(sum(cell_micronats) AS BIGINT) AS mi_micronats
+  FROM cells GROUP BY 1
+)
+SELECT feature, n_values, mi_micronats,
+       CAST(row_number() OVER (ORDER BY mi_micronats DESC, feature)
+            AS BIGINT) AS mi_rank
+FROM pf
+""",
+)
+def features_mutual_info_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking — the filter-method feature
+    selector (rank categorical features by I(X;label) before training,
+    drop the bottom). Label: is the order a large one. Candidate
+    features (priority, status, order-year) UNPIVOT into one
+    (feature, value, label) stream so a SINGLE grouped count produces
+    every joint distribution at once; marginals and totals are
+    re-aggregations of that tiny contingency table (|features| x
+    |values| x 2 rows — broadcast-sized however big the fact table).
+    DETERMINISM: each cell's contribution (c_xy/n)·ln(c_xy·n/(c_x·c_y))
+    is micro-quantized to an exact bigint (×1e6, the
+    `text_unigram_logprob` convention) so the per-feature sum is
+    associative — no float-sum ordering hazard; ln() is evaluated on
+    identical exact-integer-derived doubles in both engines. Shape:
+    one fact scan (the 3x unpivot multiplies rows before the map-side
+    combine, not the shuffle — partial aggregation collapses each
+    partition to its distinct cells), three broadcast joins over
+    sketch-sized tables, and a |features|-row ranking window. At
+    100 TB this is the cheapest defensible feature screen: exactly
+    one shuffle of distinct-cell counts."""
+    base = t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 150000).cast("long").alias("label"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("string").alias("o_year"),
+    )
+    stacked = base.selectExpr(
+        "stack(3, 'priority', o_orderpriority, 'status', o_orderstatus,"
+        " 'year', o_year) AS (feature, val)",
+        "label",
+    )
+    joint = stacked.groupBy("feature", "val", "label").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    margx = joint.groupBy("feature", "val").agg(F.sum("c_xy").alias("c_x"))
+    margy = joint.groupBy("feature", "label").agg(F.sum("c_xy").alias("c_y"))
+    tot = joint.groupBy("feature").agg(F.sum("c_xy").alias("n"))
+    cells = (
+        joint.join(F.broadcast(margx), ["feature", "val"])
+        .join(F.broadcast(margy), ["feature", "label"])
+        .join(F.broadcast(tot), "feature")
+        .select(
+            "feature",
+            "val",
+            F.round(
+                F.col("c_xy")
+                * F.log(
+                    (F.col("c_xy") * 1.0 * F.col("n"))
+                    / (F.col("c_x") * 1.0 * F.col("c_y"))
+                )
+                / F.col("n")
+                * 1e6
+            )
+            .cast("long")
+            .alias("cell_micronats"),
+        )
+    )
+    per_feature = cells.groupBy("feature").agg(
+        F.countDistinct("val").alias("n_values"),
+        F.sum("cell_micronats").alias("mi_micronats"),
+    )
+    w = Window.orderBy(F.col("mi_micronats").desc(), F.col("feature"))
+    return per_feature.select(
+        "feature",
+        "n_values",
+        "mi_micronats",
+        F.row_number().over(w).cast("long").alias("mi_rank"),
+    )
+
+
+@register(
+    "governance_dp_count_release",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS true_count
+  FROM customer GROUP BY 1, 2
+),
+u AS (
+  SELECT *,
+         (('0x' || substr(md5(c_mktsegment || '|' || c_nationkey::VARCHAR),
+                          1, 8))::BIGINT + 0.5) / 4294967296.0 AS uu
+  FROM g
+)
+SELECT c_mktsegment, c_nationkey,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(greatest(0, round(true_count +
+            CASE WHEN uu < 0.5 THEN ln(2.0 * uu)
+                 ELSE -ln(2.0 * (1.0 - uu)) END)) AS BIGINT)
+         AS released_count,
+       1.0 AS epsilon
+FROM u
+""",
+)
+def governance_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release — the privacy mechanism a
+    training-data platform applies before publishing per-cohort stats
+    (counts per segment x nation here): add Laplace(1/eps) noise to
+    each count (eps = 1, sensitivity 1 for a count query), clamp at
+    zero, round to an integer. DETERMINISTIC NOISE FOR THE ORACLE: the
+    uniform draw is derived from md5(group key) (first 8 hex digits →
+    uint32 → (v+0.5)/2^32, the engine's cross-engine hash-uniform
+    idiom, `operators/dedup.py` md5-MinHash), and the Laplace
+    inverse-CDF sign·ln transform is a fixed sequence of IEEE double
+    ops on that exact-integer-derived uniform — both engines compute
+    bit-identical noise, and rounding to whole counts gives a wide
+    determinism margin. (A production release swaps the hash-seeded
+    draw for a real RNG — one expression; and drops the true_count
+    audit column.) Shape: ONE map-side-combined aggregate to the
+    |cohorts|-row table, then pure per-row projection — no second
+    shuffle, no data-dependent branching; at 100 TB the mechanism
+    costs exactly the underlying GROUP BY. The true_count column
+    stays only so the oracle audits the mechanism end to end."""
+    g = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("c_mktsegment"),
+                        F.lit("|"),
+                        F.col("c_nationkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    lap = F.when(F.col("uu") < 0.5, F.log(2.0 * F.col("uu"))).otherwise(
+        -F.log(2.0 * (1.0 - F.col("uu")))
+    )
+    return (
+        g.withColumn("uu", uu)
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.greatest(F.lit(0), F.round(F.col("true_count") + lap, 0))
+            .cast("long")
+            .alias("released_count"),
+            F.lit(1.0).alias("epsilon"),
+        )
+    )

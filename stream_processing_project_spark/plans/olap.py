@@ -2998,3 +2998,172 @@ def timeseries_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+# Integer EWMA lag weights: round(0.75^j * 1e6) for j = 0..11, inlined
+# as literals in BOTH engines so no cross-engine pow()/round() step
+# exists anywhere in the plan — the weights ARE the spec.
+_EWMA_W = [1000000, 750000, 562500, 421875, 316406, 237305,
+           177979, 133484, 100113, 75085, 56314, 42235]
+_EWMA_K = len(_EWMA_W)
+_EWMA_W_SQL = "[" + ", ".join(str(w) for w in _EWMA_W) + "]"
+
+
+@register(
+    "timeseries_ewma_smooth",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type, h + j.j AS th,
+         cents * ({_EWMA_W_SQL}[j.j + 1]) AS num_part,
+         ({_EWMA_W_SQL}[j.j + 1]) AS den_part
+  FROM hourly, range(0, {_EWMA_K}) j(j)
+),
+sm AS (
+  SELECT event_type, th, CAST(sum(num_part) AS BIGINT) AS num,
+         CAST(sum(den_part) AS BIGINT) AS den
+  FROM contrib GROUP BY 1, 2
+)
+SELECT h.event_type,
+       strftime(to_timestamp(h.h * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+       h.cents * 1.0 / 100.0 AS raw_value,
+       s.num * 1.0 / s.den / 100.0 AS ewma_value
+FROM hourly h JOIN sm s ON h.event_type = s.event_type AND h.h = s.th
+""",
+)
+def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series — the standard
+    trend smoother (monitoring dashboards, feature pipelines computing
+    "recent activity" signals), here with a 12-hour half-window and
+    decay 0.75/lag. The recurrence ewma_t = a*x_t + (1-a)*ewma_{t-1}
+    is inherently sequential; the SCALABLE formulation inverts it into
+    a SCATTER: each observed bucket emits its contribution to the next
+    K=12 target buckets via explode(sequence), with INTEGER lag
+    weights round(0.75^j * 1e6) inlined as literals in both engines
+    (no pow() in any plan — the weight table is the spec). The
+    weighted numerator and weight-mass denominator are then exact
+    bigint sums in ONE grouped aggregate keyed (series, target_hour) —
+    map-side combined, associative across shards — and the EWMA is a
+    fixed-order double division at the very end. Gaps decay naturally:
+    an absent lag contributes neither numerator nor mass (the
+    "ignore-missing" EWMA). Shape: hourly rollup, a 12x fan-out of the
+    |series x buckets| rollup (NOT of the raw events), one more
+    grouped agg, and an equi-join back onto real buckets. At 100 TB
+    the fan-out multiplies the downsampled rollup only; weights at 1e6
+    scale leave ~3 decades of bigint headroom over per-bucket cents.
+    Reference scope: the monitor's per-minute rate series
+    (monitor.py:197-296) smoothed the same way client-side."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w = F.array(*[F.lit(x) for x in _EWMA_W])
+    contrib = (
+        hourly.select(
+            "event_type",
+            "h",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_EWMA_K - 1))).alias("j"),
+        )
+        .select(
+            "event_type",
+            (F.col("h") + F.col("j")).alias("th"),
+            (F.col("cents") * F.element_at(w, F.col("j") + 1)).alias("num_part"),
+            F.element_at(w, F.col("j") + 1).alias("den_part"),
+        )
+    )
+    sm = contrib.groupBy("event_type", "th").agg(
+        F.sum("num_part").alias("num"), F.sum("den_part").alias("den")
+    )
+    return (
+        hourly.alias("hh")
+        .join(
+            sm.alias("ss"),
+            (F.col("hh.event_type") == F.col("ss.event_type"))
+            & (F.col("hh.h") == F.col("ss.th")),
+        )
+        .select(
+            F.col("hh.event_type").alias("event_type"),
+            F.from_unixtime(F.col("hh.h") * 3600, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            (F.col("hh.cents") * 1.0 / 100.0).alias("raw_value"),
+            (F.col("ss.num") * 1.0 / F.col("ss.den") / 100.0).alias("ewma_value"),
+        )
+    )
+
+
+@register(
+    "timeseries_anomaly_mad",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.event_type, h.h, h.cents, med.med,
+         abs(h.cents - med.med) AS d
+  FROM hourly h JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       strftime(to_timestamp(d.h * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+       d.cents AS value_cents, d.med, mad.mad,
+       CASE WHEN mad.mad > 0 THEN d.d > mad.mad * 1.4826 * 3.0
+            ELSE d.d > 0 END AS is_anomaly
+FROM dev d JOIN mad USING (event_type)
+""",
+)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly flagging by median absolute deviation
+    — the outlier detector that survives the outliers it hunts (the
+    z-score screen `olap_outlier_zscore` lets one huge spike inflate
+    sigma and mask its neighbors; median and MAD have a 50% breakdown
+    point). Per series: med = median(hourly value), MAD = median(|x -
+    med|), flag x when |x - med| > 3 * 1.4826 * MAD (1.4826 makes MAD
+    a consistent sigma estimate under normality). DETERMINISM: the
+    series values are exact bigint cents, both engines interpolate the
+    median identically (continuous quantile = mean of the two middle
+    order statistics — a half, exactly representable), so med, MAD,
+    and every comparison are bit-identical with no rounding step. A
+    zero MAD (majority-constant series) degenerates the rule to
+    "anything off the median" rather than dividing by zero. Shape:
+    hourly rollup, two |series|-row percentile aggregates broadcast
+    back, zero extra fact shuffles (the rollup exchange is reused);
+    at 100 TB swap the exact grouped percentile for approx_percentile
+    on the same plan. Flags ALL buckets (audit view), not only hits."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.from_unixtime(F.col("h") * 3600, "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("cents").alias("value_cents"),
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0, F.col("d") > F.col("mad") * 1.4826 * 3.0
+        )
+        .otherwise(F.col("d") > 0)
+        .alias("is_anomaly"),
+    )

@@ -480,3 +480,61 @@ def test_label_propagation_rounds_stay_flat(spark):
     )
     assert "Scan parquet" not in plan  # lineage truncated at the checkpoint
     assert "Join" not in plan
+
+
+def test_ewma_scatter_is_equi_join_no_nested_loop(spark):
+    """EWMA: the lag scatter must stay an equi-join composition — no
+    BroadcastNestedLoopJoin (the range-join trap), and the fan-out
+    multiplies the hourly rollup, not raw events (the explode sits
+    above the first partial aggregate)."""
+    plan = formatted_plan(
+        all_queries()["timeseries_ewma_smooth"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    gen = plan.index("Generate")  # the explode
+    first_agg = plan.index("HashAggregate")
+    assert first_agg < gen, "explode must apply to the rollup, not raw events"
+
+
+def test_mad_anomaly_reuses_rollup_and_broadcasts_stats(spark):
+    """MAD flagging: the two |series|-row percentile tables broadcast
+    back; no SortMergeJoin anywhere (the fact rollup never re-shuffles
+    for the stats joins)."""
+    plan = formatted_plan(
+        all_queries()["timeseries_anomaly_mad"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_standard_scale_fact_never_shuffles(spark):
+    """Feature scaling: one exchange total (the per-group stats partial
+    aggregate); the fact rows reach the stats join via broadcast."""
+    plan = formatted_plan(
+        all_queries()["features_standard_scale"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1, plan.count("+- Exchange")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_mutual_info_contingency_is_partial_aggregated(spark):
+    """MI ranking: the unpivoted stream partial-aggregates below its
+    exchange (map-side combine collapses each partition to distinct
+    cells); marginal/total joins are broadcast-only."""
+    plan = formatted_plan(
+        all_queries()["features_mutual_info_rank"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dp_release_is_single_aggregate_projection(spark):
+    """DP count release: the mechanism adds zero shuffles on top of the
+    underlying GROUP BY — one exchange, no joins."""
+    plan = formatted_plan(
+        all_queries()["governance_dp_count_release"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 1, plan.count("+- Exchange")
+    assert "Join" not in plan

@@ -287,3 +287,76 @@ def bucket_first_seen_stream(bands: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_cents", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("acc", DoubleType())]
+)
+
+_EWMA_ALPHA = 0.25
+
+
+def _fold_ewma(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Left-fold this micro-batch's rows (ordered by the (ts, event_id)
+    total key) into the user's EWMA state: acc = α·x + (1−α)·acc,
+    seeded by the first observation. The fold runs in plain Python
+    floats — the SAME fixed sequence of IEEE double ops the oracle's
+    list_reduce performs, so batch parity is bit-exact. Bridges
+    micro-batch boundaries through the stored (n, acc); in-order
+    arrival across batches is the transition-log assumption
+    (`_emit_transitions`)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values(["tu", "event_id"], kind="mergesort")
+    n, acc = state.get if state.exists else (0, 0.0)
+    for x in pdf["cents"].tolist():
+        x = float(x)
+        if n == 0:
+            acc = x
+        else:
+            acc = _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * acc
+        n += 1
+    state.update((n, acc))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_cents": [acc]}
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Per-user EWMA of event value as TRUE sequential state — the
+    recurrence e_i = α·x_i + (1−α)·e_{i−1} that batch window algebra
+    cannot partial-aggregate (contrast `timeseries_ewma_smooth`, which
+    scales by truncating the memory to K lags; this keeps infinite
+    memory with O(1) state per key). State is two scalars per user —
+    store size O(|users|), sharded with the groupBy shuffle; each
+    micro-batch folds only its own rows. The streaming twin of the
+    monitor's smoothed rate series."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _fold_ewma,
+        EWMA_SCHEMA,
+        _EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -943,3 +943,41 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("hit", F.lit(0)).cast("long").alias("n_hit_bands"),
         "first_match_id",
     )
+
+
+@register(
+    "streaming_ewma_state",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       list_reduce(
+         list_transform(
+           list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id),
+           x -> CAST(x AS DOUBLE)),
+         (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma_cents
+FROM events GROUP BY 1
+""",
+)
+def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True sequential EWMA per user as an arbitrary-state streaming op
+    (applyInPandasWithState): the recurrence e_i = α·x_i + (1−α)·e_{i−1}
+    folded left-to-right over the (ts, event_id) total order, α = 1/4,
+    seeded by the first observation — infinite-memory smoothing with
+    O(1) state per key (two scalars), where the batch formulation
+    (`timeseries_ewma_smooth`) scales by TRUNCATING memory to K lags
+    instead. Fully value-hash-oracled: DuckDB performs the IDENTICAL
+    left fold via list_reduce over the same ordered list, and both
+    engines execute the same fixed sequence of IEEE double ops on
+    exact integer cents — bit-equal without any rounding step. The
+    update log reduces to the last emission per user (n_events is
+    strictly increasing), which must equal the full-history fold."""
+    from stream_processing_project_spark.operators.stateful import ewma_stream
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    log = pipeline.run_to_completion(ewma_stream(events), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "ewma_cents")
+    )

@@ -1071,3 +1071,52 @@ def test_checkpoint_recovery_exactly_once(spark):
 
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == list(range(600))  # every row exactly once, no dupes/gaps
+
+
+def test_ewma_state_bridges_micro_batch_boundary(spark):
+    """The stored (n, acc) must seed the next micro-batch's fold: two
+    time-ordered batches produce the same final EWMA as one fold over
+    the whole history (and the first batch's emission is the fold of
+    its prefix alone)."""
+    import uuid
+
+    from stream_processing_project_spark.operators.stateful import ewma_stream
+
+    src = tempfile.mkdtemp(prefix="spe-ewma-")
+    cols = ["user_id", "event_id", "ts", "value"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, 10, "2024-01-01 00:00:00", 1.0), (1, 11, "2024-01-01 00:01:00", 2.0)])
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("ewma_bridge"))
+        .start()
+    )
+    q.processAllAvailable()
+    # prefix fold: acc = 100; then 0.25*200 + 0.75*100 = 125
+    batch1 = sorted(map(tuple, spark.table(name).collect()))
+    assert batch1 == [(1, 2, 125.0)]
+    write([(1, 12, "2024-01-01 00:02:00", 0.5)])  # second micro-batch
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(map(tuple, spark.table(name).collect()))
+    # bridge: 0.25*50 + 0.75*125 = 106.25 — seeded by stored state,
+    # not re-seeded by the new batch's first row
+    assert rows == [(1, 2, 125.0), (1, 3, 106.25)]

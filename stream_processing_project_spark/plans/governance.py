@@ -2813,3 +2813,144 @@ def governance_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("epsilon"),
         )
     )
+
+
+@register(
+    "governance_retention_sweep",
+    oracle="""
+WITH pol(event_type, keep_days) AS (
+  VALUES ('view', 7), ('click', 7), ('error', 3),
+         ('signup', 21), ('purchase', 21)
+),
+mx AS (SELECT max(ts) AS now FROM events),
+flagged AS (
+  SELECT e.event_type, CAST(e.ts AS DATE) AS event_date,
+         CASE WHEN e.ts < mx.now - keep_days * INTERVAL 1 DAY
+              THEN 1 ELSE 0 END AS expired
+  FROM events e JOIN pol USING (event_type), mx
+)
+SELECT event_type, strftime(event_date, '%Y-%m-%d') AS event_date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(expired) AS BIGINT) AS n_expired,
+       (sum(expired) = count(*)) AS drop_partition,
+       (sum(expired) > 0 AND sum(expired) < count(*)) AS rewrite_partition
+FROM flagged GROUP BY 1, 2
+""",
+)
+def governance_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL sweep planner — the GDPR-era maintenance job that
+    turns a per-class retention policy (error logs 3 days, behavioral
+    events 7, transactional 21) into a partition-level DELETE MANIFEST:
+    for each (event_type, date) partition, the row count, how many rows
+    are past retention at the sweep's reference time (max event ts —
+    deterministic for the oracle; production passes now()), and the
+    DECISION — `drop_partition` (every row expired → O(1) directory
+    delete, no data read) vs `rewrite_partition` (mixed → copy-retain
+    rewrite of that partition only). This partition-granular triage is
+    the whole 100 TB story: on a date-partitioned layout the sweep
+    reads only partition METADATA for droppable dates and rewrites
+    only the boundary date per class — never a full scan. Shape: the
+    policy is a 5-row broadcast, the reference time a 1-row broadcast
+    (scalar-subquery idiom), then ONE map-side-combined aggregate to
+    |class × date| manifest rows. Exact integers end to end."""
+    pol = F.broadcast(
+        spark.createDataFrame(
+            [("view", 7), ("click", 7), ("error", 3),
+             ("signup", 21), ("purchase", 21)],
+            ["event_type", "keep_days"],
+        )
+    )
+    ev = t(spark, sf_dir, "events").select("event_type", "ts")
+    mx = ev.agg(F.max("ts").alias("now"))
+    flagged = (
+        ev.join(pol, "event_type")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("event_date"),
+            F.when(
+                F.col("ts")
+                < F.col("now") - F.col("keep_days") * F.expr("INTERVAL 1 DAY"),
+                1,
+            )
+            .otherwise(0)
+            .alias("expired"),
+        )
+    )
+    return flagged.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("expired").alias("n_expired"),
+        (F.sum("expired") == F.count(F.lit(1))).alias("drop_partition"),
+        (
+            (F.sum("expired") > 0) & (F.sum("expired") < F.count(F.lit(1)))
+        ).alias("rewrite_partition"),
+    ).select(
+        "event_type",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "n_rows",
+        "n_expired",
+        "drop_partition",
+        "rewrite_partition",
+    )
+
+
+@register(
+    "maintenance_compaction_plan",
+    oracle="""
+WITH files AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) * 96 AS BIGINT) AS file_bytes
+  FROM events GROUP BY 1, 2
+),
+placed AS (
+  SELECT event_type, h, file_bytes,
+         CAST(sum(file_bytes) OVER (PARTITION BY event_type ORDER BY h
+                                    ROWS UNBOUNDED PRECEDING)
+              - file_bytes AS BIGINT) AS start_off
+  FROM files
+)
+SELECT event_type, h AS file_hour, file_bytes,
+       CAST(floor(start_off / 262144) AS BIGINT) AS target_file_id
+FROM placed
+""",
+)
+def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner — the lakehouse maintenance pass
+    that bins many small per-hour files into ~256 KB target files
+    without breaking time-locality: within each partition class
+    (event_type), files are laid end-to-end in hour order and each is
+    assigned to the target file where its START OFFSET falls
+    (floor(running-bytes-before / target)) — a deterministic
+    streaming-bin-pack that needs ONE prefix-sum window, no iteration,
+    and keeps every target file a contiguous hour range (so downstream
+    time-range scans still prune). File sizes here are modeled as
+    rows × 96 B from the same hourly rollup the engine's other
+    maintenance ops use (a real deployment reads the filesystem
+    manifest — same plan from `input_file_name()` + file sizes).
+    Scale: the window partitions by class — thousands of classes
+    parallelize; within-class file counts are |hours|, driver-free.
+    Z-order layout (`maintenance_zorder_layout`) decides WHERE rows
+    go; this decides WHICH physical files get merged — the two halves
+    of table maintenance. Exact bigints end to end."""
+    files = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+        )
+        .agg((F.count(F.lit(1)) * 96).alias("file_bytes"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = files.withColumn(
+        "start_off", F.sum("file_bytes").over(w) - F.col("file_bytes")
+    )
+    return placed.select(
+        "event_type",
+        F.col("h").alias("file_hour"),
+        "file_bytes",
+        F.floor(F.col("start_off") / 262144).alias("target_file_id"),
+    )

@@ -538,3 +538,31 @@ def test_dp_release_is_single_aggregate_projection(spark):
     )
     assert plan.count("+- Exchange") == 1, plan.count("+- Exchange")
     assert "Join" not in plan
+
+
+def test_retention_sweep_is_broadcast_policy_single_agg(spark):
+    """Retention sweep: policy and reference-time are broadcast; the
+    fact stream reaches ONE partial-aggregated exchange (no
+    SortMergeJoin, no extra fact shuffle)."""
+    plan = formatted_plan(
+        all_queries()["governance_retention_sweep"].builder(spark, SF_SMOKE)
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the manifest agg
+
+
+def test_compaction_plan_shuffles_rollup_not_raw_rows(spark):
+    """Compaction planner: exactly two exchanges — the partial-
+    aggregated (class, hour) rollup, then the per-class re-exchange
+    feeding the prefix-sum window. The second carries only rollup-sized
+    rows; the WRONG single-exchange alternative (repartition raw events
+    by class before aggregating) would shuffle the full fact table.
+    Pin: the map-side combine sits below the FIRST exchange."""
+    plan = formatted_plan(
+        all_queries()["maintenance_compaction_plan"].builder(spark, SF_SMOKE)
+    )
+    assert plan.count("+- Exchange") == 2, plan.count("+- Exchange")
+    assert plan.index("HashAggregate") > plan.index("Exchange") or plan.count(
+        "HashAggregate"
+    ) >= 2  # partial+final pair exists
+    assert "BroadcastNestedLoopJoin" not in plan

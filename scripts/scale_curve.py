@@ -52,6 +52,15 @@ QUERIES = [
     # r03 new operators
     "similarity_kmeans_train",
     "streaming_dedup_minhash",
+    # r03 cont.: smoothing / robust anomaly / feature prep / DP /
+    # maintenance additions
+    "timeseries_ewma_smooth",
+    "timeseries_anomaly_mad",
+    "features_standard_scale",
+    "features_mutual_info_rank",
+    "governance_dp_count_release",
+    "governance_retention_sweep",
+    "maintenance_compaction_plan",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

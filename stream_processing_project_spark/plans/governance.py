@@ -2954,3 +2954,74 @@ def maintenance_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_bytes",
         F.floor(F.col("start_off") / 262144).alias("target_file_id"),
     )
+
+
+@register(
+    "profile_skew_gini",
+    oracle="""
+WITH per_key AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt, user_id) AS rk
+  FROM per_key
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS max_key,
+         CAST(sum(rk * cnt) AS BIGINT) AS weighted
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_keys, total, max_key,
+       (2.0 * weighted - (n_keys + 1.0) * total)
+         / (CAST(n_keys AS DOUBLE) * total) AS gini,
+       max_key * 1.0 / total AS top_key_share
+FROM s
+""",
+)
+def profile_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-concentration profile per class — the Gini coefficient of
+    the per-key traffic distribution plus the single-hottest-key share,
+    the two numbers that decide a partitioning strategy BEFORE the job
+    runs: gini ≈ 0 → uniform keys, hash-partition plainly; gini → 1 or
+    a large top_key_share → salt the hot keys or broadcast the other
+    side (`olap_skew_salted_join` is the cure this measures the need
+    for; `profile_join_skew` lists the culprits, this scores the
+    distribution). Exact formulation: with per-key counts ranked
+    ascending (ties broken by key id — deterministic cross-engine),
+    G = (2·Σ rk·cnt − (n+1)·Σcnt) / (n·Σcnt) — every accumulation an
+    exact bigint, the final expression a fixed IEEE sequence. Shape:
+    per-key rollup (map-side combined), a per-class rank window over
+    the ROLLUP (|keys| rows, not events), one stats aggregate. The
+    rank window partitions by class — at billions of keys per class,
+    swap rank·cnt for the cumulative count-of-counts identity exactly
+    as `profile_join_skew` documents; same plan otherwise."""
+    per_key = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = per_key.withColumn("rk", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_key"),
+        F.sum(F.col("rk") * F.col("cnt")).alias("weighted"),
+    )
+    return s.select(
+        "event_type",
+        "n_keys",
+        "total",
+        "max_key",
+        (
+            (2.0 * F.col("weighted") - (F.col("n_keys") + 1.0) * F.col("total"))
+            / (F.col("n_keys").cast("double") * F.col("total"))
+        ).alias("gini"),
+        (F.col("max_key") * 1.0 / F.col("total")).alias("top_key_share"),
+    )

@@ -3167,3 +3167,68 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("d") > 0)
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "olap_decayed_topk",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS now FROM events),
+scored AS (
+  SELECT e.user_id,
+         CAST(round(e.value * pow(2.0,
+              -(CAST(epoch_us(mx.now) - epoch_us(e.ts) AS DOUBLE)
+                / 604800000000.0)) * 1e6) AS BIGINT) AS contrib_micro
+  FROM events e, mx
+),
+agg AS (
+  SELECT user_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM scored GROUP BY 1
+)
+SELECT user_id, score_micro, n_events
+FROM agg ORDER BY score_micro DESC, user_id LIMIT 20
+""",
+)
+def olap_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed leaderboard — the ranking the reference's Redis
+    top-k board (EngagementRedisSink.scala:186-197) ships WITHOUT:
+    recency weighting. Each event contributes value·2^(−age/half-life)
+    (half-life 7 days, age against the corpus max ts so the oracle is
+    deterministic; production passes now()), so yesterday's engagement
+    outranks last month's at equal volume — the freshness-aware serving
+    score. DETERMINISM: the exponent is an exact-integer-derived double
+    (unix_micros difference / literal), each per-event contribution is
+    micro-quantized to a bigint BEFORE summation (the engine's
+    float-sum-ordering rule: quantize per row, sum associatively), and
+    the final top-k orders by (bigint score, user_id). Shape: scalar
+    broadcast of the reference time, ONE map-side-combined per-user
+    aggregate, TakeOrderedAndProject(20) — no global sort, no second
+    shuffle. The same decayed score maintains incrementally: state is
+    a per-key (score_micro AT last-update, last_ts) pair rescaled on
+    read — the streaming twin of this query folds into the running-
+    totals stateful op."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("now"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(
+            F.col("value")
+            * F.pow(
+                F.lit(2.0),
+                -(
+                    (F.unix_micros(F.col("now")) - F.unix_micros(F.col("ts")))
+                    .cast("double")
+                    / 604800000000.0
+                ),
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("contrib_micro"),
+    )
+    agg = scored.groupBy("user_id").agg(
+        F.sum("contrib_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.orderBy(F.col("score_micro").desc(), "user_id").limit(20)

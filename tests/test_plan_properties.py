@@ -566,3 +566,26 @@ def test_compaction_plan_shuffles_rollup_not_raw_rows(spark):
         "HashAggregate"
     ) >= 2  # partial+final pair exists
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_gini_windows_the_rollup_not_events(spark):
+    """Gini profiler: the rank window runs over the per-key ROLLUP
+    (first HashAggregate precedes the Window) and partitions by class
+    — never a global unpartitioned sort of raw events."""
+    plan = formatted_plan(
+        all_queries()["profile_skew_gini"].builder(spark, SF_SMOKE)
+    )
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert "windowspecdefinition(event_type" in plan  # partitioned, not global
+
+
+def test_decayed_topk_is_take_ordered_single_agg(spark):
+    """Decayed leaderboard: scalar-broadcast reference time, one
+    partial-aggregated exchange, TakeOrderedAndProject — no global
+    sort, no SortMergeJoin."""
+    plan = formatted_plan(
+        all_queries()["olap_decayed_topk"].builder(spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -2118,3 +2118,159 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def _pca_oracle(dim: int, iters: int) -> str:
+    """Unrolled power-iteration oracle (the PageRank/kmeans convention):
+    quantized vectors → exact-bigint scatter matrix M = n·S − sx·sxᵀ →
+    normalize to ±1e6 micro-units → `iters` matrix-vector rounds, each
+    renormalized to micro-units by the same double-divide-then-round
+    both engines perform."""
+    d1 = dim + 1
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(
+            f"""w{i} AS (
+  SELECT mn.j, CAST(sum(mn.mn * v{p}.v) AS BIGINT) AS w
+  FROM mn JOIN v{p} ON mn.k = v{p}.k GROUP BY 1
+),
+x{i} AS (SELECT max(abs(w)) AS mx FROM w{i}),
+v{i} AS (
+  SELECT j AS k,
+         CAST(round(CAST(w AS DOUBLE) / mx * 1e6) AS BIGINT) AS v
+  FROM w{i}, x{i}
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(range(1, {d1}),
+           d -> CAST(round(v[d] * 1024.0) AS BIGINT)) AS qq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+nn AS (SELECT count(*) AS n FROM q),
+longq AS (
+  SELECT vec_id, dt.d AS j, qq[dt.d] AS qj FROM q, range(1, {d1}) dt(d)
+),
+s2 AS (
+  SELECT a.j AS j, b.j AS k, CAST(sum(a.qj * b.qj) AS BIGINT) AS s
+  FROM longq a JOIN longq b USING (vec_id) GROUP BY 1, 2
+),
+sx AS (SELECT j, CAST(sum(qj) AS BIGINT) AS sx FROM longq GROUP BY 1),
+m AS (
+  SELECT s2.j, s2.k, nn.n * s2.s - sj.sx * sk.sx AS mval
+  FROM s2
+  JOIN sx sj ON s2.j = sj.j
+  JOIN sx sk ON s2.k = sk.j, nn
+),
+mx0 AS (SELECT max(abs(mval)) AS mx FROM m),
+mn AS (
+  SELECT j, k,
+         CAST(round(CAST(mval AS DOUBLE) / mx * 1e6) AS BIGINT) AS mn
+  FROM m, mx0
+),
+v0 AS (SELECT dt.d AS k, CAST(1000000 AS BIGINT) AS v FROM range(1, {d1}) dt(d)),
+{body}
+SELECT k AS dim_idx, v AS loading_micro FROM v{iters}
+"""
+
+
+@register("vector_pca_power_iteration", oracle=_pca_oracle(64, 3))
+def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by POWER
+    ITERATION — the embedding-drift / anisotropy probe (a collapsing
+    embedding space shows one direction swallowing the variance; PCA
+    whitening and ABTT-style postprocessing both start from exactly
+    this vector), and the engine's fourth iterative-ML family next to
+    PageRank, Lloyd's k-means, and BPE. DISTRIBUTED SHAPE: the only
+    data-sized pass is the scatter-matrix accumulation — vectors
+    quantized ×1024 to exact ints, the d² co-moment sums S_jk and the
+    d column sums collected by ONE map-side-combined aggregate (each
+    partition collapses to ≤ d² partials — the sufficient-statistics
+    pattern at matrix rank; at 100 TB the same d²-row stats merge
+    associatively across shards/days). The centered scatter matrix
+    M = n·S − sx·sxᵀ is then d² = 4096 rows — sketch-sized by
+    construction (bounded by dimension, not data) — so the three
+    matrix-vector rounds fold driver-side over the collected matrix,
+    the BPE merge-rule pattern for iteration over bounded state.
+    DETERMINISM: M is exact bigint; each round rescales to ±1e6
+    micro-units via the identical double-divide-then-round in both
+    engines, so every iterate is integer and the unrolled-SQL oracle
+    reproduces the training bit for bit (the kmeans/PageRank oracle
+    convention). Output: the 64 integer micro-unit loadings of the
+    dominant component (sign = the power-iteration seed's, all-ones)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0)"
+            " AS BIGINT))"
+        ).alias("qq"),
+    )
+    longq = q.select(
+        "vec_id", F.posexplode("qq").alias("j0", "qj")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "qj")
+    # pair fan-out WITHOUT a self-join: second generate over the same row
+    pairs = (
+        q.select("vec_id", "qq", F.posexplode("qq").alias("j0", "qj"))
+        .select("vec_id", (F.col("j0") + 1).alias("j"), "qj",
+                F.posexplode("qq").alias("k0", "qk"))
+        .select("j", (F.col("k0") + 1).alias("k"),
+                (F.col("qj") * F.col("qk")).alias("prod"))
+    )
+    s2 = pairs.groupBy("j", "k").agg(F.sum("prod").alias("s"))
+    sx = longq.groupBy("j").agg(F.sum("qj").alias("sx"))
+    nn = q.agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        s2.join(F.broadcast(sx.withColumnRenamed("sx", "sxj")), "j")
+        .join(
+            F.broadcast(
+                sx.withColumnRenamed("j", "k").withColumnRenamed("sx", "sxk")
+            ),
+            "k",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j",
+            "k",
+            (F.col("n") * F.col("s") - F.col("sxj") * F.col("sxk")).alias("mval"),
+        )
+    )
+    mx0 = m.agg(F.max(F.abs(F.col("mval"))).alias("mx"))
+    mn = m.crossJoin(F.broadcast(mx0)).select(
+        "j",
+        "k",
+        F.round(F.col("mval").cast("double") / F.col("mx") * 1e6, 0)
+        .cast("long")
+        .alias("mn"),
+    )
+    # The normalized scatter matrix is d² = 4096 rows — bounded by the
+    # embedding DIMENSION, not the corpus — so the three matrix-vector
+    # rounds fold driver-side (the BPE merge-rule precedent: collect is
+    # legitimate when the table is sketch-sized by construction; at
+    # d ≈ 1536 it is still < 2.4M ints). Arithmetic mirrors the oracle
+    # exactly: integer dot products, then round-half-away-from-zero of
+    # the double quotient ×1e6 (Python's round() is banker's — wrong).
+    import math
+
+    def _round_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    mat: dict[tuple[int, int], int] = {
+        (r["j"], r["k"]): r["mn"] for r in mn.collect()
+    }
+    dims = sorted({j for j, _ in mat})
+    vec = {k: 1_000_000 for k in dims}
+    for _ in range(3):
+        w = {
+            j: sum(mat[(j, k)] * vec[k] for k in dims if (j, k) in mat)
+            for j in dims
+        }
+        mxw = max(abs(x) for x in w.values())
+        vec = {j: _round_away(float(x) / mxw * 1e6) for j, x in w.items()}
+    return spark.createDataFrame(
+        [(int(k), int(v_)) for k, v_ in sorted(vec.items())],
+        "dim_idx bigint, loading_micro bigint",
+    )

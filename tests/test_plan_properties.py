@@ -589,3 +589,38 @@ def test_decayed_topk_is_take_ordered_single_agg(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pca_scatter_is_one_partial_aggregated_pass(spark):
+    """PCA: the only data-sized stage is the scatter-matrix aggregate —
+    the pair fan-out comes from nested generates on the same row (no
+    self-join), partial-aggregated below its exchange; no
+    BroadcastNestedLoopJoin anywhere in the stats plan."""
+    from stream_processing_project_spark.plans.registry import all_queries as q
+
+    # build just the stats side by running the full query (driver fold
+    # returns a local frame; pin the invariant on the scatter subplan
+    # via a fresh construction of the same stages)
+    from stream_processing_project_spark.plans.common import t as load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    qq = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0)"
+            " AS BIGINT))"
+        ).alias("qq"),
+    )
+    pairs = (
+        qq.select("vec_id", "qq", F.posexplode("qq").alias("j0", "qj"))
+        .select("vec_id", (F.col("j0") + 1).alias("j"), "qj",
+                F.posexplode("qq").alias("k0", "qk"))
+        .select("j", (F.col("k0") + 1).alias("k"),
+                (F.col("qj") * F.col("qk")).alias("prod"))
+    )
+    s2 = pairs.groupBy("j", "k").agg(F.sum("prod").alias("s"))
+    plan = formatted_plan(s2)
+    assert "Join" not in plan  # nested generates, no self-join
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    assert plan.count("+- Exchange") == 1

@@ -3025,3 +3025,91 @@ def profile_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         (F.col("max_key") * 1.0 / F.col("total")).alias("top_key_share"),
     )
+
+
+@register(
+    "sampling_curriculum_anneal",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(round(len(list_distinct(string_split(trim(text), ' ')))
+               * 1e6 / len(string_split(trim(text), ' '))) AS BIGINT)
+           AS score_micro
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score_micro DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT e.epoch, doc_id, lang, score_micro,
+       ('0x' || substr(md5(e.epoch || ':' || doc_id), 1, 15))::BIGINT
+         AS order_key
+FROM ranked, (SELECT unnest([1, 2, 3]) AS epoch) e
+WHERE rk * CAST(pow(2, e.epoch - 1) AS BIGINT) <= n
+""",
+)
+def sampling_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum materialization — the data-ordering
+    schedule modern pretraining runs use (broad early epochs, a
+    progressively quality-filtered tail): epoch 1 streams every
+    document, epoch 2 each language's top half by quality, epoch 3 the
+    top quarter — so late training sees only the best data without a
+    separate "midtraining" corpus build. Quality here is type-token
+    ratio in exact integer micro-units (distinct-word fraction — cheap,
+    single-pass, deterministic); the per-epoch cut is the EXACT integer
+    test rk·2^(epoch−1) ≤ n (no float threshold to disagree across
+    engines), and each surviving (epoch, doc) gets a hash order key so
+    the within-epoch read order is a reproducible shuffle rather than
+    corpus order (the `sampling_shard_shuffle` idiom). Shape: one
+    narrow scoring pass, ONE per-language rank window over slim
+    (id, lang, score) rows — text never shuffles — then a 3× epoch
+    fan-out filtered by the integer cut. At 100 TB: the window
+    partitions by language; for billion-doc languages swap the exact
+    rank for the quantile-threshold cut exactly as `sampling_quality_
+    topp` documents — same epochs, sketch-sized state."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(round(size(array_distinct(split(trim(text), ' ')))"
+            " * 1e6 / size(split(trim(text), ' '))) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    wl = Window.partitionBy("lang")
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(wl.orderBy(F.col("score_micro").desc(), "doc_id")),
+    ).withColumn("n", F.count(F.lit(1)).over(wl))
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            "rk",
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("epoch"),
+        )
+        .filter(
+            F.col("rk") * F.pow(F.lit(2), F.col("epoch") - 1).cast("long")
+            <= F.col("n")
+        )
+        .select(
+            "epoch",
+            "doc_id",
+            "lang",
+            "score_micro",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("order_key"),
+        )
+    )

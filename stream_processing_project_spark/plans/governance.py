@@ -3113,3 +3113,114 @@ def sampling_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_key"),
         )
     )
+
+
+@register(
+    "recon_snapshot_diff",
+    oracle="""
+WITH cur AS (  -- the full current snapshot
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+prev AS (  -- reconstructed prior snapshot: no %19 rows (since added),
+           -- old price for %13 rows, old status for %11 rows,
+           -- plus rows deleted since (ghost keys)
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice - 100.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 19 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 29 = 0
+),
+d AS (
+  SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+         CASE WHEN p.o_orderkey IS NULL THEN 'added'
+              WHEN c.o_orderkey IS NULL THEN 'removed'
+              WHEN c.o_orderstatus <> p.o_orderstatus
+                OR c.o_totalprice <> p.o_totalprice THEN 'changed'
+              ELSE 'same' END AS change_type,
+         concat_ws(',',
+           CASE WHEN c.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                 AND c.o_orderstatus <> p.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN c.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL
+                 AND c.o_totalprice <> p.o_totalprice
+                THEN 'o_totalprice' END) AS changed_cols
+  FROM cur c FULL OUTER JOIN prev p USING (o_orderkey)
+)
+SELECT o_orderkey, change_type, changed_cols
+FROM d WHERE change_type <> 'same'
+""",
+)
+def recon_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot table diff with COLUMN-LEVEL attribution —
+    the data-diff tool (Datafold-style) run before promoting a rebuilt
+    table: full-outer join of current vs prior snapshot on the primary
+    key, each row classified added / removed / changed, and changed
+    rows carrying the exact list of differing columns (the signal that
+    separates "price restatement" from "status-machine bug" without
+    eyeballing rows). The prior snapshot is reconstructed
+    deterministically from the fixture (modular families: %19 added
+    since, %13 price-restated, %11 status-changed, %29 deleted-since
+    as ghost keys) so the whole diff value-hash-oracles. 'same' rows
+    are filtered OUT — the manifest is proportional to the CHANGE
+    volume, not the table. Shape: one key-partitioned full-outer
+    shuffle join (both sides pruned to key + compared columns before
+    the exchange); at 100 TB this is the canonical sorted-merge
+    diff — and a bucketed layout on the key (`operators/bucketing`)
+    removes even that exchange. `recon_full_outer_activity` reconciles
+    AGGREGATES; this reconciles ROWS."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cur = o
+    prev = (
+        o.filter(F.col("o_orderkey") % 19 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") - 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 29 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    c = cur.alias("c")
+    p = prev.alias("p")
+    joined = c.join(p, "o_orderkey", "full_outer")
+    status_diff = (
+        F.col("c.o_orderstatus").isNotNull()
+        & F.col("p.o_orderstatus").isNotNull()
+        & (F.col("c.o_orderstatus") != F.col("p.o_orderstatus"))
+    )
+    price_diff = (
+        F.col("c.o_totalprice").isNotNull()
+        & F.col("p.o_totalprice").isNotNull()
+        & (F.col("c.o_totalprice") != F.col("p.o_totalprice"))
+    )
+    d = joined.select(
+        "o_orderkey",
+        F.when(F.col("p.o_orderstatus").isNull() & F.col("p.o_totalprice").isNull(), "added")
+        .when(F.col("c.o_orderstatus").isNull() & F.col("c.o_totalprice").isNull(), "removed")
+        .when(status_diff | price_diff, "changed")
+        .otherwise("same")
+        .alias("change_type"),
+        F.concat_ws(
+            ",",
+            F.when(status_diff, "o_orderstatus"),
+            F.when(price_diff, "o_totalprice"),
+        ).alias("changed_cols"),
+    )
+    return d.filter(F.col("change_type") != "same")

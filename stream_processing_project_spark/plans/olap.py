@@ -3232,3 +3232,71 @@ def olap_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     return agg.orderBy(F.col("score_micro").desc(), "user_id").limit(20)
+
+
+@register(
+    "olap_promo_part_suppliers",
+    oracle="""
+WITH promo AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+supply AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN promo ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1, 2
+),
+part_tot AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS tot FROM supply GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM supply s JOIN part_tot t USING (l_partkey)
+  WHERE s.qty * 2 > t.tot
+)
+SELECT s_name, s_nationkey
+FROM supplier JOIN dominant ON s_suppkey = l_suppkey
+ORDER BY s_name
+""",
+)
+def olap_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), completing the
+    engine's 22-query TPC-H-pattern sweep: find suppliers positioned
+    to run a promotion on a part family ('red%' parts, two-year ship
+    window) — here the partsupp-availability test becomes a DOMINANT-
+    SHARE test (the fixture carries no partsupp table): a supplier
+    qualifies if it shipped a strict MAJORITY of some promo part's
+    volume in the window (qty·2 > part total — exact integer, no float
+    ratio). Q20's signature nesting — aggregate, compare against a
+    correlated aggregate over the same relation, then semi-join a
+    dimension — survives intact. Shape: the promo part list filters
+    lineitem BEFORE its one (part, supplier) aggregate (predicate +
+    broadcast semi-join pushed to the scan); the part-total is a
+    re-aggregation of that rollup (no second fact pass); `dominant`
+    is ids-only; the supplier join is broadcast-sized. Scale: one
+    fact shuffle keyed (part, supplier) — AQE handles the rest."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    supply = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    part_tot = supply.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    dominant = (
+        supply.join(part_tot, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"))
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )

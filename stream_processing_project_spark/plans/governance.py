@@ -3224,3 +3224,47 @@ def recon_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("changed_cols"),
     )
     return d.filter(F.col("change_type") != "same")
+
+
+@register(
+    "governance_column_masking",
+    oracle="""
+SELECT c_custkey,
+       'cust_' || substr(md5('name-salt:' || c_name), 1, 12) AS name_pseudonym,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 2500 THEN 'low'
+            WHEN c_acctbal < 7500 THEN 'mid' ELSE 'high' END AS bal_band,
+       c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer
+""",
+)
+def governance_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking policy applied at read time — the analyst
+    view of a PII-bearing dimension: direct identifiers replaced by a
+    SALTED-HASH PSEUDONYM (stable across tables and days, so joins and
+    funnels still work on the pseudonym — the property plain redaction
+    destroys), and the quantitative attribute generalized to coarse
+    bands (the k-anonymity generalization `governance_k_anonymity`
+    measures the need for). The salt is a literal here; production
+    injects it from a secret store, and re-keying the salt rotates
+    every pseudonym corpus-wide in one pass. Shape: PURE narrow
+    projection — zero shuffles, zero joins, codegen'd md5/concat at
+    scan speed; masking at 100 TB costs exactly the scan (and under
+    column pruning, only the masked columns are read at all).
+    Downstream: `text_redact_pii` masks free text; this masks typed
+    columns; `governance_dp_count_release` protects the aggregates."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(F.md5(F.concat(F.lit("name-salt:"), F.col("c_name"))), 1, 12),
+        ).alias("name_pseudonym"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 7500, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )

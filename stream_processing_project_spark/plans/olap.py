@@ -3300,3 +3300,63 @@ def olap_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_nationkey")
         .orderBy("s_name")
     )
+
+
+@register(
+    "olap_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT n_name, year(o_orderdate) AS yr,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(yr AS BIGINT) AS yr, rev_cents,
+       lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) AS prev_cents,
+       CASE WHEN lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr) > 0
+            THEN (rev_cents - lag(rev_cents) OVER (PARTITION BY n_name
+                                                   ORDER BY yr)) * 1.0
+                 / lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr)
+       END AS yoy_growth
+FROM yearly
+""",
+)
+def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the reporting staple
+    (periodic aggregate + self-comparison) in its scalable form: ONE
+    map-side-combined aggregate to the |nations × years| rollup (exact
+    integer cents), then lag() and the growth ratio computed on that
+    SKETCH-SIZED table — the window never touches fact rows, and the
+    only float is one final division in fixed order. Nation is
+    broadcast-hinted (always tiny); customer is NOT — at warehouse
+    scale it is a fact-sized dim, so its join is left to AQE (broadcast
+    at small sf, shuffle at scale — the Q5 convention). NULL growth for
+    a nation's first year / zero base (no division blow-up). Same
+    envelope computes MoM/WoW by swapping the grain expression."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return yearly.select(
+        "n_name",
+        F.col("yr").cast("long").alias("yr"),
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev > 0, (F.col("rev_cents") - prev) * 1.0 / prev).alias(
+            "yoy_growth"
+        ),
+    )

@@ -624,3 +624,22 @@ def test_pca_scatter_is_one_partial_aggregated_pass(spark):
     assert "Join" not in plan  # nested generates, no self-join
     assert plan.count("HashAggregate") >= 2  # map-side combine
     assert plan.count("+- Exchange") == 1
+
+
+def test_column_masking_is_pure_projection(spark):
+    """Masking view: zero exchanges, zero joins — masking costs the
+    scan, nothing more."""
+    plan = formatted_plan(
+        all_queries()["governance_column_masking"].builder(spark, SF_SMOKE)
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_yoy_growth_window_runs_on_rollup(spark):
+    """YoY: the lag window runs over the |nations x years| rollup (the
+    first aggregate precedes the Window); nation joins broadcast, and
+    no driver-side collect feeds the window."""
+    plan = formatted_plan(all_queries()["olap_yoy_growth"].builder(spark, SF_SMOKE))
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert "BroadcastHashJoin" in plan

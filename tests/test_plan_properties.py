@@ -492,9 +492,13 @@ def test_ewma_scatter_is_equi_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    gen = plan.index("Generate")  # the explode
-    first_agg = plan.index("HashAggregate")
-    assert first_agg < gen, "explode must apply to the rollup, not raw events"
+    # the explode's direct child in the tree must be the rollup's final
+    # HashAggregate — i.e. the fan-out multiplies rollup rows, never the
+    # raw event scan
+    tree = plan.split("(1) Scan")[0].splitlines()
+    gen_rows = [i for i, ln in enumerate(tree) if "Generate" in ln]
+    assert gen_rows, plan
+    assert "HashAggregate" in tree[gen_rows[0] + 1], tree[gen_rows[0] : gen_rows[0] + 2]
 
 
 def test_mad_anomaly_reuses_rollup_and_broadcasts_stats(spark):
@@ -641,5 +645,12 @@ def test_yoy_growth_window_runs_on_rollup(spark):
     first aggregate precedes the Window); nation joins broadcast, and
     no driver-side collect feeds the window."""
     plan = formatted_plan(all_queries()["olap_yoy_growth"].builder(spark, SF_SMOKE))
-    assert plan.index("HashAggregate") < plan.index("Window")
+    # tree prints top-down (consumers first): the Window's child chain
+    # (Sort → Exchange → HashAggregate) must reach the rollup aggregate
+    # within three lines — the window consumes the rollup, not fact rows
+    tree = plan.split("(1) Scan")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window" in ln]
+    assert win_rows, plan
+    below = "\n".join(tree[win_rows[0] + 1 : win_rows[0] + 4])
+    assert "HashAggregate" in below, below
     assert "BroadcastHashJoin" in plan

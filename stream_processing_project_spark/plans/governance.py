@@ -2545,6 +2545,7 @@ def governance_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "features_standard_scale",
+    tags=("bench",),
     oracle="""
 WITH x AS (
   SELECT event_id, event_type,

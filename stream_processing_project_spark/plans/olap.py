@@ -3011,6 +3011,7 @@ _EWMA_W_SQL = "[" + ", ".join(str(w) for w in _EWMA_W) + "]"
 
 @register(
     "timeseries_ewma_smooth",
+    tags=("bench",),
     oracle=f"""
 WITH hourly AS (
   SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
@@ -3188,6 +3189,7 @@ _DECAY_MAX_D = len(_DECAY_MICRO) - 1
 
 @register(
     "olap_decayed_topk",
+    tags=("bench",),
     oracle=f"""
 WITH mx AS (SELECT max(ts) AS now FROM events),
 scored AS (

@@ -3269,3 +3269,93 @@ def governance_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(trim(text))) AS fp,
+         len(string_split(trim(text), ' ')) AS n_words
+  FROM documents
+),
+core AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+         quantile_cont(n_chars, 0.5) AS p50_chars,
+         quantile_cont(n_chars, 0.95) AS p95_chars
+  FROM base
+),
+by_lang AS (
+  SELECT lang, count(*) AS cnt FROM base GROUP BY 1
+),
+top_lang AS (
+  SELECT lang AS top_lang, CAST(cnt AS BIGINT) AS top_lang_docs
+  FROM by_lang ORDER BY cnt DESC, lang LIMIT 1
+)
+SELECT n_docs, n_langs, total_chars, total_words, n_unique_docs,
+       (n_docs - n_unique_docs) * 1.0 / n_docs AS exact_dup_rate,
+       p50_chars, p95_chars, top_lang,
+       top_lang_docs * 1.0 / n_docs AS top_lang_share
+FROM core, top_lang
+""",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD in one query — the summary block a dataset
+    release ships (Datasheets-for-Datasets style): volume (docs, words,
+    chars), language coverage and concentration, exact-duplicate rate,
+    and length percentiles. Everything derives from ONE scan of the
+    corpus: a narrow projection computes per-doc fingerprint and word
+    count in-line, one aggregate collects the exact counts/sums/
+    percentiles, a |langs|-row rollup yields the dominant language,
+    and the two rates are fixed-order final divisions over exact
+    bigints. At 100 TB the swaps are the engine's standard ones —
+    count(DISTINCT fp) → HLL sketch (`profile_distinct_rollup_hll`),
+    exact percentiles → mergeable histogram quantiles
+    (`profile_histogram_quantiles`) — same card, sketch-sized state;
+    every ingredient is already a first-class oracled operator, this
+    composes them into the release artifact."""
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "lang")
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.col("cnt").cast("long").alias("top_lang_docs"),
+        )
+    )
+    return core.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_langs",
+        "total_chars",
+        "total_words",
+        "n_unique_docs",
+        (
+            (F.col("n_docs") - F.col("n_unique_docs")) * 1.0 / F.col("n_docs")
+        ).alias("exact_dup_rate"),
+        "p50_chars",
+        "p95_chars",
+        "top_lang",
+        (F.col("top_lang_docs") * 1.0 / F.col("n_docs")).alias("top_lang_share"),
+    )

@@ -2753,7 +2753,7 @@ SELECT c_mktsegment, c_nationkey,
             CASE WHEN uu < 0.5 THEN ln(2.0 * uu)
                  ELSE -ln(2.0 * (1.0 - uu)) END)) AS BIGINT)
          AS released_count,
-       1.0 AS epsilon
+       CAST(1.0 AS DOUBLE) AS epsilon
 FROM u
 """,
 )

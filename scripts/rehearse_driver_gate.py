@@ -9,15 +9,28 @@ CORRECTNESS gate; run before ending a round:
     python scripts/rehearse_driver_gate.py
 
 Expect the final summary line to read `fails: [] errs: []`.
+
+Partitioning-invariance net (run before ending a round): re-run with an
+adversarial layout to catch float-sum ordering and any other
+partitioning-dependent result the 32-partition pass can't see:
+
+    REHEARSE_SHUFFLE_PARTITIONS=7 REHEARSE_DEFAULT_PARALLELISM=5 \
+        python scripts/rehearse_driver_gate.py
 """
 import math, sys, traceback
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[32]")
-         .config("spark.driver.memory", "48g")
-         .config("spark.sql.shuffle.partitions", "32")
+_builder = (SparkSession.builder.master("local[32]")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.shuffle.partitions",
+                    os.environ.get("REHEARSE_SHUFFLE_PARTITIONS", "32")))
+if os.environ.get("REHEARSE_DEFAULT_PARALLELISM"):
+    _builder = _builder.config(
+        "spark.default.parallelism", os.environ["REHEARSE_DEFAULT_PARALLELISM"]
+    )
+spark = (_builder
          .appName("rehearsal").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 

@@ -61,6 +61,19 @@ QUERIES = [
     "governance_dp_count_release",
     "governance_retention_sweep",
     "maintenance_compaction_plan",
+    # r03 cont. 2: iterative PCA, curriculum, diff/reporting, decayed
+    # ranking, masking, data card
+    "vector_pca_power_iteration",
+    "sampling_curriculum_anneal",
+    "recon_snapshot_diff",
+    "olap_yoy_growth",
+    "olap_abc_pareto",
+    "olap_decayed_topk",
+    "streaming_decayed_topk",
+    "profile_skew_gini",
+    "governance_column_masking",
+    "corpus_data_card",
+    "olap_promo_part_suppliers",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -659,3 +659,16 @@ def test_yoy_growth_window_runs_on_rollup(spark):
     below = "\n".join(tree[win_rows[0] + 1 : win_rows[0] + 4])
     assert "HashAggregate" in below, below
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_grid_join_is_equi_never_cross(spark):
+    """Spatial radius join: candidates come from the (cx, cy) equi-join
+    — no BroadcastNestedLoopJoin/Cartesian anywhere; the 9x neighbor
+    fan-out multiplies the SMALLER (supplier) side only."""
+    plan = formatted_plan(
+        all_queries()["olap_spatial_join_grid"].builder(spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    tree = plan.split("(1) Scan")[0]
+    assert "Generate" in tree  # the neighbor explode

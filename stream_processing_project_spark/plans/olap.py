@@ -3557,3 +3557,222 @@ def olap_spatial_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(
         F.col("dist_sq") <= F.lit(10000000).cast("long") * 10000000
     )
+
+
+def _bfs_oracle(rounds: int, source: int, thr: int) -> str:
+    head = f"""WITH edges AS (
+  SELECT src, dst FROM (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+  ) WHERE w >= {thr}
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT node, CASE WHEN node = {source} THEN CAST(0 AS BIGINT)
+                         ELSE CAST(1000000 AS BIGINT) END AS hop
+       FROM nodes)"""
+    step = """,
+h{k} AS (
+  SELECT n.node,
+         least(p.hop, coalesce(m.reach, 1000000)) AS hop
+  FROM nodes n
+  JOIN h{prev} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT e.dst AS node, min(p2.hop + 1) AS reach
+    FROM edges e JOIN h{prev} p2 ON p2.node = e.src
+    WHERE p2.hop < 1000000
+    GROUP BY 1
+  ) m ON m.node = n.node
+)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    return f"""
+{head}{body}
+SELECT node AS nationkey,
+       CASE WHEN hop < 1000000 THEN hop END AS hop
+FROM h{rounds}
+"""
+
+
+@register("olap_nation_bfs_hops", oracle=_bfs_oracle(4, 0, 900000000))
+def olap_nation_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance over the HEAVY-trade nation graph (edges kept
+    only where pair revenue ≥ a fixed cent threshold — the dense
+    trade matrix thresholds down to a sparse partner graph), from
+    source nation 0, four synchronous rounds — the reachability /
+    shortest-unweighted-path member of the graph family (PageRank =
+    influence, LPA = communities, triangles = cohesion, CC = identity,
+    BFS = distance). Each round is the scalable frontier shape: the
+    O(|nodes|) hop table joins the edge list, min-aggregates per
+    destination (map-side combinable), and least()-merges into the
+    previous hops — exact integers with a 1e6 sentinel for
+    unreached, so the unrolled-SQL oracle reproduces every round
+    bit-for-bit (the PageRank convention). Unreached nodes surface as
+    NULL. At scale: rounds are bounded by graph diameter; each round
+    shuffles O(|frontier edges|) ids — the Pregel iteration as plain
+    DataFrame algebra."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.sum(cents).alias("w"))
+        .filter(F.col("w") >= 900000000)
+        .select("src", "dst")
+        .localCheckpoint()  # iterate over the materialized sparse edge list
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hops = nodes.select(
+        "node",
+        F.when(F.col("node") == 0, F.lit(0).cast("long"))
+        .otherwise(F.lit(1000000).cast("long"))
+        .alias("hop"),
+    )
+    for _ in range(4):
+        reach = (
+            edges.join(
+                F.broadcast(hops.filter(F.col("hop") < 1000000)),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("rnode"))
+            .agg(F.min(F.col("hop") + 1).alias("reach"))
+        )
+        hops = (
+            hops.join(F.broadcast(reach), hops.node == F.col("rnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("hop"), F.coalesce(F.col("reach"), F.lit(1000000))
+                ).alias("hop"),
+            )
+        )
+    return hops.select(
+        F.col("node").alias("nationkey"),
+        F.when(F.col("hop") < 1000000, F.col("hop")).alias("hop"),
+    )
+
+
+@register(
+    "olap_attribution_last_touch",
+    oracle="""
+WITH touches AS (
+  SELECT user_id, ts, event_id,
+         'ch' || (CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+convs AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+tl AS (
+  SELECT user_id, ts, event_id, 0 AS tag, channel,
+         CAST(NULL AS BIGINT) AS cents FROM touches
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS tag, NULL, cents FROM convs
+),
+carried AS (
+  SELECT *,
+         last_value(channel IGNORE NULLS) OVER w AS last_channel,
+         last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER w
+           AS last_touch_ts
+  FROM tl
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+attributed AS (
+  SELECT CASE WHEN last_touch_ts IS NOT NULL
+                AND ts - last_touch_ts <= INTERVAL 7 DAY
+              THEN last_channel ELSE 'direct' END AS channel,
+         cents
+  FROM carried WHERE tag = 1
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attributed GROUP BY 1
+""",
+)
+def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution — every purchase credits
+    the user's most recent view/click within a 7-day lookback, else
+    'direct': the revenue-accounting query behind channel ROI. The
+    per-conversion "most recent touch at or before ts" is the AS-OF
+    join, expressed with the engine's union-and-carry idiom
+    (`olap_asof_last_order`): touches and conversions interleave on
+    the (ts, tag, event_id) total order per user, an IGNORE-NULLS
+    last_value window carries the latest touch's channel and time
+    into each conversion row — ONE user_id exchange serves the whole
+    join, no per-conversion probe — and the lookback test is an exact
+    timestamp comparison. Channel derives deterministically from the
+    event's JSON props (json path → int → bucket). Credit then
+    map-side-combines to |channels| rows of exact bigint cents.
+    Swapping the carry expression gives first-touch; adding a second
+    IGNORE-NULLS column gives linear/U-shaped credit on the same
+    single exchange."""
+    ev = t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+        ).alias("channel"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("channel"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = touches.unionByName(convs).select(
+        "*",
+        F.last("channel", ignorenulls=True).over(w).alias("last_channel"),
+        F.last(
+            F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_touch_ts"),
+    )
+    attributed = carried.filter(F.col("tag") == 1).select(
+        F.when(
+            F.col("last_touch_ts").isNotNull()
+            & (
+                F.col("ts")
+                <= F.col("last_touch_ts") + F.expr("INTERVAL 7 DAY")
+            ),
+            F.col("last_channel"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        "cents",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("cents").alias("revenue_cents"),
+    )

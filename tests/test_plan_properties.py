@@ -672,3 +672,15 @@ def test_spatial_grid_join_is_equi_never_cross(spark):
     assert "Cartesian" not in plan
     tree = plan.split("(1) Scan")[0]
     assert "Generate" in tree  # the neighbor explode
+
+
+def test_attribution_single_user_exchange(spark):
+    """Last-touch attribution: the union-and-carry as-of idiom — ONE
+    user_id exchange serves the carry window; the credit aggregate is
+    partial-aggregated; no joins at all in the plan."""
+    plan = formatted_plan(
+        all_queries()["olap_attribution_last_touch"].builder(spark, SF_SMOKE)
+    )
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert plan.count("HashAggregate") >= 2

@@ -74,6 +74,9 @@ QUERIES = [
     "governance_column_masking",
     "corpus_data_card",
     "olap_promo_part_suppliers",
+    "olap_spatial_join_grid",
+    "olap_nation_bfs_hops",
+    "olap_attribution_last_touch",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -3359,3 +3359,181 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         (F.col("top_lang_docs") * 1.0 / F.col("n_docs")).alias("top_lang_share"),
     )
+
+
+@register(
+    "sampling_preference_pairs",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         CAST(round(len(list_distinct(string_split(trim(text), ' ')))
+               * 1e6 / len(string_split(trim(text), ' '))) AS BIGINT)
+           AS score_micro
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY score_micro DESC, doc_id) AS rk_top,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY score_micro, doc_id) AS rk_bot,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM scored
+)
+SELECT t.lang, t.source, t.rk_top AS pair_rank,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.score_micro AS chosen_score, b.score_micro AS rejected_score
+FROM ranked t
+JOIN ranked b ON t.lang = b.lang AND t.source = b.source
+             AND t.rk_top = b.rk_bot
+WHERE t.rk_top <= 5 AND t.n >= 10
+  AND t.score_micro > b.score_micro
+""",
+)
+def sampling_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly for DPO/RLHF-style training — per
+    (language, source) group, pair the k best-scored documents with
+    the k worst (best-vs-worst, rank 1 with rank 1-from-bottom, …):
+    the contrastive dataset built when no human labels exist and a
+    quality scorer stands in as the preference signal. Deterministic:
+    quality is the integer type-token score (`sampling_curriculum_
+    anneal`'s), both rankings tie-break on doc id, groups under 10
+    docs are skipped (too small to trust the extremes), and degenerate
+    pairs where "chosen" doesn't strictly out-score "rejected" are
+    dropped — so the pair set is a pure function of the corpus. Shape:
+    ONE (lang, source) exchange serves both rank directions and the
+    self-join on rank index (ids-only rows; text never moves); credit
+    the same envelope for margin-based pair filtering or k-way
+    list-wise sampling. At scale the window partitions by group —
+    millions of groups parallelize; the per-group sort is the
+    rank-vs-quantile swap documented for the curriculum op."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "CAST(round(size(array_distinct(split(trim(text), ' ')))"
+            " * 1e6 / size(split(trim(text), ' '))) AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    wg = Window.partitionBy("lang", "source")
+    ranked = (
+        scored.withColumn(
+            "rk_top",
+            F.row_number().over(
+                wg.orderBy(F.col("score_micro").desc(), "doc_id")
+            ),
+        )
+        .withColumn(
+            "rk_bot",
+            F.row_number().over(wg.orderBy("score_micro", "doc_id")),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wg))
+    )
+    top = ranked.select(
+        "lang", "source", "rk_top", "doc_id", "score_micro", "n"
+    ).filter((F.col("rk_top") <= 5) & (F.col("n") >= 10))
+    bot = ranked.select(
+        "lang",
+        "source",
+        F.col("rk_bot").alias("rk_top"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score_micro").alias("rejected_score"),
+    )
+    return (
+        top.join(bot, ["lang", "source", "rk_top"])
+        .filter(F.col("score_micro") > F.col("rejected_score"))
+        .select(
+            "lang",
+            "source",
+            F.col("rk_top").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_id"),
+            "rejected_id",
+            F.col("score_micro").alias("chosen_score"),
+            "rejected_score",
+        )
+    )
+
+
+@register(
+    "profile_chisquare_independence",
+    oracle="""
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(c_acctbal > 4500 AS BIGINT) AS rich
+  FROM customer
+),
+joint AS (SELECT seg, rich, count(*) AS o FROM base GROUP BY 1, 2),
+margs AS (SELECT seg, CAST(sum(o) AS BIGINT) AS row_n FROM joint GROUP BY 1),
+margr AS (SELECT rich, CAST(sum(o) AS BIGINT) AS col_n FROM joint GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM joint),
+cells AS (
+  SELECT j.seg, j.rich, j.o,
+         CAST(round((j.o - ms.row_n * 1.0 * mr.col_n / t.n)
+                    * (j.o - ms.row_n * 1.0 * mr.col_n / t.n)
+                    / (ms.row_n * 1.0 * mr.col_n / t.n) * 1e6) AS BIGINT)
+           AS chi_micro
+  FROM joint j
+  JOIN margs ms ON j.seg = ms.seg
+  JOIN margr mr ON j.rich = mr.rich, tot t
+),
+s AS (
+  SELECT CAST(sum(chi_micro) AS BIGINT) AS chi2_micro,
+         CAST((SELECT count(*) FROM margs) AS BIGINT) AS n_rows,
+         CAST((SELECT count(*) FROM margr) AS BIGINT) AS n_cols
+  FROM cells
+)
+SELECT chi2_micro,
+       (n_rows - 1) * (n_cols - 1) AS dof,
+       chi2_micro > 1e6 * 9.488 AS reject_at_05
+FROM s
+""",
+)
+def profile_chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence — the hypothesis-testing
+    primitive behind A/B readouts and feature-vs-label screens: is
+    account-balance band independent of market segment? Expected cell
+    counts derive from exact-bigint marginals in a FIXED sequence of
+    IEEE ops; each cell's (O−E)²/E is micro-quantized to a bigint
+    before the associative sum (the engine's float-sum rule), and the
+    α=0.05 decision compares the integer statistic against the
+    critical value for the (rows−1)(cols−1) degrees of freedom
+    (9.488 at dof=4 — the constant is data-independent, inlined both
+    engines; swap per dof). Shape: one map-side-combined contingency
+    count; marginals/total are re-aggregations of the |cells| table;
+    the statistic is sketch-sized arithmetic. The same envelope runs
+    any categorical×categorical screen at 100 TB for exactly one
+    fact-table exchange — pair with `features_mutual_info_rank`
+    (effect size) and `profile_drift_psi` (distribution shift)."""
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") > 4500).cast("long").alias("rich"),
+    )
+    joint = base.groupBy("seg", "rich").agg(F.count(F.lit(1)).alias("o"))
+    margs = joint.groupBy("seg").agg(F.sum("o").alias("row_n"))
+    margr = joint.groupBy("rich").agg(F.sum("o").alias("col_n"))
+    tot = joint.agg(F.sum("o").alias("n"))
+    e = F.col("row_n") * 1.0 * F.col("col_n") / F.col("n")
+    cells = (
+        joint.join(F.broadcast(margs), "seg")
+        .join(F.broadcast(margr), "rich")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((F.col("o") - e) * (F.col("o") - e) / e * 1e6, 0)
+            .cast("long")
+            .alias("chi_micro")
+        )
+    )
+    nr = margs.agg(F.count(F.lit(1)).alias("n_rows"))
+    nc = margr.agg(F.count(F.lit(1)).alias("n_cols"))
+    return (
+        cells.agg(F.sum("chi_micro").alias("chi2_micro"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "chi2_micro",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            (F.col("chi2_micro") > 1e6 * 9.488).alias("reject_at_05"),
+        )
+    )

@@ -77,6 +77,8 @@ QUERIES = [
     "olap_spatial_join_grid",
     "olap_nation_bfs_hops",
     "olap_attribution_last_touch",
+    "sampling_preference_pairs",
+    "profile_chisquare_independence",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

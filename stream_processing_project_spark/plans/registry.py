@@ -75,63 +75,94 @@ _LOADED = False
 # leading. Harmless when the gate runs all queries; decisive when it
 # truncates.
 _PRIORITY = [
-    # r02's one driver failure (HUGEINT oracle dtype, fixed + pair
-    # search reworked to grid-bucketed candidates) and its three latent
-    # dtype twins — each needs a hard green row this round
-    "timeseries_paa_similarity",
-    "olap_priority_line_counts",
-    "streaming_chained_windows",
-    "text_unigram_logprob",
-    # §2-core names with no driver row after two rounds (VERDICT r02
-    # "What's wrong" #4) — these close the §2 coverage table
-    "derived_projection",
-    "dim_scan",
-    "json_serialize",
-    "sample_filter",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "streaming_minute_counts",
-    "streaming_fanout_snapshot",
-    "synthetic_events_gen",
-    "synthetic_events_source",
-    "ref_integrity_orphans",
-    "json_extract_props",
-    # never-driver-checked, one per operator family, filling the rest
-    # of the driver's 50-query window (round-robin covers the tail)
-    "streaming_stateful_running_totals",
-    "streaming_dedup",
-    "streaming_sliding_counts",
-    "streaming_distinct_users",
-    "streaming_interval_join",
-    "streaming_upsert_materialize",
-    "streaming_rollup_cascade",
-    "streaming_cdc_session_counts",
-    "olap_pricing_summary",
-    "olap_region_revenue",
-    "olap_market_share",
-    "olap_customer_distribution",
-    "olap_large_orders",
-    "olap_asof_last_order",
-    "olap_range_join_price_bands",
-    "olap_running_total",
-    "olap_session_window_native",
-    "olap_event_pattern_match",
-    "olap_interval_overlap_join",
-    "olap_event_transitions",
-    "timeseries_m4_downsample",
-    "timeseries_interpolate",
-    "timeseries_seasonal_decompose",
-    "timeseries_time_weighted_avg",
-    "timeseries_changepoint_cusum",
-    "profile_correlation",
-    "profile_join_skew",
-    "governance_k_anonymity",
-    "maintenance_zorder_layout",
-    "text_passage_dedup",
-    "text_redact_pii",
-    "sampling_domain_mix",
-    "features_target_encode_loo",
+    # r04 rotation: the 82 names that have never had a driver
+    # correctness row (r01-r03 checked 147/229; every checked name is
+    # green). New r03 operator families lead so each new oracle gets a
+    # hard cross-engine row first (ADVICE r03); the tail rolls into r05.
+    # Greens yield their slot automatically (_reorder), so this list
+    # self-drains as rounds land.
+    "olap_spatial_join_grid",
+    "olap_nation_bfs_hops",
+    "olap_attribution_last_touch",
+    "governance_dp_count_release",
+    "vector_pca_power_iteration",
+    "profile_chisquare_independence",
+    "sampling_preference_pairs",
+    "streaming_ewma_state",
+    "streaming_dedup_minhash",
+    "similarity_kmeans_train",
+    "similarity_ann_ivf_trained",
+    "maintenance_compaction_plan",
+    "streaming_decayed_topk",
+    "olap_decayed_topk",
+    "olap_nation_communities",
+    "olap_recursive_calendar",
+    "olap_skew_salted_join",
+    "sampling_curriculum_anneal",
+    "corpus_data_card",
+    "profile_skew_gini",
+    "governance_column_masking",
+    "features_standard_scale",
+    "timeseries_ewma_smooth",
+    "timeseries_anomaly_mad",
+    "streaming_m4_downsample",
+    "streaming_text_chunk",
+    "streaming_text_quality",
+    "streaming_redact_pii",
+    "streaming_event_transitions",
+    "streaming_interval_join_outer",
+    "streaming_distinct_users_hll",
+    "text_adaptive_quality_filter",
+    "text_heavy_hitters",
+    "text_normalize",
+    "udtf_word_bigrams",
+    "vector_stats_hof",
+    "similarity_matryoshka_topk",
+    "similarity_quantized_topk",
+    "similarity_rank_fusion",
+    "sampling_domain_cap",
+    "sampling_epoch_materialize",
+    "sampling_shard_shuffle",
+    "sampling_temperature_mix",
+    "profile_distinct_kmv_theta",
+    "profile_distinct_rollup_hll",
+    "profile_events_columns",
+    "profile_value_histogram",
+    "quality_expectations",
+    "recon_full_outer_activity",
+    "recon_snapshot_diff",
+    "governance_retention_sweep",
+    "json_variant_extract",
+    "features_mutual_info_rank",
+    "active_customers_semi",
+    "corpus_build_pipeline",
+    "olap_abc_pareto",
+    "olap_brand_band_revenue",
+    "olap_cube_order_totals",
+    "olap_distinct_quantiles",
+    "olap_exists_subquery",
+    "olap_filtered_revenue",
+    "olap_first_last_nth",
+    "olap_idle_rich_customers",
+    "olap_lateral_top_orders",
+    "olap_median_order_value",
+    "olap_min_cost_supplier",
+    "olap_nation_trade_volume",
+    "olap_ntile_value_quartiles",
+    "olap_part_supplier_variety",
+    "olap_percent_rank_spend",
+    "olap_pivot_order_status",
+    "olap_product_profit",
+    "olap_promo_part_suppliers",
+    "olap_promo_revenue_share",
+    "olap_returned_items",
+    "olap_rollup_lineitem",
+    "olap_shipping_priority",
+    "olap_small_quantity_revenue",
+    "olap_top_brands",
+    "olap_top_supplier_revenue",
+    "olap_unpivot",
+    "olap_yoy_growth",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -332,29 +332,39 @@ def kmeans_fit(
         f"{id_col} AS vec_id",
         f"transform({_quantize_expr(vec_col, dim)},"
         f" x -> x + {QUANT_SCALE}) AS qq",
-    ).persist()  # the training set: every Lloyd round + the final
-    # census/index read it — caching is what keeps each round ONE pass
-    # over (vec_id, qq) instead of a fresh corpus scan (MLlib does the
-    # same); stays cached for the caller's downstream reads.
-    seeds = spark_q.orderBy("vec_id").limit(k).collect()
-    centroids: list[list[int]] = [list(r.qq) for r in seeds]
-    for _ in range(iters):
-        dist_c, cid_c = _centroid_assignment(centroids)
-        rows = (
-            spark_q.select("qq", cid_c)
-            .groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("qq", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+    ).persist()  # the training set: every Lloyd round collects against
+    # it — caching is what keeps each round ONE pass over (vec_id, qq)
+    # instead of a fresh corpus scan (MLlib does the same). The cache's
+    # lifetime is THIS loop only: it is released before returning, so
+    # registry-wide sweeps (driver gate, rehearsal) don't accumulate
+    # cached frames across queries (ADVICE r03). Downstream census/
+    # index passes recompute the narrow quantize projection — a single
+    # column-pruned parquet scan each, which is also the only shape
+    # that works when the corpus exceeds cluster memory.
+    try:
+        seeds = spark_q.orderBy("vec_id").limit(k).collect()
+        centroids: list[list[int]] = [list(r.qq) for r in seeds]
+        for _ in range(iters):
+            dist_c, cid_c = _centroid_assignment(centroids)
+            rows = (
+                spark_q.select("qq", cid_c)
+                .groupBy("cid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("qq", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
             )
-            .collect()
-        )
-        for r in rows:  # absent cids keep their previous centroid
-            n = int(r["n"])
-            centroids[int(r["cid"])] = [int(r[f"s{i}"]) // n for i in range(dim)]
+            for r in rows:  # absent cids keep their previous centroid
+                n = int(r["n"])
+                centroids[int(r["cid"])] = [
+                    int(r[f"s{i}"]) // n for i in range(dim)
+                ]
+    finally:
+        spark_q.unpersist(blocking=False)
     return spark_q, centroids
 
 

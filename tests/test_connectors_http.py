@@ -1,0 +1,218 @@
+"""HTTP-shaped connector bodies for the warehouse/search seams
+(VERDICT r03 task 2): the BigQuery insertAll body and the
+Elasticsearch _bulk body must deliver, through the injectable fake
+HTTP session, exactly the rows the corresponding table sinks
+materialize — and spool complete JSONL fallback files when the
+endpoint fails (BigQuerySink.scala:221-240,
+ElasticsearchSink.scala:284-303).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.sources.fixtures import load_table
+from stream_processing_project_spark.streaming import pipeline, sinks
+from stream_processing_project_spark.streaming.connectors import (
+    ES_TEMPLATE_NAME,
+    FakeHttpSession,
+    bigquery_warehouse_sink,
+    es_search_sink,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _enriched(spark):
+    return pipeline.enriched_stream(
+        pipeline.file_event_stream(spark, SF_SMOKE),
+        load_table(spark, SF_SMOKE, "customer"),
+    )
+
+
+def _expected_rows(spark, ts_fmt: str):
+    """The same enriched rows, batch-side, keyed for comparison."""
+    batch = pipeline.enriched_stream(
+        load_table(spark, SF_SMOKE, "events").select(
+            F.col("event_id"), "user_id", "event_type", "ts", "value", "props"
+        ),
+        load_table(spark, SF_SMOKE, "customer"),
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", ts_fmt).alias("ets"),
+        "value",
+        "segment",
+        "engagement_pct",
+    )
+    return sorted(
+        (
+            r.event_id,
+            r.user_id,
+            r.event_type,
+            r.ets,
+            round(float(r.value), 9),
+            r.segment,
+            None if r.engagement_pct is None else round(float(r.engagement_pct), 9),
+        )
+        for r in batch.collect()
+    )
+
+
+def _doc_key(d: dict, ts_field: str):
+    return (
+        d["id"],
+        d["user_id"],
+        d["event_type"],
+        d[ts_field],
+        round(float(d["value"]), 9),
+        d.get("segment"),
+        None
+        if d.get("engagement_pct") is None
+        else round(float(d["engagement_pct"]), 9),
+    )
+
+
+def test_bq_insertall_body_matches_table_sink(spark):
+    """Success path: every enriched event arrives exactly once across
+    the captured insertAll payloads, in the reference's row shape, in
+    chunks of at most batch_size."""
+    cap = tempfile.mkdtemp(prefix="t-bq-cap-")
+    fake = FakeHttpSession(cap)
+    q = bigquery_warehouse_sink(
+        _enriched(spark),
+        lambda: FakeHttpSession(cap),
+        project="p1",
+        dataset="d1",
+        table="t1",
+        base_url="http://emu:9050",
+        batch_size=100,  # force multiple chunks from the fixture's 1000 events
+        fallback_dir=os.path.join(cap, "fallback"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    reqs = fake.captured()
+    assert reqs, "no insertAll requests captured"
+    got = []
+    for r in reqs:
+        assert r["method"] == "POST"
+        assert r["url"] == "http://emu:9050/projects/p1/datasets/d1/tables/t1/insertAll"
+        assert r["content_type"] == "application/json"
+        rows = json.loads(r["body"])["rows"]
+        assert 0 < len(rows) <= 100
+        got += [_doc_key(row["json"], "event_ts") for row in rows]
+    assert sorted(got) == _expected_rows(spark, "yyyy-MM-dd HH:mm:ss")
+    # rows also carry the processing-time stamp (BigQuerySink.scala:169)
+    first = json.loads(reqs[0]["body"])["rows"][0]["json"]
+    assert "processing_time" in first
+    assert not os.path.isdir(os.path.join(cap, "fallback"))
+
+
+def test_bq_fallback_jsonl_on_http_failure(spark):
+    """Failure path: a 503-returning endpoint must spool every event to
+    JSONL fallback files — nothing dropped (the reference's file-based
+    batching fallback)."""
+    cap = tempfile.mkdtemp(prefix="t-bq-fail-")
+    fb = os.path.join(cap, "fallback")
+    q = bigquery_warehouse_sink(
+        _enriched(spark),
+        lambda: FakeHttpSession(cap, fail_pattern="insertAll"),
+        batch_size=100,
+        base_url="http://emu:9050",
+        fallback_dir=fb,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = []
+    for name in os.listdir(fb):
+        assert name.startswith("bigquery_batch_") and name.endswith(".jsonl")
+        with open(os.path.join(fb, name)) as f:
+            got += [_doc_key(json.loads(line), "event_ts") for line in f]
+    assert sorted(got) == _expected_rows(spark, "yyyy-MM-dd HH:mm:ss")
+
+
+def test_es_bulk_body_daily_indices_and_template(spark):
+    """ES success path: index template PUT at startup with the
+    reference mapping, then _bulk NDJSON action/document pairs routed
+    to event-date daily indices, matching the table sink's rows."""
+    cap = tempfile.mkdtemp(prefix="t-es-cap-")
+    fake = FakeHttpSession(cap)
+    q = es_search_sink(
+        _enriched(spark),
+        lambda: FakeHttpSession(cap),
+        index_name="engagement-events",
+        base_url="http://es:9200",
+        batch_size=100,
+        fallback_dir=os.path.join(cap, "fallback"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    reqs = fake.captured()
+    template = [r for r in reqs if r["method"] == "PUT"]
+    assert len(template) == 1
+    assert template[0]["url"] == f"http://es:9200/_index_template/{ES_TEMPLATE_NAME}"
+    tpl = json.loads(template[0]["body"])
+    assert tpl["index_patterns"] == ["engagement-events-*"]
+    props = tpl["template"]["mappings"]["properties"]
+    assert props["event_timestamp"] == {"type": "date"}
+    assert props["user_id"] == {"type": "keyword"}
+    assert tpl["template"]["settings"]["number_of_shards"] == 1
+
+    got = []
+    for r in reqs:
+        if r["method"] != "POST":
+            continue
+        assert r["url"] == "http://es:9200/_bulk"
+        assert r["content_type"] == "application/x-ndjson"
+        assert r["body"].endswith("\n")
+        lines = r["body"].rstrip("\n").split("\n")
+        assert len(lines) % 2 == 0
+        for action_s, doc_s in zip(lines[::2], lines[1::2]):
+            action = json.loads(action_s)
+            doc = json.loads(doc_s)
+            # daily index derives from the document's own event date
+            day = doc["event_timestamp"][:10]
+            assert action == {"index": {"_index": f"engagement-events-{day}"}}
+            assert "@timestamp" in doc
+            got.append(_doc_key(doc, "event_timestamp"))
+    assert sorted(got) == _expected_rows(spark, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def test_es_fallback_jsonl_on_http_failure(spark):
+    """ES failure path: _bulk 503 → document JSONL fallback carries
+    every event; the template PUT (different URL) still succeeds."""
+    cap = tempfile.mkdtemp(prefix="t-es-fail-")
+    fb = os.path.join(cap, "fallback")
+    fake = FakeHttpSession(cap, fail_pattern="_bulk")
+    q = es_search_sink(
+        _enriched(spark),
+        lambda: FakeHttpSession(cap, fail_pattern="_bulk"),
+        base_url="http://es:9200",
+        batch_size=100,
+        fallback_dir=fb,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert [r["status"] for r in fake.captured() if r["method"] == "PUT"] == [200]
+    got = []
+    for name in os.listdir(fb):
+        assert name.startswith("elasticsearch_batch_") and name.endswith(".jsonl")
+        with open(os.path.join(fb, name)) as f:
+            got += [_doc_key(json.loads(line), "event_timestamp") for line in f]
+    assert sorted(got) == _expected_rows(spark, "yyyy-MM-dd'T'HH:mm:ss'Z'")

@@ -77,6 +77,7 @@ def main() -> None:
     }
     reg = regressions_vs_last_round(timings, sf)
     if reg is not None:
+        add_streaming_regression(reg, out["streaming"])
         out["vs_prior_round"] = reg
     print(json.dumps(out))
     spark.stop()
@@ -113,6 +114,36 @@ def regressions_vs_last_round(
         "prior_total_s": prior.get("value"),
         "regressions_over_1_5x": flagged,
     }
+
+
+def add_streaming_regression(reg: dict, streaming: dict) -> None:
+    """Streaming throughput joins the round-over-round check (VERDICT
+    r03 "What's wrong" #1: two consecutive slips went unflagged because
+    only per-query batch timings were compared). Flags a >20% drop in
+    either streaming number — outside the builder's measured ±6%
+    three-run drift band, so a flag means a real change, not noise."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not rounds:
+        return
+    try:
+        with open(rounds[-1]) as f:
+            prior = json.load(f).get("parsed", {}).get("streaming", {})
+    except (OSError, json.JSONDecodeError):
+        return
+    flagged = {}
+    for key in ("events_per_sec", "dedup_events_per_sec"):
+        prev, now = prior.get(key), streaming.get(key)
+        if prev and now:
+            ratio = round(now / prev, 3)
+            if ratio < 0.8:
+                flagged[key] = {"prior": prev, "now": now, "ratio": ratio}
+    reg["streaming_prior_events_per_sec"] = {
+        k: prior.get(k) for k in ("events_per_sec", "dedup_events_per_sec")
+    }
+    reg["streaming_drops_over_20pct"] = flagged
 
 
 def stream_bench(spark, sf_dir: str) -> dict:

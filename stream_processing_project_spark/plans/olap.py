@@ -3411,12 +3411,16 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents, the class test on cross-multiplied bigints
     ((cum_before)·10 < total·7 — no float share), ties broken by part
     id. Shape: ONE map-side-combined rollup to |parts| rows, a 1-row
-    total broadcast, and a global cumulative-sum window over the
-    ROLLUP. The unpartitioned window is the documented trade: |parts|
-    is dimension-sized, and past ~10M parts the swap is
-    range-partitioned ranking with per-range offsets (two passes over
-    the rollup — the `maintenance_zorder_layout` approxQuantile
-    pattern), identical classes."""
+    total broadcast, and RANGE-PARTITIONED cumulative ranking (the r03
+    "documented swap", now implemented): approxQuantile boundaries on
+    cents split the rollup into value ranges, the cumsum window runs
+    PER RANGE in parallel, and each range adds a driver-computed
+    prefix offset (≤ n_buckets rows collected — bounded by
+    construction, the zorder-layout pattern). The final cum is
+    bucketing-invariant — offset + within-range cumsum equals the
+    global ordered cumsum for ANY monotone boundary set, so the sketch
+    boundaries need no cross-partitioning determinism. No
+    single-partition window anywhere in the plan (pinned)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.round(
@@ -3427,11 +3431,45 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
     tot = rev.agg(F.sum("cents").alias("tot"))
+    n_buckets = 32
+    bounds = sorted(
+        {
+            int(b)
+            for b in rev.approxQuantile(
+                "cents",
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        },
+        reverse=True,
+    )
+    # range id = #boundaries strictly above this row's cents: monotone
+    # with the global (cents DESC) order, and a pure function of cents
+    # so tied rows always share a range
+    barr = F.array(*[F.lit(b).cast("long") for b in bounds])
+    bucketed = rev.withColumn(
+        "bkt", F.size(F.filter(barr, lambda b: b > F.col("cents")))
+    )
     w = (
-        Window.orderBy(F.col("cents").desc(), "l_partkey")
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cents").desc(), "l_partkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ranked = rev.withColumn("cum", F.sum("cents").over(w))
+    per_range = {
+        int(r["bkt"]): int(r["s"])
+        for r in bucketed.groupBy("bkt").agg(F.sum("cents").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(per_range):
+        offsets[b] = acc
+        acc += per_range[b]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+        ),
+        F.col("bkt"),
+    )
+    ranked = bucketed.withColumn("cum", off + F.sum("cents").over(w))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "cents",
@@ -3466,7 +3504,7 @@ cgrid AS (
 ),
 sgrid AS (
   SELECT s.s_suppkey, s.lon_off, s.lat_off,
-         (s.lon_off // 10000000) + dxs.dx AS cx,
+         ((s.lon_off // 10000000) + dxs.dx + 36) % 36 AS cx,
          (s.lat_off // 10000000) + dys.dy AS cy
   FROM supp s,
        (SELECT unnest([-1, 0, 1]) AS dx) dxs,
@@ -3474,7 +3512,10 @@ sgrid AS (
 ),
 pairs AS (
   SELECT s.s_suppkey, c.c_custkey,
-         (s.lon_off - c.lon_off) * (s.lon_off - c.lon_off)
+         least(abs(s.lon_off - c.lon_off),
+               360000000 - abs(s.lon_off - c.lon_off))
+           * least(abs(s.lon_off - c.lon_off),
+                   360000000 - abs(s.lon_off - c.lon_off))
            + (s.lat_off - c.lat_off) * (s.lat_off - c.lat_off) AS dist_sq
   FROM sgrid s JOIN cgrid c USING (cx, cy)
 )
@@ -3496,9 +3537,15 @@ def olap_spatial_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns; a real deployment projects real lon/lat to the same
     integer micro-degree grid), offset to non-negative so integer
     `div`/`//` agree on the cell floor in both engines, and the
-    distance test is exact bigint squares — no floats, no trig
-    (planar distance; antimeridian wrap and haversine refinement are
-    the documented production deltas, same plan). Shape: each side
+    distance test is exact bigint squares — no floats, no trig.
+    Longitude WRAPS at the antimeridian (r04, formerly a documented
+    delta): neighbor cells wrap mod 36 ((cx+dx+36)%36 — cell 0 and
+    cell 35 are adjacent) and the lon delta is the torus distance
+    least(|Δ|, 360e6−|Δ|), both expression-only changes on the same
+    plan. Latitude keeps the planar form (no pole wrap in the grid
+    approximation; haversine refinement remains the documented
+    production delta — it only reweights verified candidates, the
+    blocking is unchanged). Shape: each side
     scans once; the 9× fan-out multiplies the SMALLER side; one
     (cx, cy) equi-join — at 100 TB this is the point-in-polygon /
     nearest-facility workhorse, skew-safe because cell occupancy is
@@ -3541,15 +3588,22 @@ def olap_spatial_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             F.col("lon_off").alias("s_lon"),
             F.col("lat_off").alias("s_lat"),
-            (F.expr("lon_off div 10000000") + F.col("dx")).alias("cx"),
+            (
+                (F.expr("lon_off div 10000000") + F.col("dx") + 36) % 36
+            ).alias("cx"),
             (F.expr("lat_off div 10000000") + F.col("dy")).alias("cy"),
         )
+    )
+    dlon = F.least(
+        F.abs(F.col("s_lon") - F.col("lon_off")),
+        F.lit(360000000).cast("long")
+        - F.abs(F.col("s_lon") - F.col("lon_off")),
     )
     pairs = sgrid.join(cgrid, ["cx", "cy"]).select(
         "s_suppkey",
         "c_custkey",
         (
-            (F.col("s_lon") - F.col("lon_off")) * (F.col("s_lon") - F.col("lon_off"))
+            dlon * dlon
             + (F.col("s_lat") - F.col("lat_off"))
             * (F.col("s_lat") - F.col("lat_off"))
         ).alias("dist_sq"),

@@ -674,6 +674,46 @@ def test_spatial_grid_join_is_equi_never_cross(spark):
     assert "Generate" in tree  # the neighbor explode
 
 
+def test_spatial_grid_join_crosses_antimeridian(spark):
+    """r04: longitude wraps — cells 0 and 35 are adjacent and the lon
+    delta is the torus distance, so pairs straddling the antimeridian
+    ARE found. Pinned on the sf0.01 fixture, which contains 5 such
+    pairs (raw |Δlon| > 180e6 yet within the 10e6 radius after wrap);
+    the planar form returned zero of them."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    pairs = all_queries()["olap_spatial_join_grid"].builder(spark, sf)
+    mdint = lambda p, c: F.conv(  # noqa: E731 — mirrors the builder
+        F.substring(F.md5(F.concat(F.lit(p), c.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", (mdint("lon:", F.col("c_custkey")) % 360000000).alias("clon")
+    )
+    supp = spark.read.parquet(f"{sf}/supplier.parquet").select(
+        "s_suppkey", (mdint("slon:", F.col("s_suppkey")) % 360000000).alias("slon")
+    )
+    wrap = (
+        pairs.join(cust, "c_custkey")
+        .join(supp, "s_suppkey")
+        .filter(F.abs(F.col("slon") - F.col("clon")) > 180000000)
+    )
+    assert wrap.count() > 0
+
+
+def test_abc_pareto_window_is_range_partitioned(spark):
+    """r04: the global cumsum swap — every Window in the plan is
+    partitioned by the revenue-range bucket (no single-partition
+    ordered window over |parts| rows; the only SinglePartition
+    exchange allowed is the 1-row total aggregate)."""
+    df = all_queries()["olap_abc_pareto"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert s.startswith("bkt#"), s  # partition column leads the spec
+
+
 def test_attribution_single_user_exchange(spark):
     """Last-touch attribution: the union-and-carry as-of idiom — ONE
     user_id exchange serves the carry window; the credit aggregate is

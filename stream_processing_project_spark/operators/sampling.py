@@ -53,21 +53,25 @@ def token_budget_select(
     up to and including each doc stays <= budget (greedy prefix; the
     first overflowing doc is excluded).
 
-    Scale note: the running total is a global ordered window (single
-    ordering partition) — correct but serial at the margin. At 100 TB
-    pre-aggregate per priority bucket, pick the prefix of whole buckets
-    driver-side, and window only the boundary bucket."""
-    order = (
-        [F.col(priority_col).desc_nulls_last(), F.col(id_col)]
-        if priority_col
-        else [F.col(id_col)]
+    Scale shape (r04, formerly a documented swap): the running total
+    is range-partitioned (plans/common.bucketed_running_sum) — quantile
+    ranges on the priority cumulate in parallel and add driver-computed
+    prefix offsets, so there is no single-ordering-partition window and
+    a 100 TB corpus pays one bounded collect (≤33 range sums) instead
+    of a serial global sort."""
+    from stream_processing_project_spark.plans.common import (
+        bucketed_running_sum,
     )
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        df.withColumn("_cum", F.sum(token_col).over(w))
-        .filter(F.col("_cum") <= budget)
-        .drop("_cum")
+
+    cum, bcol = bucketed_running_sum(
+        df,
+        token_col,
+        priority_col or id_col,
+        [id_col] if priority_col else [],
+        descending=bool(priority_col),
+        out_col="_cum",
     )
+    return cum.filter(F.col("_cum") <= budget).drop("_cum", bcol)
 
 
 def pack_sequences(

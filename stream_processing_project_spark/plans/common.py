@@ -46,3 +46,75 @@ per_minute AS (
   FROM enriched
   GROUP BY 1, 2
 )"""
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tie_cols: list[str] | None = None,
+    descending: bool = False,
+    n_buckets: int = 32,
+    out_col: str = "cum",
+):
+    """Global ordered running sum WITHOUT a single-partition window —
+    the range-partitioned ranking idiom (r04; first used by
+    olap_abc_pareto): approxQuantile boundaries on `order_col` split
+    rows into value ranges, the cumulative window runs PER RANGE in
+    parallel, and each range adds a driver-computed prefix offset
+    (≤ n_buckets+1 rows collected — bounded by construction).
+
+    The result is bucketing-invariant: offset + within-range cumsum
+    equals the global ordered cumsum for ANY monotone boundary set, so
+    the sketch boundaries need no cross-partitioning determinism. The
+    bucket id is a pure function of `order_col`, so tied rows always
+    share a range and `tie_cols` only order within it. NULL order
+    values sort last (nulls_last both directions), matching
+    desc_nulls_last / asc_nulls_last window semantics.
+
+    Returns (df + out_col, bucket_col_name) — callers drop the bucket
+    column when done; it is exposed so plan pins can assert the window
+    partitions on it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ties = tie_cols or []
+    probe = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        {float(b) for b in df.approxQuantile(order_col, probe, 0.001)},
+        reverse=descending,
+    )
+    barr = F.array(*[F.lit(b) for b in bounds])
+    oc = F.col(order_col)
+    in_front = (lambda b: b > oc) if descending else (lambda b: b < oc)
+    bucket = F.when(oc.isNull(), F.lit(len(bounds))).otherwise(
+        F.size(F.filter(barr, in_front))
+    )
+    bucketed = df.withColumn("_rsb", bucket)
+    order = [
+        oc.desc_nulls_last() if descending else oc.asc_nulls_last(),
+        *[F.col(c) for c in ties],
+    ]
+    w = (
+        Window.partitionBy("_rsb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_range = {
+        int(r["b"]): r["s"]
+        for r in bucketed.groupBy(F.col("_rsb").alias("b"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(per_range):
+        offsets[b] = acc
+        acc += per_range[b] or 0
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for b in offsets for x in (b, offsets[b])]),
+        F.col("_rsb"),
+    )
+    return (
+        bucketed.withColumn(out_col, off + F.sum(value_col).over(w)),
+        "_rsb",
+    )

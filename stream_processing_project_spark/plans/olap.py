@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.common import bucketed_running_sum, t
 from stream_processing_project_spark.plans.registry import register
 
 
@@ -794,26 +794,38 @@ FROM spend
 """,
 )
 def olap_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-standing window functions (percent_rank / cume_dist)
-    over per-user spend — peer-group ranks are engine-independent and
-    the quotients are raw divisions of exact integers (never rounded,
-    per the determinism rules), so cross-engine parity is exact. The
-    pre-aggregation shrinks the window input to |users| rows; the
-    single-partition ordered window is fine at that cardinality (for
-    billion-key ranking, switch to a two-pass histogram rank)."""
-    from pyspark.sql import Window
-
+    """Relative-standing functions (percent_rank / cume_dist) over
+    per-user spend — peer-group ranks are engine-independent and the
+    quotients are raw divisions of exact integers (never rounded, per
+    the determinism rules), so cross-engine parity is exact. Computed
+    as the TWO-PASS HISTOGRAM RANK (r04, formerly a documented swap):
+    both functions depend only on the VALUE, so rank math runs on the
+    |distinct totals| histogram — cumulated range-partitioned
+    (bucketed_running_sum, no single-partition window) — and joins
+    back to users on total. percent_rank = rows_below/(N−1) with the
+    min-rank tie semantic falling out of the histogram construction;
+    billion-user ranking pays two bounded exchanges and no global
+    sort."""
     spend = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("total"))
     )
-    w = Window.orderBy("total")
-    return spend.select(
-        "user_id",
+    hist = spend.groupBy("total").agg(F.count(F.lit(1)).alias("c"))
+    cum, bcol = bucketed_running_sum(hist, "c", "total")
+    tot = hist.agg(F.sum("c").alias("n"))
+    ranks = cum.crossJoin(F.broadcast(tot)).select(
         "total",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("cum") - F.col("c")) / (F.col("n") - 1),
+        )
+        .otherwise(0.0)
+        .alias("pct_rank"),
+        (F.col("cum") / F.col("n")).alias("cume"),
+    )
+    return spend.join(ranks, "total").select(
+        "user_id", "total", "pct_rank", "cume"
     )
 
 
@@ -3431,45 +3443,9 @@ def olap_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_partkey").agg(F.sum("c").alias("cents"))
     tot = rev.agg(F.sum("cents").alias("tot"))
-    n_buckets = 32
-    bounds = sorted(
-        {
-            int(b)
-            for b in rev.approxQuantile(
-                "cents",
-                [i / n_buckets for i in range(1, n_buckets)],
-                0.001,
-            )
-        },
-        reverse=True,
+    ranked, _ = bucketed_running_sum(
+        rev, "cents", "cents", ["l_partkey"], descending=True
     )
-    # range id = #boundaries strictly above this row's cents: monotone
-    # with the global (cents DESC) order, and a pure function of cents
-    # so tied rows always share a range
-    barr = F.array(*[F.lit(b).cast("long") for b in bounds])
-    bucketed = rev.withColumn(
-        "bkt", F.size(F.filter(barr, lambda b: b > F.col("cents")))
-    )
-    w = (
-        Window.partitionBy("bkt")
-        .orderBy(F.col("cents").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    per_range = {
-        int(r["bkt"]): int(r["s"])
-        for r in bucketed.groupBy("bkt").agg(F.sum("cents").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(per_range):
-        offsets[b] = acc
-        acc += per_range[b]
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(x) for b in offsets for x in (b, offsets[b])]
-        ),
-        F.col("bkt"),
-    )
-    ranked = bucketed.withColumn("cum", off + F.sum("cents").over(w))
     return ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "cents",

@@ -706,12 +706,14 @@ def test_abc_pareto_window_is_range_partitioned(spark):
     partitioned by the revenue-range bucket (no single-partition
     ordered window over |parts| rows; the only SinglePartition
     exchange allowed is the 1-row total aggregate)."""
-    df = all_queries()["olap_abc_pareto"].builder(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert specs, plan
-    for s in specs:
-        assert s.startswith("bkt#"), s  # partition column leads the spec
+    for name in ("olap_abc_pareto", "olap_percent_rank_spend"):
+        df = all_queries()[name].builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, (name, plan)
+        for s in specs:
+            # the range-bucket column leads every window spec
+            assert s.startswith("_rsb#"), (name, s)
 
 
 def test_attribution_single_user_exchange(spark):

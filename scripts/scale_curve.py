@@ -79,6 +79,11 @@ QUERIES = [
     "olap_attribution_last_touch",
     "sampling_preference_pairs",
     "profile_chisquare_independence",
+    # r04 additions: business-analytics family
+    "olap_market_basket",
+    "timeseries_autocorrelation",
+    "timeseries_linear_forecast",
+    "olap_rfm_segments",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

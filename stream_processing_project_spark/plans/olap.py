@@ -3806,3 +3806,400 @@ def olap_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# --- r04 additions: basket, autocorrelation, forecast, RFM -------------------
+
+
+@register(
+    "olap_market_basket",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+item_cnt AS (
+  SELECT l_partkey, count(*) AS cnt FROM items GROUP BY 1
+),
+pair_cnt AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS support_xy
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.support_xy,
+       ia.cnt AS support_x, ib.cnt AS support_y,
+       CAST(p.support_xy AS DOUBLE) / ia.cnt AS confidence,
+       CAST(p.support_xy AS DOUBLE) * n.n_orders
+         / (CAST(ia.cnt AS DOUBLE) * ib.cnt) AS lift
+FROM pair_cnt p
+JOIN item_cnt ia ON ia.l_partkey = p.item_a
+JOIN item_cnt ib ON ib.l_partkey = p.item_b
+CROSS JOIN n
+WHERE p.support_xy >= 2
+""",
+)
+def olap_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over order line items — the co-purchase primitive behind
+    "frequently bought together" and cross-sell ranking. Candidate
+    pairs come from a SELF-EQUI-JOIN on the order key with pk_a < pk_b
+    — per-order quadratic, but bounded by items-per-order (≤13 in the
+    fixture, single digits in any real basket), the same sharp-key
+    blocking contract as linkage_fuzzy_parts: the join never pairs
+    items across orders, so cost is Σ|basket|², not |items|². Supports
+    are exact bigint counts; confidence and lift divide through
+    explicit DOUBLE casts (the DECIMAL-vs-IEEE trap from the
+    determinism rules). min-support 2 prunes the singleton noise
+    BEFORE the metric joins — the item-count joins see only surviving
+    pairs. Shape at 100 TB: one distinct-items rollup, one per-order
+    pair expansion (map-side bounded), two broadcast-or-shuffled
+    equi-joins against the |items| count table, and a 1-row order
+    count broadcast."""
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_xy"))
+        .filter(F.col("support_xy") >= 2)
+    )
+    ia = item_cnt.select(
+        F.col("l_partkey").alias("item_a"), F.col("cnt").alias("support_x")
+    )
+    ib = item_cnt.select(
+        F.col("l_partkey").alias("item_b"), F.col("cnt").alias("support_y")
+    )
+    return (
+        pair_cnt.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "support_xy",
+            "support_x",
+            "support_y",
+            (
+                F.col("support_xy").cast("double") / F.col("support_x")
+            ).alias("confidence"),
+            (
+                F.col("support_xy").cast("double")
+                * F.col("n_orders")
+                / (F.col("support_x").cast("double") * F.col("support_y"))
+            ).alias("lift"),
+        )
+    )
+
+
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT s1.event_type, s2.h - s1.h AS lag,
+         s1.x AS xa, s2.x AS xb
+  FROM hourly s1
+  JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS l) lags
+    ON true
+  JOIN hourly s2
+    ON s2.event_type = s1.event_type AND s2.h = s1.h + lags.l
+),
+moments AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa) AS BIGINT) AS s1, CAST(sum(xb) AS BIGINT) AS s2,
+         CAST(sum(xa * xa) AS BIGINT) AS s11,
+         CAST(sum(xb * xb) AS BIGINT) AS s22,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN (n_pairs * s11 - s1 * s1) > 0
+             AND (n_pairs * s22 - s2 * s2) > 0
+            THEN CAST(n_pairs * sxy - s1 * s2 AS DOUBLE)
+                 / sqrt(CAST(n_pairs * s11 - s1 * s1 AS DOUBLE)
+                        * CAST(n_pairs * s22 - s2 * s2 AS DOUBLE))
+       END AS acf
+FROM moments
+""",
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..6) of each hourly count
+    series — the seasonality/burstiness detector (a daily-periodic
+    series spikes at lag 24; a bursty one decays fast): feature
+    screening before forecasting and the statistical cousin of
+    timeseries_seasonal_decompose. Lagged pairs come from an EQUI-join
+    of the hourly rollup to itself on (series, h + lag) after a 6×
+    lag fan-out of one side — never a window over raw events and
+    never a range join. All five moment sums are exact bigints
+    (counts bounded keep n·s11 far inside int64); the Pearson ratio
+    is assembled in ONE fixed-order double expression with explicit
+    casts (no DECIMAL intermediates), null when a side is constant.
+    Shape at 100 TB: the fan-out multiplies the |series × hours|
+    rollup only; one grouped aggregation per (series, lag) —
+    map-side combined, associative across shards."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    lagged = hourly.select(
+        "event_type",
+        "h",
+        F.col("x").alias("xa"),
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag"),
+    ).select("event_type", (F.col("h") + F.col("lag")).alias("th"), "lag", "xa")
+    pairs = lagged.join(
+        hourly.select(
+            "event_type", F.col("h").alias("th"), F.col("x").alias("xb")
+        ),
+        ["event_type", "th"],
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("xa").alias("s1"),
+        F.sum("xb").alias("s2"),
+        F.sum(F.col("xa") * F.col("xa")).alias("s11"),
+        F.sum(F.col("xb") * F.col("xb")).alias("s22"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    var_a = F.col("n_pairs") * F.col("s11") - F.col("s1") * F.col("s1")
+    var_b = F.col("n_pairs") * F.col("s22") - F.col("s2") * F.col("s2")
+    num = F.col("n_pairs") * F.col("sxy") - F.col("s1") * F.col("s2")
+    return m.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.when(
+            (var_a > 0) & (var_b > 0),
+            num.cast("double")
+            / F.sqrt(var_a.cast("double") * var_b.cast("double")),
+        ).alias("acf"),
+    )
+
+
+# epoch-hour origin (2024-01-01) keeps regression x-values small so
+# n·sxx stays ~1e12, far inside int64 at any SF
+_OLS_X0 = 473352
+_OLS_HORIZON = 3
+
+
+@register(
+    "timeseries_linear_forecast",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_OLS_X0} AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+fit AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * cents) AS BIGINT) AS sxy,
+         CAST(max(x) AS BIGINT) AS x_last
+  FROM hourly GROUP BY 1
+),
+coef AS (
+  SELECT event_type, n, x_last,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+           - CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept
+  FROM fit WHERE n * sxx - sx * sx > 0
+)
+SELECT c.event_type, c.slope, c.intercept,
+       CAST(c.x_last + s.step AS BIGINT) AS x_future,
+       c.intercept + c.slope * CAST(c.x_last + s.step AS DOUBLE)
+         AS forecast_cents
+FROM coef c, (SELECT unnest(range(1, {_OLS_HORIZON + 1})) AS step) s
+""",
+)
+def timeseries_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend forecast by ordinary least squares — the
+    capacity-planning baseline (next-3-hours load from the hourly
+    revenue trend; Holt's level+trend smoother fitted over a window
+    degenerates to exactly this regression). The whole fit is ONE
+    map-side-combined aggregation per series: n, Σx, Σy, Σx², Σxy,
+    max(x) — the textbook sufficient statistics, exact bigints with x
+    re-origined to epoch-hour {_OLS_X0} (2024-01-01) so n·Σx² stays
+    ~1e12. Slope and intercept assemble in fixed-order double
+    expressions with explicit casts (n·Σxy − ΣxΣy can pass 2^53 — the
+    DECIMAL trap); the 3-step horizon is a pure projection fan-out of
+    the |series| coefficient rows. Degenerate series (single hour,
+    zero x-variance) drop out via the determinant guard. At 100 TB:
+    the scan is the only data-sized stage — sufficient statistics are
+    associative, so the fit shuffles k·|series| partials, nothing
+    else."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (
+                (F.unix_seconds(F.col("ts")) / 3600).cast("long") - _OLS_X0
+            ).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    )
+    fit = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.max("x").alias("x_last"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = s_num.cast("double") / det.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    coef = fit.filter(det > 0).select(
+        "event_type",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        "x_last",
+    )
+    return coef.select(
+        "event_type",
+        "slope",
+        "intercept",
+        "x_last",
+        F.explode(F.sequence(F.lit(1), F.lit(_OLS_HORIZON))).alias("step"),
+    ).select(
+        "event_type",
+        "slope",
+        "intercept",
+        (F.col("x_last") + F.col("step")).cast("long").alias("x_future"),
+        (
+            F.col("intercept")
+            + F.col("slope") * (F.col("x_last") + F.col("step")).cast("double")
+        ).alias("forecast_cents"),
+    )
+
+
+@register(
+    "olap_rfm_segments",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS r_day,
+         CAST(count(*) AS BIGINT) AS f_cnt,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+rs AS (
+  SELECT v, ((cum - c) * 5) // nn.n AS s FROM (
+    SELECT r_day AS v, count(*) AS c,
+           sum(count(*)) OVER (ORDER BY r_day) AS cum
+    FROM per_user GROUP BY r_day) h, nn
+),
+fs AS (
+  SELECT v, ((cum - c) * 5) // nn.n AS s FROM (
+    SELECT f_cnt AS v, count(*) AS c,
+           sum(count(*)) OVER (ORDER BY f_cnt) AS cum
+    FROM per_user GROUP BY f_cnt) h, nn
+),
+ms AS (
+  SELECT v, ((cum - c) * 5) // nn.n AS s FROM (
+    SELECT m_cents AS v, count(*) AS c,
+           sum(count(*)) OVER (ORDER BY m_cents) AS cum
+    FROM per_user GROUP BY m_cents) h, nn
+)
+SELECT u.user_id,
+       CAST(rs.s AS BIGINT) AS r_score,
+       CAST(fs.s AS BIGINT) AS f_score,
+       CAST(ms.s AS BIGINT) AS m_score,
+       CAST(rs.s * 100 + fs.s * 10 + ms.s AS BIGINT) AS rfm_code
+FROM per_user u
+JOIN rs ON rs.v = u.r_day
+JOIN fs ON fs.v = u.f_cnt
+JOIN ms ON ms.v = u.m_cents
+""",
+)
+def olap_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile
+    scores per user, the classic lifecycle-marketing cut ("champions"
+    = 444, "at risk" = high M, low R). Each metric's quintile comes
+    from the HISTOGRAM-RANK idiom (the percent_rank swap): rank math
+    runs on the |distinct values| histogram, cumulated
+    range-partitioned (bucketed_running_sum — no single-partition
+    window), and the score is PURE INTEGER math,
+    (rows_strictly_below · 5) div N ∈ [0,4] — deterministic across
+    engines and partitionings, ties share a score by construction.
+    Scores join back to users on the metric value (three bounded
+    histogram joins). Recency scores on last-active day ascending —
+    later day → more rows below → higher score — so all three metrics
+    share one formula. Shape at 100 TB: one per-user rollup (the only
+    data-sized stage), three histogram aggregations over it, three
+    equi-joins back; nothing quadratic, nothing globally sorted."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("max(unix_micros(ts) div 86400000000)").alias("r_day"),
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("m_cents"),
+    )
+    # the three histogram builds each run boundary/offset actions
+    # against per_user during plan construction — cache for THAT phase
+    # only (the kmeans_fit lifetime pattern: released before return, so
+    # registry-wide sweeps accumulate nothing; the returned plan
+    # recomputes the rollup in one pass)
+    per_user.persist()
+    try:
+        nn = F.broadcast(per_user.agg(F.count(F.lit(1)).alias("n")))
+
+        def quintiles(metric: str, score: str) -> DataFrame:
+            hist = per_user.groupBy(metric).agg(F.count(F.lit(1)).alias("c"))
+            cum, bcol = bucketed_running_sum(hist, "c", metric)
+            return cum.crossJoin(nn).select(
+                metric,
+                F.expr("((cum - c) * 5) div n").cast("long").alias(score),
+            )
+
+        scored = (
+            per_user.join(quintiles("r_day", "r_score"), "r_day")
+            .join(quintiles("f_cnt", "f_score"), "f_cnt")
+            .join(quintiles("m_cents", "m_score"), "m_cents")
+        )
+    finally:
+        per_user.unpersist(blocking=False)
+    return scored.select(
+        "user_id",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long")
+        .alias("rfm_code"),
+    )

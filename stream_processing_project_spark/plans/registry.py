@@ -163,6 +163,12 @@ _PRIORITY = [
     "olap_top_supplier_revenue",
     "olap_unpivot",
     "olap_yoy_growth",
+    # r04-new operators (basket / ACF / OLS forecast / RFM) — behind
+    # the backlog above; they rotate into the window as greens drain it
+    "olap_market_basket",
+    "timeseries_autocorrelation",
+    "timeseries_linear_forecast",
+    "olap_rfm_segments",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -84,6 +84,7 @@ QUERIES = [
     "timeseries_autocorrelation",
     "timeseries_linear_forecast",
     "olap_rfm_segments",
+    "olap_attribution_markov",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -4203,3 +4203,200 @@ def olap_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+_MARKOV_ROUNDS = 20
+
+
+def _markov_attribution_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
+    """Unrolled value-iteration twin of olap_attribution_markov:
+    identical integer micro-unit floors at every step (PageRank/BFS
+    oracle convention). Each v{k} is referenced exactly once by
+    v{k+1}, so the CTE chain stays linear — no AS MATERIALIZED needed
+    (the PCA lesson applies only to multiply-referenced CTEs)."""
+    head = """
+WITH touches AS (
+  SELECT user_id, ts, event_id,
+         'ch' || (CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
+  FROM events WHERE event_type IN ('view', 'click')
+),
+conv_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+seq AS (
+  SELECT t.user_id, t.channel,
+         lag(t.channel) OVER w AS prev_ch,
+         lead(t.channel) OVER w AS next_ch,
+         CASE WHEN cu.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+  FROM touches t LEFT JOIN conv_users cu USING (user_id)
+  WINDOW w AS (PARTITION BY t.user_id ORDER BY t.ts, t.event_id)
+),
+raw_edges AS (
+  SELECT coalesce(prev_ch, 'START') AS src, channel AS dst FROM seq
+  UNION ALL
+  SELECT channel, CASE WHEN conv = 1 THEN 'CONV' ELSE 'NULLST' END
+  FROM seq WHERE next_ch IS NULL
+),
+cnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM raw_edges GROUP BY 1, 2
+),
+p AS (
+  SELECT src, dst,
+         c * 1000000 // sum(c) OVER (PARTITION BY src) AS p_micro
+  FROM cnt
+),
+scen AS (
+  SELECT unnest(['base', 'ch0', 'ch1', 'ch2', 'ch3', 'ch4']) AS removed
+),
+sedges AS MATERIALIZED (
+  SELECT s.removed, p.src,
+         CASE WHEN p.dst = s.removed THEN 'NULLST' ELSE p.dst END AS dst,
+         CAST(sum(p.p_micro) AS BIGINT) AS p_micro
+  FROM p, scen s
+  WHERE p.src <> s.removed
+  GROUP BY 1, 2, 3
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT removed, src AS st FROM sedges
+  UNION SELECT DISTINCT removed, dst FROM sedges
+),
+v0 AS MATERIALIZED (
+  SELECT removed, st,
+         CAST(CASE WHEN st = 'CONV' THEN 1000000 ELSE 0 END AS BIGINT) AS v
+  FROM states
+)"""
+    step = """,
+v{k} AS MATERIALIZED (
+  SELECT s.removed, s.st,
+         CAST(CASE WHEN s.st = 'CONV' THEN 1000000
+                   WHEN s.st = 'NULLST' THEN 0
+                   ELSE coalesce(m.s, 0) END AS BIGINT) AS v
+  FROM states s
+  LEFT JOIN (
+    SELECT e.removed, e.src AS st,
+           sum(e.p_micro * p.v // 1000000) AS s
+    FROM sedges e JOIN v{prev} p
+      ON p.removed = e.removed AND p.st = e.dst
+    GROUP BY 1, 2
+  ) m ON m.removed = s.removed AND m.st = s.st
+)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    return f"""{head}{body}
+SELECT r.removed AS scenario,
+       r.v AS start_v_micro,
+       CASE WHEN r.removed <> 'base' THEN b.v - r.v END
+         AS removal_effect_micro
+FROM v{rounds} r
+CROSS JOIN (SELECT v FROM v{rounds}
+            WHERE removed = 'base' AND st = 'START') b(v)
+WHERE r.st = 'START'
+"""
+
+
+@register("olap_attribution_markov", oracle=_markov_attribution_oracle())
+def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution — the data-driven
+    counterpoint to last-touch (olap_attribution_last_touch): user
+    journeys become a first-order chain (START → channels → CONV/NULL
+    absorbing), and each channel's credit is how much the start-state
+    conversion probability DROPS when paths through that channel are
+    redirected to the null state — the standard removal-effect model.
+
+    Determinism contract (the iterative-family convention):
+    transition probabilities are integer micro-units via `div`, each
+    value-iteration term floors (p·v div 1e6) before the incoming
+    sum, fixed {rounds} rounds — bit-identical to the unrolled-SQL
+    oracle. All six scenarios (base + 5 removals) iterate TOGETHER as
+    one (scenario, state) value table.
+
+    Scale shape: the only data-sized stages are the journey windows
+    (ONE user_id exchange: lag/lead per user) and the transition
+    count rollup (map-side combined). The chain itself is
+    |channels|+3 states × 6 scenarios ≤ ~300 probability rows —
+    collected ONCE (bounded by the state-space construction, the PCA
+    d²-fold precedent) and value-iterated driver-side in exact Python
+    ints; at any corpus size the driver holds the transition matrix,
+    never data.""".format(rounds=_MARKOV_ROUNDS)
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+        ).alias("channel"),
+    )
+    conv_users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        touches.join(F.broadcast(conv_users), "user_id", "left")
+        .withColumn("prev_ch", F.lag("channel").over(w))
+        .withColumn("next_ch", F.lead("channel").over(w))
+    )
+    incoming = seq.select(
+        F.coalesce("prev_ch", F.lit("START")).alias("src"),
+        F.col("channel").alias("dst"),
+    )
+    final = seq.filter(F.col("next_ch").isNull()).select(
+        F.col("channel").alias("src"),
+        F.when(F.col("conv") == 1, "CONV").otherwise("NULLST").alias("dst"),
+    )
+    cnt = (
+        incoming.unionByName(final)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = cnt.groupBy(F.col("src").alias("osrc")).agg(F.sum("c").alias("tot"))
+    probs = cnt.join(out, cnt.src == out.osrc).select(
+        "src", "dst", F.expr("c * 1000000 div tot").alias("p_micro")
+    )
+    # bounded collect: ≤ (|channels|+3)^2 transition rows
+    edges = [(r.src, r.dst, int(r.p_micro)) for r in probs.collect()]
+    channels = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    scenarios = ["base"] + [c for c in channels if c.startswith("ch")]
+    rows = []
+    base_v = None
+    for removed in scenarios:
+        se: dict[tuple[str, str], int] = {}
+        for s, d, pm in edges:
+            if s == removed:
+                continue
+            d2 = "NULLST" if d == removed else d
+            se[(s, d2)] = se.get((s, d2), 0) + pm
+        states = {s for s, _ in se} | {d for _, d in se}
+        v = {st: (1000000 if st == "CONV" else 0) for st in states}
+        for _ in range(_MARKOV_ROUNDS):
+            nxt = {}
+            for st in states:
+                if st == "CONV":
+                    nxt[st] = 1000000
+                elif st == "NULLST":
+                    nxt[st] = 0
+                else:
+                    nxt[st] = sum(
+                        pm * v[d] // 1000000
+                        for (s, d), pm in se.items()
+                        if s == st
+                    )
+            v = nxt
+        sv = v.get("START", 0)
+        if removed == "base":
+            base_v = sv
+        rows.append((removed, sv))
+    return spark.createDataFrame(
+        [
+            (
+                sc,
+                sv,
+                (base_v - sv) if sc != "base" else None,
+            )
+            for sc, sv in rows
+        ],
+        "scenario string, start_v_micro bigint, removal_effect_micro bigint",
+    )

@@ -169,6 +169,7 @@ _PRIORITY = [
     "timeseries_autocorrelation",
     "timeseries_linear_forecast",
     "olap_rfm_segments",
+    "olap_attribution_markov",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -156,3 +156,20 @@ def test_rfm_monotone_in_monetary(spark):
     for (m1, s1), (m2, s2) in zip(by_m, by_m[1:]):
         if m1 < m2:
             assert s1 <= s2
+
+
+def test_markov_attribution_removal_effects_bounded(spark):
+    """Base conversion probability bounds every removal scenario from
+    above (removing a channel can only lose converting paths in this
+    redirect-to-null model), effects are non-negative, and the base
+    row carries no effect."""
+    rows = all_queries()["olap_attribution_markov"].builder(spark, SF_SMOKE).collect()
+    by_sc = {r.scenario: r for r in rows}
+    assert "base" in by_sc and by_sc["base"].removal_effect_micro is None
+    base = by_sc["base"].start_v_micro
+    assert 0 <= base <= 1_000_000
+    for sc, r in by_sc.items():
+        if sc == "base":
+            continue
+        assert 0 <= r.start_v_micro <= base
+        assert r.removal_effect_micro == base - r.start_v_micro

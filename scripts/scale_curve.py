@@ -85,6 +85,8 @@ QUERIES = [
     "timeseries_linear_forecast",
     "olap_rfm_segments",
     "olap_attribution_markov",
+    "olap_interpurchase_time",
+    "olap_new_vs_returning",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

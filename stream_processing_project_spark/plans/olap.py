@@ -4400,3 +4400,118 @@ def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "scenario string, start_v_micro bigint, removal_effect_micro bigint",
     )
+
+
+@register(
+    "olap_interpurchase_time",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(epoch_us(o_orderdate)
+              - epoch_us(lag(o_orderdate) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+              AS BIGINT) // 86400000000 AS gap_days
+  FROM orders
+),
+g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL),
+cust AS (SELECT c_custkey, c_mktsegment FROM customer)
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(g.gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(median(g.gap_days) AS DOUBLE) AS median_gap_days,
+       CAST(sum(CASE WHEN g.gap_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_30d
+FROM g JOIN cust c ON c.c_custkey = g.o_custkey
+GROUP BY 1
+""",
+)
+def olap_interpurchase_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpurchase-time (survival) analysis — the repeat-behavior
+    primitive behind churn models and reorder reminders: per customer,
+    day gaps between CONSECUTIVE orders (lag window partitioned by
+    customer — the per-key ordered window that scales, one customer
+    exchange), rolled up per market segment into gap count, total,
+    exact median, and the 30-day "survival" count (repeats landing
+    within the window). Gaps are exact integer days via
+    epoch-micros floor-div (the micro-precision gotcha: second-level
+    epoch rounds vs truncates differently across engines); the median
+    of INTEGER gaps interpolates identically in Spark's exact
+    `percentile` and DuckDB's `median`. Shape at 100 TB: one orders
+    exchange on custkey, a broadcast dimension join, one
+    map-side-combined rollup to |segments| rows — median is the only
+    non-algebraic aggregate, computed per small group."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.expr(
+            "(unix_micros(o_orderdate)"
+            " - unix_micros(lag(o_orderdate) OVER"
+            "     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))"
+            " div 86400000000"
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("sum_gap_days"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+            F.sum(
+                F.when(F.col("gap_days") <= 30, 1).otherwise(0)
+            ).alias("n_within_30d"),
+        )
+    )
+
+
+@register(
+    "olap_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day
+  FROM events GROUP BY 1
+),
+daily AS (
+  SELECT CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) AS day,
+         e.user_id, f.first_day
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT day,
+       CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+            AS BIGINT) AS new_users,
+       CAST(count(DISTINCT CASE WHEN day > first_day THEN user_id END)
+            AS BIGINT) AS returning_users
+FROM daily GROUP BY 1
+""",
+)
+def olap_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split NEW vs RETURNING — the growth-
+    accounting companion of olap_cohort_retention (same first-touch
+    spine, aggregated to the acquisition/retention composition per
+    day instead of the cohort triangle). A user's first active day
+    comes from one map-side-combined min; the daily split is
+    conditional COUNT(DISTINCT) on first-day equality. Exact integer
+    epoch days (micros floor-div). Shape at 100 TB: the firsts rollup
+    is |users| rows shuffled once on user_id; the split re-joins
+    events to it on the same key (co-partitioned with the rollup's
+    exchange) and expands distinct aggregation per day — Spark plans
+    the two conditional distincts via expand, one exchange on
+    (day, user)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.join(firsts, "user_id")
+    return daily.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+        ).alias("new_users"),
+        F.countDistinct(
+            F.when(F.col("day") > F.col("first_day"), F.col("user_id"))
+        ).alias("returning_users"),
+    )

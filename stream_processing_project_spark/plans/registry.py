@@ -170,6 +170,8 @@ _PRIORITY = [
     "timeseries_linear_forecast",
     "olap_rfm_segments",
     "olap_attribution_markov",
+    "olap_interpurchase_time",
+    "olap_new_vs_returning",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

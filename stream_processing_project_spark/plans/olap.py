@@ -3911,6 +3911,7 @@ _ACF_MAX_LAG = 6
 
 @register(
     "timeseries_autocorrelation",
+    tags=("bench",),
     oracle=f"""
 WITH hourly AS (
   SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
@@ -4011,6 +4012,7 @@ _OLS_HORIZON = 3
 
 @register(
     "timeseries_linear_forecast",
+    tags=("bench",),
     oracle=f"""
 WITH hourly AS (
   SELECT event_type,

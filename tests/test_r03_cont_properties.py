@@ -18,7 +18,9 @@ def test_spatial_grid_join_matches_brute_force(spark):
     """The 3x3 neighbor expansion is a GUARANTEE, not a heuristic: the
     grid join's pair set must equal the brute-force radius join
     exactly (cell size == radius => any pair within the radius shares
-    a 3x3 neighborhood)."""
+    a 3x3 neighborhood — with the r04 antimeridian wrap, 'shares'
+    includes the mod-36 cell adjacency, and the brute force below uses
+    the same torus lon distance)."""
     grid = all_queries()["olap_spatial_join_grid"].builder(spark, SF_ORACLE)
     got = {(r.s_suppkey, r.c_custkey, r.dist_sq) for r in grid.collect()}
 
@@ -38,13 +40,17 @@ def test_spatial_grid_join_matches_brute_force(spark):
         (mdint("slon:", F.col("s_suppkey")) % 360000000).alias("slon"),
         (mdint("slat:", F.col("s_suppkey")) % 180000000).alias("slat"),
     )
+    dlon = F.least(
+        F.abs(F.col("slon") - F.col("clon")),
+        F.lit(360000000).cast("long") - F.abs(F.col("slon") - F.col("clon")),
+    )
     brute = (
         supp.crossJoin(cust)
         .select(
             "s_suppkey",
             "c_custkey",
             (
-                (F.col("slon") - F.col("clon")) * (F.col("slon") - F.col("clon"))
+                dlon * dlon
                 + (F.col("slat") - F.col("clat")) * (F.col("slat") - F.col("clat"))
             ).alias("dist_sq"),
         )

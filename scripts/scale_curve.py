@@ -87,6 +87,7 @@ QUERIES = [
     "olap_attribution_markov",
     "olap_interpurchase_time",
     "olap_new_vs_returning",
+    "streaming_linear_fit",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

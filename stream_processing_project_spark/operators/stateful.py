@@ -360,3 +360,103 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+OLS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("updates", LongType()),
+        StructField("n", LongType()),
+        StructField("slope", DoubleType()),
+        StructField("intercept", DoubleType()),
+    ]
+)
+
+# (updates, max_x, n, sx, sy, sxx, sxy) — O(1) integers per key
+_OLS_STATE_SCHEMA = StructType(
+    [
+        StructField("updates", LongType()),
+        StructField("max_x", LongType()),
+        StructField("n", LongType()),
+        StructField("sx", LongType()),
+        StructField("sy", LongType()),
+        StructField("sxx", LongType()),
+        StructField("sxy", LongType()),
+    ]
+)
+
+
+def _fold_ols(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's (hour x, cents) rows into the series'
+    OLS sufficient statistics: Σy and Σxy grow with EVERY batch (late
+    cents for an already-seen hour just add), while n, Σx, Σx² grow
+    only when a NEW hour appears (x > max_x — in-order hour arrival,
+    the transition-log assumption). Coefficients assemble in the SAME
+    fixed order as the batch oracle (slope = num/det first, then
+    intercept = (Σy − slope·Σx)/n) over the same exact int64 sums, so
+    parity is bit-exact. `updates` strictly increases per emission —
+    the run_to_completion reader keeps the last row per key."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    agg = pdf.groupby("x", sort=True)["cents"].sum()
+    upd, max_x, n, sx, sy, sxx, sxy = (
+        state.get if state.exists else (0, -(1 << 62), 0, 0, 0, 0, 0)
+    )
+    for x, c in agg.items():
+        x, c = int(x), int(c)
+        if x > max_x:
+            n += 1
+            sx += x
+            sxx += x * x
+            max_x = x
+        sy += c
+        sxy += x * c
+    upd += 1
+    state.update((upd, max_x, n, sx, sy, sxx, sxy))
+    det = n * sxx - sx * sx
+    if det > 0:
+        slope = float(n * sxy - sx * sy) / float(det)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+    else:
+        slope = None
+        intercept = None
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "updates": [upd],
+            "n": [n],
+            "slope": [slope],
+            "intercept": [intercept],
+        }
+    )
+
+
+def ols_stream(events: DataFrame, origin: int) -> DataFrame:
+    """Per-series INCREMENTAL least-squares fit — the streaming twin of
+    `timeseries_linear_forecast`, and the payoff of designing the batch
+    op around sufficient statistics: because (n, Σx, Σy, Σx², Σxy) are
+    associative integers, the same fit streams with O(1) state per key
+    and no window buffers. Each micro-batch pre-aggregates its rows to
+    per-hour cents (Arrow-batched pandas groupby — batch-local, tiny),
+    folds them into the state, and emits the refreshed coefficients.
+    State store: 7 longs per series."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_type",
+        ((F.unix_seconds(F.col("ts")) / 3600).cast("long") - origin).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _fold_ols,
+        OLS_SCHEMA,
+        _OLS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

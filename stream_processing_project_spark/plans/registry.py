@@ -172,6 +172,7 @@ _PRIORITY = [
     "olap_attribution_markov",
     "olap_interpurchase_time",
     "olap_new_vs_returning",
+    "streaming_linear_fit",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -1066,3 +1066,59 @@ def streaming_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("score_scaled").desc(), "user_id").limit(20)
+
+
+def _streaming_ols_oracle() -> str:
+    from stream_processing_project_spark.plans.olap import _OLS_X0
+
+    return f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_OLS_X0} AS x,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+fit AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * cents) AS BIGINT) AS sxy
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+         - CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM fit WHERE n * sxx - sx * sx > 0
+"""
+
+
+@register("streaming_linear_fit", oracle=_streaming_ols_oracle())
+def streaming_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-series OLS (applyInPandasWithState) — the
+    streaming twin of `timeseries_linear_forecast` and the design
+    payoff of fitting through sufficient statistics: (n, Σx, Σy, Σx²,
+    Σxy) are associative integers, so the batch regression streams
+    with SEVEN LONGS of state per series, no window buffers, late
+    cents for an already-seen hour folding in exactly (only new hours
+    touch n/Σx/Σx²). After full replay the final emission per key must
+    equal the batch fit over all events — the oracle is the batch OLS
+    itself, and the shared fixed-order double assembly makes parity
+    bit-exact."""
+    from stream_processing_project_spark.operators.stateful import ols_stream
+    from stream_processing_project_spark.plans.olap import _OLS_X0
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    log = pipeline.run_to_completion(
+        ols_stream(events, _OLS_X0), output_mode="update"
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("updates").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & F.col("slope").isNotNull())
+        .select("event_type", "n", "slope", "intercept")
+    )

@@ -1120,3 +1120,59 @@ def test_ewma_state_bridges_micro_batch_boundary(spark):
     # bridge: 0.25*50 + 0.75*125 = 106.25 — seeded by stored state,
     # not re-seeded by the new batch's first row
     assert rows == [(1, 2, 125.0), (1, 3, 106.25)]
+
+
+def test_ols_state_bridges_micro_batch_boundary(spark):
+    """The stored sufficient statistics must seed the next micro-batch:
+    two time-ordered batches end at the same fit as one batch over the
+    whole history, late cents for an ALREADY-SEEN hour fold into Σy/Σxy
+    without re-counting the hour, and a new hour extends n/Σx/Σx²."""
+    import uuid
+
+    from stream_processing_project_spark.operators.stateful import ols_stream
+
+    src = tempfile.mkdtemp(prefix="spe-ols-")
+    cols = ["event_type", "event_id", "ts", "value"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    origin = 473352  # x = epoch-hour - origin; 2024-01-01 00:00 → x = 0
+    # hours x=0 (100 cents) and x=1 (300 cents): slope 2.0, intercept 100
+    write([("play", 1, "2024-01-01 00:10:00", 1.0),
+           ("play", 2, "2024-01-01 01:10:00", 3.0)])
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"ols_{uuid.uuid4().hex[:8]}"
+    q = (
+        ols_stream(stream, origin)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("ols_bridge"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {(r.updates, r.n, r.slope, r.intercept)
+             for r in spark.table(name).collect()}
+    assert first == {(1, 2, 200.0, 100.0)}  # cents/hour slope over x=0,1
+    # late cents in hour x=1 (+100) and a new hour x=2 (400 cents):
+    # points now (0,100),(1,400),(2,400) → slope 150, intercept 150
+    write([("play", 3, "2024-01-01 01:40:00", 1.0),
+           ("play", 4, "2024-01-01 02:10:00", 4.0)])
+    q.processAllAvailable()
+    q.stop()
+    last = {(r.updates, r.n, r.slope, r.intercept)
+            for r in spark.table(name).collect() if r.updates == 2}
+    assert last == {(2, 3, 150.0, 150.0)}

@@ -88,6 +88,7 @@ QUERIES = [
     "olap_interpurchase_time",
     "olap_new_vs_returning",
     "streaming_linear_fit",
+    "multimodal_decode_real",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -160,3 +160,153 @@ def feature_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
             ).alias("embedding"),
         )
     )
+
+
+# --- REAL codecs (r04): BMP + WAV, pure stdlib/numpy ------------------------
+#
+# The stub above remains the default for arbitrary payloads, but the
+# codec gate is no longer hypothetical: for the two container formats
+# that need no external library — uncompressed 24-bit BMP and PCM WAV —
+# encode and decode are REAL below (struct-packed headers, 4-byte BMP
+# row padding, bottom-up row order, RIFF chunk walking, int16 PCM).
+# Synthesis is a deterministic generative model of doc_id, so every
+# decoded statistic has a closed form DuckDB can recompute — a decode
+# bug (padding miscount, missed row flip, chunk misparse) breaks the
+# value hash.
+
+import struct
+
+import numpy as np
+
+REAL_DECODED_SCHEMA = (
+    "doc_id bigint, kind string, width bigint, height bigint, "
+    "n_frames bigint, sample_rate bigint, top_val bigint, stat_milli bigint"
+)
+
+
+def _encode_bmp(doc_id: int) -> bytes:
+    """Real uncompressed 24-bit BMP: every channel of every pixel in
+    image row y (top-down) is (doc_id + y) % 256; rows are stored
+    bottom-up with stride padded to 4 bytes, per the format."""
+    w = 2 + doc_id % 5
+    h = 3 + doc_id % 7
+    stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        v = (doc_id + y) % 256
+        rows.append(bytes([v] * (3 * w)) + b"\x00" * (stride - 3 * w))
+    pixel = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pixel), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    return header + info + pixel
+
+
+def _decode_bmp(buf: bytes) -> tuple[int, int, int, int]:
+    """Parse the headers, strip the row padding, flip bottom-up rows,
+    and return (width, height, top_row_value, mean_milli) — the mean of
+    all REAL pixel bytes in integer milli-units (padding excluded; an
+    off-by-one in the stride drags the mean and breaks the oracle)."""
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", buf, 0)
+    assert magic == b"BM"
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", buf, 14)
+    assert bpp == 24
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+    rows = arr.reshape(h, stride)[:, : 3 * w][::-1]  # un-pad, flip to top-down
+    total = int(rows.astype(np.int64).sum())
+    mean_milli = total * 1000 // (h * 3 * w)
+    return w, h, int(rows[0, 0]), mean_milli
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """Real PCM WAV (RIFF): mono int16 at 8 kHz; sample i is
+    (doc_id·7 + i) % 2001 − 1000. An extra LIST chunk precedes `data`
+    so decoders that assume sample data at byte 44 misparse — the
+    decoder below must WALK chunks."""
+    n = 800 + doc_id % 800
+    samples = (doc_id * 7 + np.arange(n, dtype=np.int64)) % 2001 - 1000
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(chunks), b"WAVE") + chunks
+
+
+def _decode_wav(buf: bytes) -> tuple[int, int, int, int]:
+    """Walk RIFF chunks to fmt/data, parse int16 PCM, and return
+    (sample_rate, n_samples, first_sample, mean_abs_milli)."""
+    magic, _, wave = struct.unpack_from("<4sI4s", buf, 0)
+    assert magic == b"RIFF" and wave == b"WAVE"
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        if cid == b"fmt ":
+            _, _, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, pos + 8)
+            assert bits == 16
+        elif cid == b"data":
+            samples = np.frombuffer(buf, dtype="<i2", count=size // 2,
+                                    offset=pos + 8).astype(np.int64)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    n = len(samples)
+    mean_abs_milli = int(np.abs(samples).sum()) * 1000 // n
+    return rate, n, int(samples[0]), mean_abs_milli
+
+
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media payloads: doc_id % 3 == 0 → BMP image,
+    == 1 → WAV audio (doc_id % 3 == 2 'video' rows stay with the
+    stubbed path above — no dependency-free video container). Built in
+    mapInPandas so payload bytes never visit the driver."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            out = {"doc_id": [], "kind": [], "payload": []}
+            for d in ids:
+                d = int(d)
+                if d % 3 == 0:
+                    out["doc_id"].append(d)
+                    out["kind"].append("image")
+                    out["payload"].append(_encode_bmp(d))
+                elif d % 3 == 1:
+                    out["doc_id"].append(d)
+                    out["kind"].append("audio")
+                    out["payload"].append(_encode_wav(d))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(gen, "doc_id bigint, kind string, payload binary")
+
+
+def decode_real_media(media: DataFrame) -> DataFrame:
+    """REAL decode via mapInPandas: struct-parse each payload with the
+    matching codec and emit dimensions + content statistics. Arrow
+    batches stream through each task — bounded memory at any table
+    size, payloads never collected."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, kind, buf in zip(
+                pdf["doc_id"].tolist(), pdf["kind"].tolist(), pdf["payload"].tolist()
+            ):
+                d = int(d)
+                buf = bytes(buf)
+                if kind == "image":
+                    w, h, top, stat = _decode_bmp(buf)
+                    rows.append((d, kind, w, h, 1, 0, top, stat))
+                else:
+                    rate, n, first, stat = _decode_wav(buf)
+                    rows.append((d, kind, 0, 0, n, rate, first, stat))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height",
+                    "n_frames", "sample_rate", "top_val", "stat_milli",
+                ],
+            )
+
+    return media.mapInPandas(dec, REAL_DECODED_SCHEMA)

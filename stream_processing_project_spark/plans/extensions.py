@@ -2301,3 +2301,58 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(k), int(v_)) for k, v_ in sorted(vec.items())],
         "dim_idx bigint, loading_micro bigint",
     )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id, 'image' AS kind,
+         CAST(2 + doc_id % 5 AS BIGINT) AS width,
+         CAST(3 + doc_id % 7 AS BIGINT) AS height,
+         CAST(1 AS BIGINT) AS n_frames,
+         CAST(0 AS BIGINT) AS sample_rate,
+         CAST(doc_id % 256 AS BIGINT) AS top_val,
+         CAST(list_sum(list_transform(range(3 + doc_id % 7),
+                                      y -> (doc_id + y) % 256)) * 1000
+              // (3 + doc_id % 7) AS BIGINT) AS stat_milli
+  FROM ids WHERE doc_id % 3 = 0
+),
+aud AS (
+  SELECT doc_id, 'audio' AS kind,
+         CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
+         CAST(800 + doc_id % 800 AS BIGINT) AS n_frames,
+         CAST(8000 AS BIGINT) AS sample_rate,
+         CAST((doc_id * 7) % 2001 - 1000 AS BIGINT) AS top_val,
+         CAST(list_sum(list_transform(range(800 + doc_id % 800),
+                                      i -> abs((doc_id * 7 + i) % 2001 - 1000)))
+              * 1000 // (800 + doc_id % 800) AS BIGINT) AS stat_milli
+  FROM ids WHERE doc_id % 3 = 1
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+""",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, fully value-hash-oracled — the codec gate
+    made concrete (operators/multimodal.py r04): deterministic BMP and
+    WAV payloads are SYNTHESIZED as genuine container bytes
+    (struct-packed headers, 4-byte-padded bottom-up BMP rows, RIFF
+    chunk layout with a decoy LIST chunk), then DECODED by real
+    parsers — header unpack, chunk walking, padding-aware numpy pixel
+    extraction, int16 PCM — and reduced to per-asset statistics. The
+    payloads follow a closed-form generative model of doc_id, so
+    DuckDB recomputes every decoded statistic symbolically: any codec
+    bug (stride off-by-one, missed bottom-up flip, chunk misparse)
+    breaks the hash. Shape: both synth and decode are mapInPandas over
+    Arrow batches — payload bytes live only inside tasks, the
+    data-sized stages are two narrow passes, and a real-codec swap
+    (PIL/ffmpeg for compressed formats) changes only the per-row
+    parser functions."""
+    from stream_processing_project_spark.operators.multimodal import (
+        decode_real_media,
+        synthesize_real_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return decode_real_media(synthesize_real_media(docs))

@@ -173,6 +173,7 @@ _PRIORITY = [
     "olap_interpurchase_time",
     "olap_new_vs_returning",
     "streaming_linear_fit",
+    "multimodal_decode_real",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -173,3 +173,33 @@ def test_markov_attribution_removal_effects_bounded(spark):
             continue
         assert 0 <= r.start_v_micro <= base
         assert r.removal_effect_micro == base - r.start_v_micro
+
+
+def test_real_bmp_wav_codecs_roundtrip_and_detect_orientation():
+    """Pure-codec pins (no Spark): the BMP decoder must flip the
+    bottom-up storage back to top-down (top_val distinguishes the
+    orientations whenever h > 1), honor the 4-byte row padding, and
+    the WAV decoder must WALK chunks past the decoy LIST chunk."""
+    from stream_processing_project_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_wav,
+        _encode_bmp,
+        _encode_wav,
+    )
+
+    # doc 6: w=3 (stride 12, no pad), h=9; top row = 6, bottom row = 14
+    w, h, top, mean = _decode_bmp(_encode_bmp(6))
+    assert (w, h) == (3, 9)
+    assert top == 6  # an un-flipped decode would report 14
+    assert mean == sum((6 + y) % 256 for y in range(9)) * 1000 // 9
+    # doc 15: w=2 → 6 real bytes padded to stride 8 — padding must be
+    # excluded from the mean
+    w, h, top, mean = _decode_bmp(_encode_bmp(15))
+    assert (w, top) == (2, 15)
+    assert mean == sum((15 + y) % 256 for y in range(h)) * 1000 // h
+    rate, n, first, mean_abs = _decode_wav(_encode_wav(7))
+    assert (rate, n) == (8000, 800 + 7 % 800)
+    assert first == (7 * 7) % 2001 - 1000
+    assert mean_abs == sum(
+        abs((7 * 7 + i) % 2001 - 1000) for i in range(n)
+    ) * 1000 // n

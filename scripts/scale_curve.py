@@ -89,6 +89,8 @@ QUERIES = [
     "olap_new_vs_returning",
     "streaming_linear_fit",
     "multimodal_decode_real",
+    "features_woe_encoding",
+    "profile_benford_deviation",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

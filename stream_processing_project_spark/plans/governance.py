@@ -3537,3 +3537,146 @@ def profile_chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("chi2_micro") > 1e6 * 9.488).alias("reject_at_05"),
         )
     )
+
+
+@register(
+    "features_woe_encoding",
+    oracle="""
+WITH labeled AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (
+  SELECT brand,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM labeled GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+         CAST(sum(n_bad) AS BIGINT) AS b_tot
+  FROM per_brand
+)
+SELECT b.brand, b.n_good, b.n_bad,
+       CAST(round(ln((CAST(b.n_bad AS DOUBLE) / t.b_tot)
+                     / (CAST(b.n_good AS DOUBLE) / t.g_tot)) * 1e6)
+            AS BIGINT) AS woe_micronats,
+       CAST(round((CAST(b.n_bad AS DOUBLE) / t.b_tot
+                   - CAST(b.n_good AS DOUBLE) / t.g_tot)
+                  * ln((CAST(b.n_bad AS DOUBLE) / t.b_tot)
+                       / (CAST(b.n_good AS DOUBLE) / t.g_tot)) * 1e6)
+            AS BIGINT) AS iv_micro
+FROM per_brand b, tot t
+WHERE b.n_good > 0 AND b.n_bad > 0
+""",
+)
+def features_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the credit-scoring / risk-modeling categorical encoder that
+    complements target encoding (features_target_encode_loo): WOE(c) =
+    ln(bad_share / good_share), IV contribution = (bad_share −
+    good_share)·WOE. One conditional-aggregate rollup to |categories|
+    rows, a 1-row total broadcast, micro-nat quantization of the ln
+    AFTER the fixed-order double assembly (the mutual-info precedent —
+    both engines evaluate the identical IEEE expression); zero-count
+    categories excluded (WOE undefined). Shape at 100 TB: broadcast
+    dim join + one map-side-combined rollup — nothing else touches the
+    fact table."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    per_brand = labeled.groupBy("brand").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = per_brand.agg(
+        F.sum("n_good").alias("g_tot"), F.sum("n_bad").alias("b_tot")
+    )
+    bad_share = F.col("n_bad").cast("double") / F.col("b_tot")
+    good_share = F.col("n_good").cast("double") / F.col("g_tot")
+    woe = F.log(bad_share / good_share)
+    return (
+        per_brand.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .select(
+            "brand",
+            "n_good",
+            "n_bad",
+            F.round(woe * 1e6).cast("long").alias("woe_micronats"),
+            F.round((bad_share - good_share) * woe * 1e6)
+            .cast("long")
+            .alias("iv_micro"),
+        )
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), inlined as the
+# same double literals in both engines (no log10 in either plan)
+_BENFORD_P = [
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561,
+]
+_BENFORD_SQL = "[" + ", ".join(str(p) for p in _BENFORD_P) + "]"
+
+
+@register(
+    "profile_benford_deviation",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders
+),
+obs AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT o.d AS digit, o.n_obs,
+       CAST(round(t.n * ({_BENFORD_SQL})[o.d] * 1000) AS BIGINT)
+         AS expected_milli,
+       CAST(round((o.n_obs - t.n * ({_BENFORD_SQL})[o.d])
+                  * (o.n_obs - t.n * ({_BENFORD_SQL})[o.d])
+                  / (t.n * ({_BENFORD_SQL})[o.d]) * 1e6) AS BIGINT)
+         AS chi_cell_micro
+FROM obs o, tot t
+""",
+)
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the fraud/
+    data-fabrication detector (fabricated amounts flatten the leading-
+    digit distribution; the per-digit chi-square cells localize WHICH
+    digits deviate). First digit extracted from the exact integer
+    cents (string head of a positive bigint — engine-identical);
+    expected shares are the same nine inlined double literals in both
+    plans, so no log evaluates anywhere; chi cells micro-quantized
+    after one fixed-order double expression (the chi-square-family
+    convention). ONE map-side-combined 9-row rollup + a 1-row total
+    broadcast — the whole screen is a single scan at any scale."""
+    parr = F.array(*[F.lit(x) for x in _BENFORD_P])
+    digits = t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    exp = F.col("n") * F.element_at(parr, F.col("d").cast("int"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n_obs",
+        F.round(exp * 1000).cast("long").alias("expected_milli"),
+        F.round(
+            (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp * 1e6
+        )
+        .cast("long")
+        .alias("chi_cell_micro"),
+    )

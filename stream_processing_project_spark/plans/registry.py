@@ -174,6 +174,8 @@ _PRIORITY = [
     "olap_new_vs_returning",
     "streaming_linear_fit",
     "multimodal_decode_real",
+    "features_woe_encoding",
+    "profile_benford_deviation",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -91,6 +91,7 @@ QUERIES = [
     "multimodal_decode_real",
     "features_woe_encoding",
     "profile_benford_deviation",
+    "quality_freshness_volume",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

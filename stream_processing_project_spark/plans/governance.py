@@ -3680,3 +3680,82 @@ def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chi_cell_micro"),
     )
+
+
+@register(
+    "quality_freshness_volume",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+ref AS (SELECT CAST(max(day) AS BIGINT) AS last_day FROM daily),
+trail AS (
+  SELECT d.day, d.n_rows,
+         CAST(count(*) AS BIGINT) AS n_prior,
+         CAST(sum(p.n_rows) AS BIGINT) AS s1,
+         CAST(sum(p.n_rows * p.n_rows) AS BIGINT) AS s2
+  FROM daily d JOIN daily p
+    ON p.day < d.day AND p.day >= d.day - 7
+  GROUP BY 1, 2
+)
+SELECT t.day, t.n_rows, r.last_day - t.day AS staleness_days, t.n_prior,
+       CASE WHEN t.n_prior >= 3
+             AND t.n_prior * t.s2 - t.s1 * t.s1 > 0
+            THEN (t.n_rows * t.n_prior - t.s1) * (t.n_rows * t.n_prior - t.s1)
+                 * 1000000 // (t.n_prior * (t.n_prior * t.s2 - t.s1 * t.s1))
+       END AS z2_micro
+FROM trail t, ref r
+""",
+)
+def quality_freshness_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-observability freshness + volume-anomaly screen — the
+    table-health monitor (Monte-Carlo-style checks): per day, row
+    volume, staleness vs the newest day, and a squared z-score of the
+    day's volume against its 7-day trailing window — all in EXACT
+    integer arithmetic: z² = (n·x − Σ)²·1e6 div (n·(n·Σx² − Σ²)),
+    bigint end to end, so the anomaly statistic itself value-hash
+    oracles (no float mean/std). The trailing window is an equi-ish
+    self-join on a 7-day band of the |days| rollup — the fan-out
+    multiplies the DOWNSAMPLED daily table only, never events. Days
+    with <3 priors or zero variance emit null (cold start /
+    constant-volume guard). At 100 TB the daily rollup is the single
+    data-sized stage; everything after is |days|-sized."""
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_rows"))
+    ref = daily.agg(F.max("day").alias("last_day"))
+    d = daily.alias("d")
+    p = daily.select(
+        F.col("day").alias("p_day"), F.col("n_rows").alias("p_rows")
+    )
+    trailing = (
+        d.join(
+            p,
+            (F.col("p_day") < F.col("d.day"))
+            & (F.col("p_day") >= F.col("d.day") - 7),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("d.n_rows").alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_prior"),
+            F.sum("p_rows").alias("s1"),
+            F.sum(F.col("p_rows") * F.col("p_rows")).alias("s2"),
+        )
+    )
+    num = F.col("n_rows") * F.col("n_prior") - F.col("s1")
+    var_term = F.col("n_prior") * F.col("s2") - F.col("s1") * F.col("s1")
+    return trailing.crossJoin(F.broadcast(ref)).select(
+        "day",
+        "n_rows",
+        (F.col("last_day") - F.col("day")).alias("staleness_days"),
+        "n_prior",
+        F.when(
+            (F.col("n_prior") >= 3) & (var_term > 0),
+            F.expr(
+                "(n_rows * n_prior - s1) * (n_rows * n_prior - s1) * 1000000"
+                " div (n_prior * (n_prior * s2 - s1 * s1))"
+            ),
+        ).alias("z2_micro"),
+    )

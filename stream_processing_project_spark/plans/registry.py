@@ -176,6 +176,7 @@ _PRIORITY = [
     "multimodal_decode_real",
     "features_woe_encoding",
     "profile_benford_deviation",
+    "quality_freshness_volume",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -92,6 +92,7 @@ QUERIES = [
     "features_woe_encoding",
     "profile_benford_deviation",
     "quality_freshness_volume",
+    "olap_cohort_ltv",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

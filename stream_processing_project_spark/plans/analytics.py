@@ -575,3 +575,85 @@ def olap_rolling_1h_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         (F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)).alias("avg_1h"),
     )
+
+
+@register(
+    "olap_cohort_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e GROUP BY 1, 2
+),
+cohort_sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n FROM first_seen
+  GROUP BY 1
+),
+daily AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, r.day) AS BIGINT) AS day_offset,
+         CAST(sum(r.cents) AS BIGINT) AS cents
+  FROM rev r JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_day, day_offset, cents,
+         CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset)
+              AS BIGINT) AS cum_cents
+  FROM daily
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       c.day_offset, c.cents, c.cum_cents, s.cohort_n,
+       c.cum_cents * 1000 // s.cohort_n AS ltv_milli_per_user
+FROM cum c JOIN cohort_sizes s USING (cohort_day)
+""",
+)
+def olap_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the revenue companion of the retention
+    triangle (`olap_cohort_retention`): cumulative cents per
+    acquisition cohort by day offset, normalized per cohort member
+    (the payback-period read marketing runs against CAC). Exact
+    bigints end to end; the per-user normalization is integer
+    milli-cents via div. The cumulative sum is a window PARTITIONED BY
+    cohort ordered by offset — |cohorts| independent partitions of
+    |offsets| rows each, never a global window. Shape at 100 TB: one
+    user_id-keyed exchange (revenue rollup + first-seen join share
+    it), one (cohort, offset) rollup, and the per-cohort windows."""
+    from pyspark.sql import Window as W
+
+    events = t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    rev = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    cohort_sizes = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    daily = (
+        rev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = daily.withColumn("cum_cents", F.sum("cents").over(w))
+    return cum.join(F.broadcast(cohort_sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "cents",
+        "cum_cents",
+        "cohort_n",
+        F.expr("cum_cents * 1000 div cohort_n").alias("ltv_milli_per_user"),
+    )

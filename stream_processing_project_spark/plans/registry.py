@@ -177,6 +177,7 @@ _PRIORITY = [
     "features_woe_encoding",
     "profile_benford_deviation",
     "quality_freshness_volume",
+    "olap_cohort_ltv",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -93,6 +93,7 @@ QUERIES = [
     "profile_benford_deviation",
     "quality_freshness_volume",
     "olap_cohort_ltv",
+    "olap_mv_join_delta",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -4517,3 +4517,56 @@ def olap_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("day") > F.col("first_day"), F.col("user_id"))
         ).alias("returning_users"),
     )
+
+
+@register(
+    "olap_mv_join_delta",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, c.c_custkey, c.c_mktsegment,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def olap_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-join rule, the
+    other half of IVM (`olap_mv_incremental_refresh` covers aggregate
+    views): for V = O ⋈ C under inserts ΔO, ΔC,
+    ΔV = ΔO⋈C_old ∪ O_old⋈ΔC ∪ ΔO⋈ΔC, and the maintained view is the
+    stored base union the three delta joins — the fact table is never
+    re-joined in full. Here orders after a date cutoff play ΔO and a
+    customer-key slice plays ΔC (simulated dimension inserts); the
+    oracle is the FULL join, and base ∪ deltas matching it
+    value-hash-exactly IS the maintenance-correctness claim (the
+    four-way union is a disjoint partition of O×C matches, so no
+    dedup step is needed — multiset semantics preserved). Scale
+    shape: each delta join probes |Δ| against a broadcast or
+    co-partitioned side; at 100 TB the base join is the stored view
+    (zero cost at refresh), ΔO is partition-pruned by date, and the
+    refresh cost is O(|ΔO| + |ΔC| fan-in) — independent of view
+    history. Retractions propagate the same joins with tombstone
+    rows."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    o_base = o.filter(F.col("o_orderdate") < cutoff)
+    o_delta = o.filter(F.col("o_orderdate") >= cutoff)
+    c_base = c.filter(F.col("c_custkey") % 20 != 0)
+    c_delta = c.filter(F.col("c_custkey") % 20 == 0)
+
+    def j(lo: DataFrame, rc: DataFrame) -> DataFrame:
+        return lo.join(rc, lo.o_custkey == rc.c_custkey).select(
+            "o_orderkey", "o_orderdate", "c_custkey", "c_mktsegment", "cents"
+        )
+
+    base_view = j(o_base, c_base)  # the stored MV (rebuilt here for the check)
+    maintained = (
+        base_view.unionByName(j(o_delta, c_base))
+        .unionByName(j(o_base, c_delta))
+        .unionByName(j(o_delta, c_delta))
+    )
+    return maintained

@@ -178,6 +178,7 @@ _PRIORITY = [
     "profile_benford_deviation",
     "quality_freshness_volume",
     "olap_cohort_ltv",
+    "olap_mv_join_delta",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -4305,7 +4305,7 @@ def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism contract (the iterative-family convention):
     transition probabilities are integer micro-units via `div`, each
     value-iteration term floors (p·v div 1e6) before the incoming
-    sum, fixed {rounds} rounds — bit-identical to the unrolled-SQL
+    sum, fixed _MARKOV_ROUNDS=20 rounds — bit-identical to the unrolled-SQL
     oracle. All six scenarios (base + 5 removals) iterate TOGETHER as
     one (scenario, state) value table.
 
@@ -4316,7 +4316,7 @@ def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected ONCE (bounded by the state-space construction, the PCA
     d²-fold precedent) and value-iterated driver-side in exact Python
     ints; at any corpus size the driver holds the transition matrix,
-    never data.""".format(rounds=_MARKOV_ROUNDS)
+    never data."""
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")

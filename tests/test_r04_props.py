@@ -203,3 +203,56 @@ def test_real_bmp_wav_codecs_roundtrip_and_detect_orientation():
     assert mean_abs == sum(
         abs((7 * 7 + i) % 2001 - 1000) for i in range(n)
     ) * 1000 // n
+
+
+def test_bucketed_running_sum_equals_global_cumsum(spark):
+    """Property net for the load-bearing range-partitioned cumsum
+    (backs abc_pareto, percent_rank, token_budget, RFM): for random
+    values with heavy ties, in both directions, with nulls, the
+    bucketed result must equal the plain sorted-prefix reference —
+    for ANY boundary set the sketch happens to pick."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from stream_processing_project_spark.plans.common import (
+        bucketed_running_sum,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9_999),  # id (unique via enum)
+            st.one_of(
+                st.none(), st.integers(min_value=-50, max_value=50)
+            ),  # order value, heavy ties + nulls
+            st.integers(min_value=0, max_value=1_000),  # summed value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows_strategy, descending=st.booleans())
+    def check(rows, descending):
+        data = [(i, k, v) for i, (_, k, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, k long, v long")
+        got, bcol = bucketed_running_sum(
+            df, "v", "k", ["id"], descending=descending, n_buckets=4
+        )
+        got_rows = {r.id: r.cum for r in got.collect()}
+        # reference: plain python prefix sums over the exact ordering
+        # (k desc/asc nulls last, id asc)
+        key = lambda t: (  # noqa: E731
+            t[1] is None,
+            (-t[1] if descending else t[1]) if t[1] is not None else 0,
+            t[0],
+        )
+        acc = 0
+        for i, k, v in sorted(data, key=key):
+            acc += v
+            assert got_rows[i] == acc, (i, k, v, got_rows[i], acc)
+
+    check()

@@ -94,6 +94,9 @@ QUERIES = [
     "quality_freshness_volume",
     "olap_cohort_ltv",
     "olap_mv_join_delta",
+    "profile_ks_drift",
+    "olap_nation_kcore",
+    "features_pit_join",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

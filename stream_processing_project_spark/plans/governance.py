@@ -3759,3 +3759,167 @@ def quality_freshness_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("z2_micro"),
     )
+
+
+@register(
+    "profile_ks_drift",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+              THEN 0 ELSE 1 END AS side
+  FROM orders
+),
+hist AS (
+  SELECT v,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM hist
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+  FROM hist
+)
+SELECT t.na, t.nb,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT)
+         AS ks_cross,
+       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) * 1000000
+            // (t.na * t.nb) AS BIGINT) AS ks_micro
+FROM cum c, tot t
+GROUP BY t.na, t.nb
+""",
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between order-
+    value snapshots (before/after a cutoff) — the nonparametric
+    complement of the PSI monitor (`profile_drift_psi`: binned,
+    distribution-shape; KS: exact, worst-case ECDF gap — the test that
+    catches a drifted tail PSI's bins can smear). ENTIRELY INTEGER:
+    per distinct value, both cumulative counts; the statistic is
+    max |cumA·nB − cumB·nA| (the cross-multiplied ECDF gap — no float
+    division inside the max), scaled once at the end via div. The
+    cumulation is range-partitioned (bucketed_running_sum — no global
+    window on the Spark side); the max is a 1-row aggregate. Shape at
+    100 TB: one conditional-aggregate histogram over the scan, then
+    |distinct values|-sized math."""
+    from stream_processing_project_spark.plans.common import (
+        bucketed_running_sum,
+    )
+
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    vals = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.when(F.col("o_orderdate") < cutoff, 0).otherwise(1).alias("side"),
+    )
+    hist = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    cum_a, _ = bucketed_running_sum(hist, "ca", "v", out_col="cum_a")
+    cum, _ = bucketed_running_sum(
+        cum_a.drop("_rsb"), "cb", "v", out_col="cum_b"
+    )
+    tot = hist.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    gap = F.abs(
+        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).alias("ks_cross"))
+        .select(
+            "na",
+            "nb",
+            "ks_cross",
+            F.expr("ks_cross * 1000000 div (na * nb)").alias("ks_micro"),
+        )
+    )
+
+
+@register(
+    "features_pit_join",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, ts, event_id, 0 AS tag,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('view', 'click', 'play')
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT)
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+         CAST(coalesce(sum(CASE WHEN tag = 0 THEN 1 END) OVER w, 0)
+              AS BIGINT) AS n_prior,
+         CAST(coalesce(sum(CASE WHEN tag = 0 THEN cents END) OVER w, 0)
+              AS BIGINT) AS cents_prior
+  FROM tl
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS label_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+       n_prior, cents_prior
+FROM carried WHERE tag = 1
+""",
+)
+def features_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature retrieval — the training-serving-
+    skew / label-leakage guard every feature store exists for: each
+    label row (purchase) picks up per-user features computed from
+    events STRICTLY BEFORE its timestamp, never at-or-after. The
+    as-of union-and-carry idiom (`olap_asof_last_order`) with the
+    leakage rule encoded in the SORT: labels order BEFORE feature
+    events at equal timestamps (tag DESC), and the frame ends at
+    1 PRECEDING — so a feature event sharing the label's exact
+    timestamp is EXCLUDED (the at-label-time leak an `<=` as-of join
+    silently commits). ONE user_id exchange serves every label; exact
+    bigint feature sums. At 100 TB this replaces the per-label probe
+    a naive feature-store lookup does — the carry window touches each
+    event once."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    feats = ev.filter(
+        F.col("event_type").isin("view", "click", "play")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("tag"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("tag").desc(), "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = feats.unionByName(labels).select(
+        "*",
+        F.coalesce(
+            F.sum(F.when(F.col("tag") == 0, 1)).over(w), F.lit(0)
+        ).alias("n_prior"),
+        F.coalesce(
+            F.sum(F.when(F.col("tag") == 0, F.col("cents"))).over(w), F.lit(0)
+        ).alias("cents_prior"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "user_id",
+        F.col("event_id").alias("label_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+        "n_prior",
+        "cents_prior",
+    )

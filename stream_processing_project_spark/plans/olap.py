@@ -4570,3 +4570,122 @@ def olap_mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(j(o_delta, c_delta))
     )
     return maintained
+
+
+def _kcore_oracle(rounds: int, k: int, thr: int) -> str:
+    """Unrolled peeling twin of olap_nation_kcore — one CTE per
+    synchronous round (the BFS/PageRank oracle convention); each s{j}
+    is referenced by s{j+1} and by the degree subquery, so rounds are
+    AS MATERIALIZED (the multiply-referenced-CTE lesson)."""
+    head = f"""
+WITH dedges AS (
+  SELECT src, dst FROM (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+  ) WHERE w >= {thr} AND src <> dst
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges
+  )
+),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+)"""
+    step = f""",
+s{{j}} AS MATERIALIZED (
+  SELECT e.src AS node
+  FROM edges e
+  JOIN s{{prev}} a ON a.node = e.src
+  JOIN s{{prev}} b ON b.node = e.dst
+  GROUP BY 1 HAVING count(*) >= {k}
+)"""
+    body = "".join(step.format(j=j, prev=j - 1) for j in range(1, rounds + 1))
+    return f"""{head}{body}
+SELECT s.node AS nationkey, CAST(d.deg AS BIGINT) AS core_degree
+FROM s{rounds} s
+JOIN (
+  SELECT e.src AS node, count(*) AS deg
+  FROM edges e
+  JOIN s{rounds} a ON a.node = e.src
+  JOIN s{rounds} b ON b.node = e.dst
+  GROUP BY 1
+) d ON d.node = s.node
+"""
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+@register(
+    "olap_nation_kcore",
+    oracle=_kcore_oracle(_KCORE_ROUNDS, _KCORE_K, 900000000),
+)
+def olap_nation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the heavy-trade nation graph
+    (undirected, symmetrized, self-loops dropped) — the cohesion-
+    hierarchy member of the graph family (who survives when nodes
+    with < k strong partners peel away): synchronous peeling, each
+    round recomputing degrees WITHIN the surviving set and dropping
+    sub-k nodes, fixed rounds chosen past the peel depth (a round
+    that removes nobody is a fixpoint, so extra rounds are no-ops —
+    the fixed count makes the unrolled-SQL oracle bit-exact, the
+    BFS/PageRank convention). Exact integer degrees throughout.
+    Output: the k-core members with their in-core degree. Scale
+    shape: the edge extraction is the one data-sized stage; each peel
+    round is two broadcast semi-joins of the O(|nodes|) survivor set
+    against the sparse edge list plus a map-side-combined degree
+    count — Pregel peeling as DataFrame algebra."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    directed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.sum(cents).alias("w"))
+        .filter((F.col("w") >= 900000000) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = edges.select(F.col("src").alias("node")).distinct()
+
+    def in_core_degrees(members: DataFrame) -> DataFrame:
+        a = members.select(F.col("node").alias("a_node"))
+        b = members.select(F.col("node").alias("b_node"))
+        return (
+            edges.join(F.broadcast(a), edges.src == F.col("a_node"))
+            .join(F.broadcast(b), edges.dst == F.col("b_node"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        surv = (
+            in_core_degrees(surv)
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+    return (
+        in_core_degrees(surv)
+        .join(F.broadcast(surv), "node")
+        .select(F.col("node").alias("nationkey"), F.col("deg").alias("core_degree"))
+    )

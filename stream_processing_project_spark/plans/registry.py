@@ -179,6 +179,9 @@ _PRIORITY = [
     "quality_freshness_volume",
     "olap_cohort_ltv",
     "olap_mv_join_delta",
+    "profile_ks_drift",
+    "olap_nation_kcore",
+    "features_pit_join",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -97,6 +97,7 @@ QUERIES = [
     "profile_ks_drift",
     "olap_nation_kcore",
     "features_pit_join",
+    "olap_skyline_2d",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -4689,3 +4689,66 @@ def olap_nation_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(surv), "node")
         .select(F.col("node").alias("nationkey"), F.col("deg").alias("core_degree"))
     )
+
+
+@register(
+    "olap_skyline_2d",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+),
+best AS (
+  SELECT size, min(price_cents) AS min_price FROM pts GROUP BY 1
+),
+sky_sizes AS (
+  SELECT size, min_price,
+         min(min_price) OVER (ORDER BY size
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS better_smaller
+  FROM best
+)
+SELECT p.p_partkey, p.size, p.price_cents
+FROM pts p JOIN sky_sizes s USING (size)
+WHERE p.price_cents = s.min_price
+  AND (s.better_smaller IS NULL OR p.price_cents < s.better_smaller)
+""",
+)
+def olap_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) — parts not dominated in
+    (size, price): no other part is both ≤ size and ≤ price with one
+    strict (minimize-both; the classic multi-criteria shortlist
+    operator, BNL in the literature). The scalable 2-D formulation
+    avoids any pairwise dominance join: ONE map-side-combined
+    min-price-per-size rollup reduces the fact table to |distinct
+    sizes| rows, a prefix-min over that tiny ordered set marks sizes
+    whose best price beats every strictly-smaller size, and a final
+    equi-join recovers the skyline members (ties on the front kept —
+    all are non-dominated). Exact integer cents. The |sizes|-row
+    window is dimension-bounded (part sizes are a small domain — same
+    class as the serving-board windows); for continuous dimensions,
+    quantize to the precision the decision needs and the same shape
+    holds. Higher dimensions fall back to grid-dominance blocking
+    (the spatial-join contract)."""
+    from pyspark.sql import Window as W
+
+    pts = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    best = pts.groupBy("size").agg(F.min("price_cents").alias("min_price"))
+    w = W.orderBy("size").rowsBetween(W.unboundedPreceding, -1)
+    sky_sizes = best.withColumn("better_smaller", F.min("min_price").over(w))
+    return (
+        pts.join(F.broadcast(sky_sizes), "size")
+        .filter(
+            (F.col("price_cents") == F.col("min_price"))
+            & (
+                F.col("better_smaller").isNull()
+                | (F.col("price_cents") < F.col("better_smaller"))
+            )
+        )
+        .select("p_partkey", "size", "price_cents")
+    )

@@ -182,6 +182,7 @@ _PRIORITY = [
     "profile_ks_drift",
     "olap_nation_kcore",
     "features_pit_join",
+    "olap_skyline_2d",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

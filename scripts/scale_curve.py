@@ -98,6 +98,7 @@ QUERIES = [
     "olap_nation_kcore",
     "features_pit_join",
     "olap_skyline_2d",
+    "streaming_pit_features",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -460,3 +460,92 @@ def ols_stream(events: DataFrame, origin: int) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+PIT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("label_event_id", LongType()),
+        StructField("label_tu", LongType()),
+        StructField("n_prior", LongType()),
+        StructField("cents_prior", LongType()),
+    ]
+)
+
+_PIT_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def _fold_pit(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Walk this micro-batch's rows in the (ts, tag DESC, event_id)
+    total order: a label row (tag 1) EMITS the accumulated feature
+    state BEFORE any same-timestamp feature folds in (the strictly-
+    before leakage rule, encoded in the sort exactly as the batch
+    window's `tag DESC, 1 PRECEDING` frame); a feature row (tag 0)
+    then folds into (n, cents). State bridges micro-batches — the
+    online store's running profile."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    pdf = pdf.sort_values(
+        ["tu", "tag", "event_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    n, cents = state.get if state.exists else (0, 0)
+    out = []
+    for tu, tag, eid, c in zip(
+        pdf["tu"].tolist(), pdf["tag"].tolist(),
+        pdf["event_id"].tolist(), pdf["cents"].tolist(),
+    ):
+        if tag == 1:
+            out.append((key[0], int(eid), int(tu), n, cents))
+        else:
+            n += 1
+            cents += int(c)
+    state.update((n, cents))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "label_event_id", "label_tu",
+                     "n_prior", "cents_prior"],
+        )
+
+
+def pit_feature_stream(events: DataFrame) -> DataFrame:
+    """ONLINE point-in-time feature serving — the streaming twin of
+    `features_pit_join`, and the feature-store consistency claim made
+    testable: the online path (running per-user state, features
+    attached to each label the moment it arrives) and the offline path
+    (the batch as-of window) are checked against the SAME oracle.
+    State is two longs per user; each label costs O(1). In-order
+    arrival per user across micro-batches is the transition-log
+    convention."""
+    from pyspark.sql import functions as F
+
+    keyed = events.filter(
+        F.col("event_type").isin("view", "click", "play", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("tag"),
+        F.when(
+            F.col("event_type").isin("view", "click", "play"),
+            F.round(F.col("value") * 100, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _fold_pit,
+        PIT_SCHEMA,
+        _PIT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

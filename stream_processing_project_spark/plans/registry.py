@@ -183,6 +183,7 @@ _PRIORITY = [
     "olap_nation_kcore",
     "features_pit_join",
     "olap_skyline_2d",
+    "streaming_pit_features",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

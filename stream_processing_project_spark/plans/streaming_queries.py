@@ -1122,3 +1122,49 @@ def streaming_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_rn") == 1) & F.col("slope").isNotNull())
         .select("event_type", "n", "slope", "intercept")
     )
+
+
+@register(
+    "streaming_pit_features",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, ts, event_id, 0 AS tag,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('view', 'click', 'play')
+  UNION ALL
+  SELECT user_id, ts, event_id, 1 AS tag, CAST(NULL AS BIGINT)
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT *,
+         CAST(coalesce(sum(CASE WHEN tag = 0 THEN 1 END) OVER w, 0)
+              AS BIGINT) AS n_prior,
+         CAST(coalesce(sum(CASE WHEN tag = 0 THEN cents END) OVER w, 0)
+              AS BIGINT) AS cents_prior
+  FROM tl
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag DESC, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS label_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS label_tu,
+       n_prior, cents_prior
+FROM carried WHERE tag = 1
+""",
+)
+def streaming_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE point-in-time feature serving (applyInPandasWithState) —
+    the feature-store online/offline-consistency claim made testable:
+    this streaming path (running per-user profile state, features
+    attached to each label as it arrives, same-timestamp features
+    excluded by the in-group sort) and the batch path
+    (`features_pit_join`) are checked against the SAME as-of oracle.
+    O(1) state (two longs) per user; each label emission is exact
+    bigints, so parity is value-hash-exact after full replay."""
+    from stream_processing_project_spark.operators.stateful import (
+        pit_feature_stream,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    return pipeline.run_to_completion(
+        pit_feature_stream(events), output_mode="update"
+    )

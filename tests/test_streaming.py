@@ -1176,3 +1176,60 @@ def test_ols_state_bridges_micro_batch_boundary(spark):
     last = {(r.updates, r.n, r.slope, r.intercept)
             for r in spark.table(name).collect() if r.updates == 2}
     assert last == {(2, 3, 150.0, 150.0)}
+
+
+def test_pit_feature_state_bridges_micro_batch_boundary(spark):
+    """The per-user feature profile must bridge batches: a label in
+    the second micro-batch sees features accumulated in the first;
+    a feature sharing the label's exact timestamp is EXCLUDED (the
+    leakage rule), and features never include the label's own batch
+    successors."""
+    import uuid
+
+    from stream_processing_project_spark.operators.stateful import (
+        pit_feature_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="spe-pit-")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, 10, "2024-01-01 00:00:00", "view", 1.0),
+           (1, 11, "2024-01-01 00:01:00", "click", 2.0)])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"pit_{uuid.uuid4().hex[:8]}"
+    q = (
+        pit_feature_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir("pit_bridge"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.table(name).count() == 0  # no labels yet
+    # second batch: a feature AT the label's exact ts (must be excluded),
+    # the label, then a later feature (must not leak backwards)
+    write([(1, 12, "2024-01-01 00:02:00", "play", 3.0),
+           (1, 13, "2024-01-01 00:02:00", "purchase", 99.0),
+           (1, 14, "2024-01-01 00:03:00", "view", 5.0)])
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.table(name).collect()]
+    # features strictly before 00:02:00: events 10 (100c) + 11 (200c)
+    assert rows == [(1, 13, 1704067320000000, 2, 300)]

@@ -107,9 +107,32 @@ def _select(names):
         return [n for n in names if n in want]
     if "--changed-only" in argv:
         import stream_processing_project_spark.plans.registry as _reg
-        stamp_path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".rehearse_full_gate_stamp")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        stamp_path = os.path.join(root, ".rehearse_full_gate_stamp")
         stamp = os.path.getmtime(stamp_path) if os.path.exists(stamp_path) else 0.0
+        # builders compose operators/, streaming/, sources/, functions/,
+        # plans/common — an edit THERE changes query semantics without
+        # touching any builder module's mtime, so any change outside the
+        # plans/ query modules conservatively re-selects EVERYTHING (the
+        # stale-pass this mode must never produce)
+        pkg = os.path.join(root, "stream_processing_project_spark")
+        non_plans_changed = False
+        for dirpath, _, files in os.walk(pkg):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                path = os.path.join(dirpath, f)
+                rel = os.path.relpath(path, pkg)
+                if os.path.getmtime(path) > stamp and not (
+                    rel.startswith("plans" + os.sep)
+                    and rel != os.path.join("plans", "common.py")
+                    and rel != os.path.join("plans", "registry.py")
+                ):
+                    non_plans_changed = True
+        if non_plans_changed:
+            print("--changed-only: shared/operator modules changed since "
+                  "last full gate — running ALL queries")
+            return names
         changed_mods = set()
         for q in _reg.all_queries().values():
             mod = sys.modules[q.builder.__module__]

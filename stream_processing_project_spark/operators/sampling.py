@@ -58,7 +58,10 @@ def token_budget_select(
     ranges on the priority cumulate in parallel and add driver-computed
     prefix offsets, so there is no single-ordering-partition window and
     a 100 TB corpus pays one bounded collect (≤33 range sums) instead
-    of a serial global sort."""
+    of a serial global sort. Non-NUMERIC priority/id orderings fall
+    back to the plain ordered window inside the helper (approxQuantile
+    boundaries need a numeric column) — quantize or map the ordering
+    to numbers to keep the partitioned form."""
     from stream_processing_project_spark.plans.common import (
         bucketed_running_sum,
     )

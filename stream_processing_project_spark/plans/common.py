@@ -72,40 +72,72 @@ def bucketed_running_sum(
     values sort last (nulls_last both directions), matching
     desc_nulls_last / asc_nulls_last window semantics.
 
+    `order_col` must be NUMERIC (approxQuantile's precondition — the
+    range boundaries come from its sketch); non-numeric orderings fall
+    back to the plain global ordered window with a one-line warning in
+    the plan comment sense: correct, serial at the margin, and the
+    caller should quantize or map the ordering to a numeric key to get
+    the partitioned form.
+
+    The input is persisted for the CONSTRUCTION phase only (boundary
+    sketch + per-range sums are driver actions; without the cache each
+    would re-scan the input's full lineage) and released before
+    returning — the kmeans_fit lifetime pattern, so registry-wide
+    sweeps accumulate nothing and the returned plan recomputes the
+    input in one pass.
+
     Returns (df + out_col, bucket_col_name) — callers drop the bucket
     column when done; it is exposed so plan pins can assert the window
     partitions on it."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
 
     ties = tie_cols or []
-    probe = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(
-        {float(b) for b in df.approxQuantile(order_col, probe, 0.001)},
-        reverse=descending,
-    )
-    barr = F.array(*[F.lit(b) for b in bounds])
-    oc = F.col(order_col)
-    in_front = (lambda b: b > oc) if descending else (lambda b: b < oc)
-    bucket = F.when(oc.isNull(), F.lit(len(bounds))).otherwise(
-        F.size(F.filter(barr, in_front))
-    )
-    bucketed = df.withColumn("_rsb", bucket)
-    order = [
-        oc.desc_nulls_last() if descending else oc.asc_nulls_last(),
-        *[F.col(c) for c in ties],
-    ]
-    w = (
-        Window.partitionBy("_rsb")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    per_range = {
-        int(r["b"]): r["s"]
-        for r in bucketed.groupBy(F.col("_rsb").alias("b"))
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        oc = F.col(order_col)
+        order = [
+            oc.desc_nulls_last() if descending else oc.asc_nulls_last(),
+            *[F.col(c) for c in ties],
+        ]
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            df.withColumn("_rsb", F.lit(0)).withColumn(
+                out_col, F.sum(value_col).over(w)
+            ),
+            "_rsb",
+        )
+    df = df.persist()
+    try:
+        probe = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(
+            {float(b) for b in df.approxQuantile(order_col, probe, 0.001)},
+            reverse=descending,
+        )
+        barr = F.array(*[F.lit(b) for b in bounds])
+        oc = F.col(order_col)
+        in_front = (lambda b: b > oc) if descending else (lambda b: b < oc)
+        bucket = F.when(oc.isNull(), F.lit(len(bounds))).otherwise(
+            F.size(F.filter(barr, in_front))
+        )
+        bucketed = df.withColumn("_rsb", bucket)
+        order = [
+            oc.desc_nulls_last() if descending else oc.asc_nulls_last(),
+            *[F.col(c) for c in ties],
+        ]
+        w = (
+            Window.partitionBy("_rsb")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        per_range = {
+            int(r["b"]): r["s"]
+            for r in bucketed.groupBy(F.col("_rsb").alias("b"))
+            .agg(F.sum(value_col).alias("s"))
+            .collect()
+        }
+    finally:
+        df.unpersist(blocking=False)
     offsets, acc = {}, 0
     for b in sorted(per_range):
         offsets[b] = acc

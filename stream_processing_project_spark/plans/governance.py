@@ -3703,8 +3703,11 @@ trail AS (
 SELECT t.day, t.n_rows, r.last_day - t.day AS staleness_days, t.n_prior,
        CASE WHEN t.n_prior >= 3
              AND t.n_prior * t.s2 - t.s1 * t.s1 > 0
-            THEN (t.n_rows * t.n_prior - t.s1) * (t.n_rows * t.n_prior - t.s1)
-                 * 1000000 // (t.n_prior * (t.n_prior * t.s2 - t.s1 * t.s1))
+            THEN CAST(round(
+              CAST((t.n_rows * t.n_prior - t.s1)
+                   * (t.n_rows * t.n_prior - t.s1) AS DOUBLE) * 1000000
+              / CAST(t.n_prior * (t.n_prior * t.s2 - t.s1 * t.s1) AS DOUBLE))
+              AS BIGINT)
        END AS z2_micro
 FROM trail t, ref r
 """,
@@ -3713,10 +3716,12 @@ def quality_freshness_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-observability freshness + volume-anomaly screen — the
     table-health monitor (Monte-Carlo-style checks): per day, row
     volume, staleness vs the newest day, and a squared z-score of the
-    day's volume against its 7-day trailing window — all in EXACT
-    integer arithmetic: z² = (n·x − Σ)²·1e6 div (n·(n·Σx² − Σ²)),
-    bigint end to end, so the anomaly statistic itself value-hash
-    oracles (no float mean/std). The trailing window is an equi-ish
+    day's volume against its 7-day trailing window. The moment sums
+    and both quadratic forms are EXACT bigints; only the final scaled
+    division assembles in fixed-order DOUBLE (identical both engines),
+    giving int64 headroom to ~4e8 rows/day — the (n·Σx²−Σ²) product is
+    the binding term; past that, downsample the daily counts or move
+    the moments to DOUBLE. The trailing window is an equi-ish
     self-join on a 7-day band of the |days| rollup — the fan-out
     multiplies the DOWNSAMPLED daily table only, never events. Days
     with <3 priors or zero variance emit null (cold start /
@@ -3753,10 +3758,11 @@ def quality_freshness_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior",
         F.when(
             (F.col("n_prior") >= 3) & (var_term > 0),
-            F.expr(
-                "(n_rows * n_prior - s1) * (n_rows * n_prior - s1) * 1000000"
-                " div (n_prior * (n_prior * s2 - s1 * s1))"
-            ),
+            F.round(
+                (num * num).cast("double")
+                * 1000000
+                / (F.col("n_prior") * var_term).cast("double")
+            ).cast("long"),
         ).alias("z2_micro"),
     )
 
@@ -3789,8 +3795,9 @@ tot AS (
 SELECT t.na, t.nb,
        CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT)
          AS ks_cross,
-       CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) * 1000000
-            // (t.na * t.nb) AS BIGINT) AS ks_micro
+       CAST(round(CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na))
+                       AS DOUBLE) * 1000000
+                  / (CAST(t.na AS DOUBLE) * t.nb)) AS BIGINT) AS ks_micro
 FROM cum c, tot t
 GROUP BY t.na, t.nb
 """,
@@ -3803,7 +3810,9 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches a drifted tail PSI's bins can smear). ENTIRELY INTEGER:
     per distinct value, both cumulative counts; the statistic is
     max |cumA·nB − cumB·nA| (the cross-multiplied ECDF gap — no float
-    division inside the max), scaled once at the end via div. The
+    division inside the max; exact to ~3e9 rows per side), scaled once
+    at the end in fixed-order DOUBLE (a ×1e6 bigint scaling would cap
+    the sides at ~3e6 rows). The
     cumulation is range-partitioned (bucketed_running_sum — no global
     window on the Spark side); the max is a 1-row aggregate. Shape at
     100 TB: one conditional-aggregate histogram over the scan, then
@@ -3837,7 +3846,13 @@ def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na",
             "nb",
             "ks_cross",
-            F.expr("ks_cross * 1000000 div (na * nb)").alias("ks_micro"),
+            F.round(
+                F.col("ks_cross").cast("double")
+                * 1000000
+                / (F.col("na").cast("double") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("ks_micro"),
         )
     )
 

@@ -784,12 +784,13 @@ def olap_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "olap_percent_rank_spend",
     oracle="""
 WITH spend AS (
-  SELECT user_id, round(sum(value), 2) AS total
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM events GROUP BY user_id
 )
-SELECT user_id, total,
-       percent_rank() OVER (ORDER BY total) AS pct_rank,
-       cume_dist() OVER (ORDER BY total) AS cume
+SELECT user_id, cents * 1.0 / 100.0 AS total,
+       percent_rank() OVER (ORDER BY cents) AS pct_rank,
+       cume_dist() OVER (ORDER BY cents) AS cume
 FROM spend
 """,
 )
@@ -802,20 +803,23 @@ def olap_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     both functions depend only on the VALUE, so rank math runs on the
     |distinct totals| histogram — cumulated range-partitioned
     (bucketed_running_sum, no single-partition window) — and joins
-    back to users on total. percent_rank = rows_below/(N−1) with the
+    back to users on the EXACT bigint cents (a recomputed rounded
+    double would be the float-sum-ordering trap: the two branches can
+    disagree in the last ulp and the equi-join drops users).
+    percent_rank = rows_below/(N−1) with the
     min-rank tie semantic falling out of the histogram construction;
     billion-user ranking pays two bounded exchanges and no global
     sort."""
     spend = (
         t(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
     )
-    hist = spend.groupBy("total").agg(F.count(F.lit(1)).alias("c"))
-    cum, bcol = bucketed_running_sum(hist, "c", "total")
+    hist = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    cum, bcol = bucketed_running_sum(hist, "c", "cents")
     tot = hist.agg(F.sum("c").alias("n"))
     ranks = cum.crossJoin(F.broadcast(tot)).select(
-        "total",
+        "cents",
         F.when(
             F.col("n") > 1,
             (F.col("cum") - F.col("c")) / (F.col("n") - 1),
@@ -824,8 +828,15 @@ def olap_percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_rank"),
         (F.col("cum") / F.col("n")).alias("cume"),
     )
-    return spend.join(ranks, "total").select(
-        "user_id", "total", "pct_rank", "cume"
+    # join key is the EXACT bigint cents — a rounded double total here
+    # would recompute per branch and can differ in the last ulp across
+    # shuffle merge orders (the float-sum-ordering class), silently
+    # dropping users from the equi-join
+    return spend.join(ranks, "cents").select(
+        "user_id",
+        (F.col("cents") * 1.0 / 100.0).alias("total"),
+        "pct_rank",
+        "cume",
     )
 
 
@@ -4218,9 +4229,11 @@ def _markov_attribution_oracle(rounds: int = _MARKOV_ROUNDS) -> str:
     (the PCA lesson applies only to multiply-referenced CTEs)."""
     head = """
 WITH touches AS (
-  SELECT user_id, ts, event_id,
-         'ch' || (CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
-  FROM events WHERE event_type IN ('view', 'click')
+  SELECT * FROM (
+    SELECT user_id, ts, event_id,
+           'ch' || (CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
+    FROM events WHERE event_type IN ('view', 'click')
+  ) WHERE channel IS NOT NULL
 ),
 conv_users AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
 seq AS (
@@ -4320,14 +4333,23 @@ def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
-    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.concat(
-            F.lit("ch"),
-            (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
-        ).alias("channel"),
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat(
+                F.lit("ch"),
+                (F.get_json_object("props", "$.k").cast("long") % 5).cast(
+                    "string"
+                ),
+            ).alias("channel"),
+        )
+        # rows with missing/non-numeric props.k have a NULL channel in
+        # BOTH engines — filtered here as in the oracle (and a None in
+        # the driver-side scenario solve would crash sorted())
+        .filter(F.col("channel").isNotNull())
     )
     conv_users = (
         ev.filter(F.col("event_type") == "purchase")
@@ -4360,8 +4382,11 @@ def olap_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded collect: ≤ (|channels|+3)^2 transition rows
     edges = [(r.src, r.dst, int(r.p_micro)) for r in probs.collect()]
-    channels = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
-    scenarios = ["base"] + [c for c in channels if c.startswith("ch")]
+    # the scenario list is FIXED (mirrors the oracle's scen CTE): a
+    # channel absent from the data yields removal_effect 0, not a
+    # missing row — deriving scenarios from observed edges would
+    # row-count-diverge from the oracle on any fixture missing one
+    scenarios = ["base", "ch0", "ch1", "ch2", "ch3", "ch4"]
     rows = []
     base_v = None
     for removed in scenarios:

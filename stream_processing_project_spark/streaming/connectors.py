@@ -255,24 +255,35 @@ def _flush_chunk(
     fallback_dir: str,
     tag: str,
     epoch_id: int,
+    chunk_idx: int,
 ) -> None:
     """POST one batch; on non-2xx or transport error, spool the batch's
     documents as a JSONL fallback file (BigQuerySink.scala:221-240,
-    ElasticsearchSink.scala:284-303). One file per failed chunk, named
-    uniquely per partition-attempt — task retries overwrite nothing and
-    exactly-once replay of the micro-batch re-creates, never appends."""
+    ElasticsearchSink.scala:284-303). The file name is DETERMINISTIC in
+    (epoch, partition, chunk index), so a task retry or a foreachBatch
+    epoch replay OVERWRITES its own earlier spool instead of appending
+    a duplicate — write-to-temp + rename keeps a reader from seeing a
+    half-written file. (HTTP-side retry duplication is inherent to the
+    reference's insertAll-without-insertId protocol; at-least-once
+    there, exactly-once on the fallback files.)"""
     try:
         status = http.request("POST", url, payload, content_type)
         ok = 200 <= status < 300
     except Exception:
         ok = False
     if not ok:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
         os.makedirs(fallback_dir, exist_ok=True)
-        name = f"{tag}_batch_{epoch_id}_{uuid.uuid4().hex}.jsonl"
-        with open(os.path.join(fallback_dir, name), "w") as f:
+        name = f"{tag}_batch_{epoch_id}_p{pid}_c{chunk_idx}.jsonl"
+        tmp = os.path.join(fallback_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
             for line in fallback_lines:
                 f.write(line)
                 f.write("\n")
+        os.replace(tmp, os.path.join(fallback_dir, name))
 
 
 def _bq_row_json(df: DataFrame) -> DataFrame:
@@ -329,8 +340,10 @@ def make_bigquery_warehouse_body(
 
         def send(rows: Iterable) -> None:
             http = http_factory()
+            n_flushed = 0
 
             def flush(chunk: list[str]) -> None:
+                nonlocal n_flushed
                 payload = (
                     '{"rows": ['
                     + ", ".join('{"json": ' + d + "}" for d in chunk)
@@ -338,8 +351,9 @@ def make_bigquery_warehouse_body(
                 )
                 _flush_chunk(
                     http, url, payload, "application/json",
-                    chunk, fallback_dir, "bigquery", epoch_id,
+                    chunk, fallback_dir, "bigquery", epoch_id, n_flushed,
                 )
+                n_flushed += 1
 
             chunk: list[str] = []
             for r in rows:
@@ -466,8 +480,10 @@ def make_es_search_body(
 
         def send(rows: Iterable) -> None:
             http = http_factory()
+            n_flushed = 0
 
             def flush(chunk: list[tuple[str, str]]) -> None:
+                nonlocal n_flushed
                 lines = []
                 for idx, doc in chunk:
                     lines.append(json.dumps({"index": {"_index": idx}}))
@@ -476,8 +492,9 @@ def make_es_search_body(
                 _flush_chunk(
                     http, url, payload, "application/x-ndjson",
                     [d for _, d in chunk], fallback_dir, "elasticsearch",
-                    epoch_id,
+                    epoch_id, n_flushed,
                 )
+                n_flushed += 1
 
             chunk: list[tuple[str, str]] = []
             for r in rows:
@@ -508,12 +525,22 @@ def es_search_sink(
     template once at startup (ElasticsearchSink.scala:86-137,
     driver-side — a one-time idempotent call), then streams _bulk
     batches."""
-    http_factory().request(
+    status = http_factory().request(
         "PUT",
         f"{base_url}/_index_template/{ES_TEMPLATE_NAME}",
         es_index_template(index_name, shards, replicas),
         "application/json",
     )
+    if not 200 <= status < 300:
+        # fail fast: streaming into auto-created dynamic mappings
+        # silently corrupts the search surface (dates inferred as
+        # text), which is worse than a startup error — a deliberate
+        # divergence from the reference's log-and-continue
+        # (ElasticsearchSink.scala:125-135)
+        raise RuntimeError(
+            f"index template PUT failed with status {status}; refusing "
+            "to stream into dynamic mappings"
+        )
     return (
         enriched.writeStream.outputMode("append")
         .foreachBatch(

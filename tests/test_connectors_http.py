@@ -216,3 +216,46 @@ def test_es_fallback_jsonl_on_http_failure(spark):
         with open(os.path.join(fb, name)) as f:
             got += [_doc_key(json.loads(line), "event_timestamp") for line in f]
     assert sorted(got) == _expected_rows(spark, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def test_es_template_failure_fails_fast(spark):
+    """A failed index-template PUT must refuse to start the stream —
+    silently proceeding would index into auto-created dynamic mappings
+    (a deliberate divergence from the reference's log-and-continue)."""
+    import pytest
+
+    cap = tempfile.mkdtemp(prefix="t-es-tpl-")
+    with pytest.raises(RuntimeError, match="index template"):
+        es_search_sink(
+            _enriched(spark),
+            lambda: FakeHttpSession(cap, fail_pattern="_index_template"),
+            base_url="http://es:9200",
+        )
+
+
+def test_fallback_files_are_deterministic_per_chunk(spark):
+    """Fallback spool names derive from (epoch, partition, chunk), so a
+    replayed epoch overwrites its earlier spool instead of appending
+    duplicates — re-running the same stream from scratch against the
+    same fallback dir must leave the same file set, not double it."""
+    cap1 = tempfile.mkdtemp(prefix="t-bq-det1-")
+    fb = os.path.join(cap1, "fallback")
+
+    def run(cap):
+        q = bigquery_warehouse_sink(
+            _enriched(spark),
+            lambda: FakeHttpSession(cap, fail_pattern="insertAll"),
+            batch_size=100,
+            base_url="http://emu:9050",
+            fallback_dir=fb,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(cap1)
+    names_first = sorted(os.listdir(fb))
+    assert names_first and all("_p" in n and "_c" in n for n in names_first)
+    run(tempfile.mkdtemp(prefix="t-bq-det2-"))  # fresh checkpoint: epoch replays
+    assert sorted(os.listdir(fb)) == names_first  # overwritten, not appended

@@ -99,6 +99,7 @@ QUERIES = [
     "features_pit_join",
     "olap_skyline_2d",
     "streaming_pit_features",
+    "olap_conversion_paths_topk",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

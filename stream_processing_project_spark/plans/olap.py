@@ -4777,3 +4777,92 @@ def olap_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "size", "price_cents")
     )
+
+
+@register(
+    "olap_conversion_paths_topk",
+    oracle="""
+WITH touches AS (
+  SELECT * FROM (
+    SELECT user_id, ts, event_id,
+           'ch' || (CAST(json_extract(props, '$.k') AS BIGINT) % 5) AS channel
+    FROM events WHERE event_type IN ('view', 'click')
+  ) WHERE channel IS NOT NULL
+),
+conv_users AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+paths AS (
+  SELECT t.user_id,
+         array_to_string(list_slice(
+           list(t.channel ORDER BY t.ts, t.event_id), 1, 5), '>') AS path
+  FROM touches t JOIN conv_users USING (user_id)
+  GROUP BY t.user_id
+),
+counted AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM paths GROUP BY 1
+)
+SELECT path, n_users FROM counted
+ORDER BY n_users DESC, path LIMIT 20
+""",
+)
+def olap_conversion_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top converting journey PATHS — the path-frequency member of the
+    attribution family (last-touch = endpoint credit, Markov = chain
+    credit, transitions = step counts; this ranks WHOLE journeys):
+    each converting user's first 5 touch channels in event order,
+    joined into a path string, counted, top-20. Ordered collection
+    inside a grouped aggregate is the determinism trap —
+    collect_list's order is partition-dependent — so the path builds
+    from sort_array over (ts, event_id, channel) STRUCTS (the total
+    order carried into the array), then slice + join: deterministic
+    on any partitioning, mirrored by DuckDB's ORDER BY inside list().
+    Shape at 100 TB: one user_id exchange (the groupBy), a broadcast
+    conversion semi-join, a map-side-combined path count, and
+    TakeOrderedAndProject — journeys never leave their group task."""
+    ev = t(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat(
+                F.lit("ch"),
+                (F.get_json_object("props", "$.k").cast("long") % 5).cast(
+                    "string"
+                ),
+            ).alias("channel"),
+        )
+        .filter(F.col("channel").isNotNull())
+    )
+    conv_users = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    paths = (
+        touches.join(F.broadcast(conv_users), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "channel")
+                            )
+                        ),
+                        lambda s: s.getField("channel"),
+                    ),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

@@ -184,6 +184,7 @@ _PRIORITY = [
     "features_pit_join",
     "olap_skyline_2d",
     "streaming_pit_features",
+    "olap_conversion_paths_topk",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -100,6 +100,7 @@ QUERIES = [
     "olap_skyline_2d",
     "streaming_pit_features",
     "olap_conversion_paths_topk",
+    "profile_join_cardinality",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

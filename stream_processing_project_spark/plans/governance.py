@@ -3938,3 +3938,122 @@ def features_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_prior",
         "cents_prior",
     )
+
+
+_JCE_TOPN = 50
+
+
+@register(
+    "profile_join_cardinality",
+    oracle=f"""
+WITH ca AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1
+),
+cb AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+),
+exact AS (
+  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_rows
+  FROM ca JOIN cb USING (k)
+),
+ta AS (SELECT k, c FROM ca ORDER BY c DESC, k LIMIT {_JCE_TOPN}),
+tb AS (SELECT k, c FROM cb ORDER BY c DESC, k LIMIT {_JCE_TOPN}),
+head AS (
+  SELECT CAST(coalesce(sum(ta.c * tb.c), 0) AS BIGINT) AS head_rows
+  FROM ta JOIN tb USING (k)
+),
+rest AS (
+  SELECT CAST(sum(CASE WHEN ta.k IS NULL THEN ca.c ELSE 0 END) AS BIGINT)
+           AS rest_a,
+         CAST(sum(CASE WHEN ta.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_rest_a
+  FROM ca LEFT JOIN ta USING (k)
+),
+restb AS (
+  SELECT CAST(sum(CASE WHEN tb.k IS NULL THEN cb.c ELSE 0 END) AS BIGINT)
+           AS rest_b,
+         CAST(sum(CASE WHEN tb.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_rest_b
+  FROM cb LEFT JOIN tb USING (k)
+)
+SELECT e.exact_rows, h.head_rows,
+       h.head_rows
+         + CASE WHEN greatest(r.d_rest_a, rb.d_rest_b) > 0
+                THEN CAST(round(CAST(r.rest_a AS DOUBLE) * rb.rest_b
+                          / greatest(r.d_rest_a, rb.d_rest_b)) AS BIGINT)
+                ELSE 0 END AS est_rows
+FROM exact e, head h, rest r, restb rb
+""",
+)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation — the query-optimizer statistic as a
+    first-class profiling operator (what drives broadcast-vs-shuffle
+    and join-order decisions): |A⋈B| on the key is Σ_k cA(k)·cB(k).
+    The EXACT value joins the two per-key count rollups (never the
+    fact tables); the ESTIMATE is the end-biased-histogram form every
+    optimizer uses — top-N heavy hitters exact (their head join) plus
+    a uniform-tail term rest_a·rest_b / max(d_rest_a, d_rest_b) — so
+    the operator reports both and the estimator's own error is
+    value-hash-checked against the engines agreeing on BOTH numbers.
+    Deterministic top-N (count desc, key) both sides; the tail term
+    assembles in fixed-order DOUBLE. Shape: two map-side-combined
+    rollups are the only data-sized stages; everything downstream is
+    |keys|-sized, the head is 2·N rows."""
+    ca = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cb = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        ca.alias("a")
+        .join(cb.alias("b"), "k")
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("exact_rows"))
+    )
+    ta = ca.orderBy(F.col("c").desc(), "k").limit(_JCE_TOPN)
+    tb = cb.orderBy(F.col("c").desc(), "k").limit(_JCE_TOPN)
+    head = (
+        ta.alias("ta")
+        .join(tb.alias("tb"), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ta.c") * F.col("tb.c")), F.lit(0)
+            ).alias("head_rows")
+        )
+    )
+
+    def tail(full: DataFrame, top: DataFrame, s: str, d: str) -> DataFrame:
+        marked = full.join(
+            top.select("k", F.lit(1).alias("_top")), "k", "left"
+        )
+        return marked.agg(
+            F.sum(F.when(F.col("_top").isNull(), F.col("c")).otherwise(0)).alias(s),
+            F.sum(F.when(F.col("_top").isNull(), 1).otherwise(0)).alias(d),
+        )
+    ra = tail(ca, ta, "rest_a", "d_rest_a")
+    rb = tail(cb, tb, "rest_b", "d_rest_b")
+    denom = F.greatest(F.col("d_rest_a"), F.col("d_rest_b"))
+    return (
+        exact.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(ra))
+        .crossJoin(F.broadcast(rb))
+        .select(
+            "exact_rows",
+            "head_rows",
+            (
+                F.col("head_rows")
+                + F.when(
+                    denom > 0,
+                    F.round(
+                        F.col("rest_a").cast("double")
+                        * F.col("rest_b")
+                        / denom
+                    ).cast("long"),
+                ).otherwise(0)
+            ).alias("est_rows"),
+        )
+    )

@@ -185,6 +185,7 @@ _PRIORITY = [
     "olap_skyline_2d",
     "streaming_pit_features",
     "olap_conversion_paths_topk",
+    "profile_join_cardinality",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

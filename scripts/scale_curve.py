@@ -101,6 +101,7 @@ QUERIES = [
     "streaming_pit_features",
     "olap_conversion_paths_topk",
     "profile_join_cardinality",
+    "governance_crypto_shred",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

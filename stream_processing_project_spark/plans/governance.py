@@ -4057,3 +4057,79 @@ def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_rows"),
         )
     )
+
+
+@register(
+    "governance_crypto_shred",
+    oracle="""
+WITH keyring AS (
+  SELECT c_custkey AS user_id,
+         substr(md5('key:' || c_custkey), 1, 16) AS user_key,
+         c_custkey % 20 = 0 AS shredded
+  FROM customer
+),
+joined AS (
+  SELECT e.user_id, e.event_id, e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         k.user_key, k.shredded
+  FROM events e JOIN keyring k USING (user_id)
+)
+SELECT user_id, event_id, event_type, cents,
+       CASE WHEN shredded THEN NULL
+            ELSE substr(md5(user_key || ':' || event_id), 1, 12) END
+         AS pii_token,
+       shredded AS erased
+FROM joined
+""",
+)
+def governance_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding — the right-to-be-forgotten mechanism that
+    works at 100 TB: per-user keys live in a TINY keyring table and
+    every stored PII token is derived THROUGH the user's key, so
+    erasure = deleting one keyring row — the petabytes of immutable
+    fact data never rewrite, they just become undecryptable. This
+    query is the read path: facts broadcast-join the keyring, live
+    users re-derive their tokens, shredded users (here a simulated
+    slice) surface NULL + an erased flag. Deterministic stand-in
+    crypto (md5-derived keys/tokens, identical in both engines — a
+    real deployment swaps AES-GCM via a pandas_udf without touching
+    the plan); the value-hash oracle pins that NO shredded user's
+    token survives anywhere in the output. Shape: one fact scan, one
+    broadcast keyring join — erasure cost is O(1) per request,
+    audit cost is one scan."""
+    keyring = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.substring(
+            F.md5(F.concat(F.lit("key:"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("user_key"),
+        (F.col("c_custkey") % 20 == 0).alias("shredded"),
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return ev.join(F.broadcast(keyring), "user_id").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cents",
+        F.when(
+            ~F.col("shredded"),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_key"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+        ).alias("pii_token"),
+        F.col("shredded").alias("erased"),
+    )

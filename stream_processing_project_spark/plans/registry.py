@@ -186,6 +186,7 @@ _PRIORITY = [
     "streaming_pit_features",
     "olap_conversion_paths_topk",
     "profile_join_cardinality",
+    "governance_crypto_shred",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -639,3 +639,70 @@ def strip_common_prefix(
         .alias("text_clean"),
         F.when(stripped, F.lit(n_tokens)).otherwise(F.lit(0)).alias("n_removed_tokens"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram corpus-LM quality scoring — the higher-order companion of
+    unigram_logprob (CCNet/KenLM-style perplexity filtering, order 2):
+    score each document by the average conditional surprisal
+    -ln p(w_i | w_{i-1}) under the corpus's own bigram counts. This
+    catches WORD-SALAD — documents built from common words in odd order
+    — which the unigram filter is blind to (unigram surprisal only sees
+    which words, never their sequence).
+
+    No smoothing is needed: the corpus scores itself, so every document
+    bigram has corpus count >= 1, and p(w2|w1) = c(w1 w2) / c(w1 ·)
+    where the denominator is the bigram-PREFIX count (bigrams starting
+    with w1), keeping the distribution properly normalized.
+
+    Determinism: per-bigram surprisal quantizes to integer micro-nats
+    before aggregation (the unigram_logprob idiom) — per-doc sums are
+    exact bigint arithmetic, immune to float addition order.
+
+    Scale shape: bigrams fold ROW-LOCALLY from each doc's own token
+    array (no positional self-join), then one explode, two partial-agg
+    count rollups (bigram table, prefix table), two equi-joins back
+    (broadcast at fixture scale; shuffle-join on the bigram key at web
+    scale — the bigram table is Zipf-concentrated so AQE skew handling
+    applies), one per-doc re-aggregate. Docs with < 2 tokens drop (no
+    bigrams to score)."""
+    bigr = df.selectExpr(
+        f"{id_col} AS id", f"split(trim({text_col}), ' ') AS ws"
+    ).selectExpr(
+        "id",
+        "explode(transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1,"
+        " concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg)))"
+        " AS p",
+    ).select("id", "p.w1", "p.bg")
+    c12 = bigr.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bigr.join(F.broadcast(c12), "bg")
+        .join(F.broadcast(c1), "w1")
+        .withColumn(
+            "micronats",
+            F.round(-F.log(F.col("c12") / F.col("c1")) * 1e6, 0).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micronats").alias("surprisal_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "surprisal_sum",
+            F.round(F.col("surprisal_sum") / F.col("n_bigrams") / 1e6, 4).alias(
+                "avg_surprisal"
+            ),
+        )
+    )

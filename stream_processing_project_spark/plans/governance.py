@@ -4133,3 +4133,231 @@ def governance_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pii_token"),
         F.col("shredded").alias("erased"),
     )
+
+
+@register(
+    "features_isotonic_calibration",
+    oracle="""
+WITH labeled AS (
+  SELECT CAST(round(value * 100) AS BIGINT)
+           + CASE WHEN event_type = 'purchase' THEN 20000 ELSE 0 END AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+rng AS (SELECT min(s) AS lo, max(s) AS hi FROM labeled),
+bucketed AS (
+  SELECT least(23, ((l.s - r.lo) * 24) // (r.hi - r.lo + 1)) AS b, l.y
+  FROM labeled l, rng r
+),
+per_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM bucketed GROUP BY b
+),
+pref AS (
+  SELECT a.b, a.n, a.pos,
+         CAST(sum(c.n) AS BIGINT) AS cn, CAST(sum(c.pos) AS BIGINT) AS cp
+  FROM per_b a JOIN per_b c ON c.b <= a.b
+  GROUP BY a.b, a.n, a.pos
+),
+seg AS (
+  SELECT j.b AS jb, k.b AS kb,
+         (k.cp - (j.cp - j.pos)) AS sp, (k.cn - (j.cn - j.n)) AS sn
+  FROM pref j, pref k WHERE j.b <= k.b
+),
+stage1 AS (
+  SELECT i.b AS ib, s.jb, min(CAST(s.sp AS DOUBLE) / s.sn) AS m
+  FROM pref i JOIN seg s ON s.jb <= i.b AND s.kb >= i.b
+  GROUP BY i.b, s.jb
+),
+fit AS (SELECT ib, max(m) AS f FROM stage1 GROUP BY ib)
+SELECT p.b AS bucket, p.n, p.pos,
+       CAST(round(CAST(p.pos AS DOUBLE) / p.n * 1e6) AS BIGINT)
+         AS raw_rate_micro,
+       CAST(round(f.f * 1e6) AS BIGINT) AS calib_micro
+FROM per_b p JOIN fit f ON f.ib = p.b
+""",
+)
+def features_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of a raw score into an event
+    probability — the distributed PAV every quality-classifier pipeline
+    needs before thresholding model scores at corpus scale (Zadrozny &
+    Elkan '02). The raw score is the event value in integer cents plus
+    a deterministic label-dependent shift (the fixture value is
+    independent of event_type, which would collapse the fit to one
+    global pool; the shift makes the monotone structure non-trivial).
+    The DATA-SIZED work is one bucketing pass: bucket ids are pure
+    integer arithmetic against a 1-row broadcast min/max
+    (engine-identical `div`), and one map-side-combined rollup yields
+    <=24 (bucket, n, pos) rows. The fit itself uses the minimax
+    characterization fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k])
+    evaluated on the O(B^2) segment grid — B is a constant, so the
+    prefix self-join and grid joins run over <=24-row broadcast tables
+    (no global window, nothing data-sized), and unlike driver-side PAV
+    the whole fit stays in the plan. Each
+    segment mean is ONE bigint/bigint double division (IEEE-identical
+    cross-engine); min/max over identical doubles commute, and the
+    result micro-quantizes only at the output. Monotonicity of
+    calib_micro is pinned by a property test."""
+    ev = t(spark, sf_dir, "events").select(
+        (
+            F.round(F.col("value") * 100, 0).cast("bigint")
+            + F.when(F.col("event_type") == "purchase", 20000).otherwise(0)
+        ).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    rng = ev.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    bucketed = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(F.lit(23), F.expr("((s - lo) * 24) div (hi - lo + 1)")).alias(
+            "b"
+        ),
+        "y",
+    )
+    per_b = (
+        bucketed.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        # <=24 rows reused by pref/j/k/i and the output join — without
+        # materialization every branch rescans and rebuckets the facts
+        .localCheckpoint()
+    )
+    a = per_b.alias("a")
+    c = per_b.select(
+        F.col("b").alias("cb"), F.col("n").alias("n2"), F.col("pos").alias("p2")
+    )
+    pref = (
+        a.join(F.broadcast(c), F.col("cb") <= F.col("b"))
+        .groupBy("b", "n", "pos")
+        .agg(F.sum("n2").alias("cn"), F.sum("p2").alias("cp"))
+    )
+    j = pref.select(
+        F.col("b").alias("jb"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    k = pref.select(F.col("b").alias("kb"), "cp", "cn")
+    seg = (
+        j.crossJoin(F.broadcast(k))
+        .filter(F.col("jb") <= F.col("kb"))
+        .select(
+            "jb",
+            "kb",
+            (F.col("cp") - F.col("cp0")).alias("sp"),
+            (F.col("cn") - F.col("cn0")).alias("sn"),
+        )
+    )
+    i = pref.select(F.col("b").alias("ib"))
+    stage1 = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min(F.col("sp").cast("double") / F.col("sn")).alias("m"))
+    )
+    fit = stage1.groupBy("ib").agg(F.max("m").alias("f"))
+    return per_b.join(F.broadcast(fit), per_b.b == fit.ib).select(
+        F.col("b").alias("bucket"),
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n") * 1e6)
+        .cast("bigint")
+        .alias("raw_rate_micro"),
+        F.round(F.col("f") * 1e6).cast("bigint").alias("calib_micro"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+bigr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM ws
+),
+c12 AS (SELECT bg, count(*) AS c12 FROM bigr GROUP BY bg),
+c1 AS (SELECT w1, count(*) AS c1 FROM bigr GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(CAST(t2.c12 AS DOUBLE) / t1.c1) * 1e6) AS BIGINT)
+           AS micronats
+  FROM bigr b JOIN c12 t2 ON t2.bg = b.bg JOIN c1 t1 ON t1.w1 = b.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(micronats) AS BIGINT) AS surprisal_sum,
+       round(sum(micronats) / count(*) / 1e6, 4) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram corpus-LM scoring — word-salad detection the unigram
+    filter (text_unigram_logprob) can't do: average conditional
+    surprisal -ln p(w_i | w_{i-1}) under the corpus's own bigram
+    counts, micro-nat-quantized per bigram before the exact bigint
+    per-doc sum (operators/text.py::bigram_logprob). One row-local
+    bigram fold + one explode + two partial-agg rollups + two
+    equi-joins — no positional self-join anywhere."""
+    from stream_processing_project_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "features_hashing_trick",
+    oracle="""
+WITH sample AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM sample
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS dim,
+         CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) // 256)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT doc_id, dim,
+       CAST(sum(sgn) AS BIGINT) AS weight,
+       CAST(count(*) AS BIGINT) AS n_tok
+FROM hashed GROUP BY doc_id, dim
+""",
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. '09): fixed-dimension
+    sparse text features with NO vocabulary table — the featurizer that
+    scales where dictionary encoders can't, because there is nothing to
+    fit, broadcast, or keep consistent across a 100 TB corpus. Each
+    token maps to dim = h % 256 with a +-1 sign drawn from the next
+    hash bit (the sign makes collision noise zero-mean — the kernel
+    stays unbiased); the per-(doc, dim) weights are one explode + one
+    map-side-combined rollup keyed by (doc_id, dim). The hash is the
+    cross-engine md5-prefix 60-bit bigint (the MinHash idiom at
+    operators/dedup.py), so the oracle replays the identical mapping.
+    A deterministic doc_id % 7 sample keeps the materialized output
+    bounded; the filter sits before the explode and pushes to the
+    scan."""
+    sample = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = sample.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).withColumn(
+        "h", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (F.col("h") % 256).alias("dim"),
+        F.when(F.expr("(h div 256) % 2 = 0"), 1).otherwise(-1).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id", "dim").agg(
+        F.sum("sgn").cast("bigint").alias("weight"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )

@@ -4866,3 +4866,98 @@ def olap_conversion_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+# --- Exact distinct-count rollup via bitmap words (r05) -----------------------
+@register(
+    "olap_bitmap_distinct_rollup",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(year(o_orderdate) AS INT) AS o_year
+  FROM orders
+)
+SELECT CAST(0 AS INT) AS lvl, o_orderpriority,
+       o_year, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM o GROUP BY o_orderpriority, o_year
+UNION ALL
+SELECT CAST(1 AS INT), o_orderpriority, CAST(NULL AS INT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM o GROUP BY o_orderpriority
+UNION ALL
+SELECT CAST(2 AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM o
+""",
+)
+def olap_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-customer counts at three rollup levels via bitmap
+    words — the ClickHouse/Doris bitmap-rollup pattern expressed in pure
+    built-in aggregates, for the case where approximate HLL
+    (profile_distinct_rollup_hll) isn't acceptable. Each custkey sets
+    one bit of a 32-bit word keyed by (group, chunk = custkey div 32);
+    `bit_or` is associative+commutative so the word table builds with
+    full map-side combine in ONE fact scan, and every coarser level
+    re-ORs the WORD TABLE (|groups|x|present chunks| rows — sparse:
+    only chunks with members materialize, the roaring trick), never
+    rescanning facts the way a multi-level COUNT(DISTINCT) expand does.
+    n_distinct = sum(bit_count(word)) exactly. The oracle computes the
+    same levels with direct COUNT(DISTINCT) — the cross-engine hash
+    match PROVES the bitmap path exact, not approximate. At 100 TB the
+    word-table state is bounded by key-domain/32 per group and the
+    rollup cascade costs |words|, not |facts|."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    base = o.select(
+        "o_orderpriority",
+        "o_year",
+        F.expr("o_custkey div 32").alias("chunk"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 32 AS INT))").alias(
+            "bit"
+        ),
+    )
+    words = (
+        base.groupBy("o_orderpriority", "o_year", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+        # |groups| x |present chunks| rows; reused by all three levels —
+        # materialize so the fact scan runs ONCE (localCheckpoint, the
+        # multi-branch idiom; plain lineage would rescan facts per level)
+        .localCheckpoint()
+    )
+    lvl0 = words.groupBy("o_orderpriority", "o_year").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_distinct")
+    )
+    words_p = (
+        words.groupBy("o_orderpriority", "chunk")
+        .agg(F.expr("bit_or(w)").alias("w"))
+        .localCheckpoint()  # reused by lvl1 and the grand-total level
+    )
+    lvl1 = words_p.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_distinct")
+    )
+    words_t = words_p.groupBy("chunk").agg(F.expr("bit_or(w)").alias("w"))
+    lvl2 = words_t.agg(F.sum(F.bit_count("w")).cast("bigint").alias("n_distinct"))
+    return (
+        lvl0.select(
+            F.lit(0).alias("lvl"), "o_orderpriority", "o_year", "n_distinct"
+        )
+        .unionAll(
+            lvl1.select(
+                F.lit(1).alias("lvl"),
+                "o_orderpriority",
+                F.lit(None).cast("int").alias("o_year"),
+                "n_distinct",
+            )
+        )
+        .unionAll(
+            lvl2.select(
+                F.lit(2).alias("lvl"),
+                F.lit(None).cast("string").alias("o_orderpriority"),
+                F.lit(None).cast("int").alias("o_year"),
+                "n_distinct",
+            )
+        )
+    )

@@ -75,6 +75,12 @@ _LOADED = False
 # leading. Harmless when the gate runs all queries; decisive when it
 # truncates.
 _PRIORITY = [
+    # r05-new oracles first (the standing ADVICE convention: every new
+    # oracle gets a hard cross-engine driver row in its own round)
+    "olap_bitmap_distinct_rollup",
+    "features_isotonic_calibration",
+    "features_hashing_trick",
+    "text_bigram_logprob",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

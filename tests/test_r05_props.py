@@ -1,0 +1,169 @@
+"""Independent property pins for the r05 operators (bitmap distinct
+rollup, isotonic calibration, hashing trick, bigram LM) — invariants
+the fixture oracle can't isolate: exactness vs direct countDistinct,
+classic stack-PAV agreement with the minimax fit, collision-parity
+identities, and a full Python recompute of the bigram scores.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.plans.registry import all_queries
+from stream_processing_project_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_bitmap_rollup_exact_vs_count_distinct(spark):
+    """Every level of the bitmap rollup must equal a direct
+    countDistinct on the same grouping — the bitmap path is exact, not
+    approximate, and the coarser levels (built by re-ORing words, never
+    rescanning facts) must agree with recomputing from scratch."""
+    rows = (
+        all_queries()["olap_bitmap_distinct_rollup"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    lvl0 = {
+        (r.o_orderpriority, r.o_year): r[0]
+        for r in o.groupBy("o_orderpriority", "o_year")
+        .agg(F.countDistinct("o_custkey"))
+        .select(F.col("count(DISTINCT o_custkey)"), "o_orderpriority", "o_year")
+        .collect()
+    }
+    lvl1 = {
+        r.o_orderpriority: r[0]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey"))
+        .select(F.col("count(DISTINCT o_custkey)"), "o_orderpriority")
+        .collect()
+    }
+    lvl2 = o.select("o_custkey").distinct().count()
+    for r in rows:
+        if r.lvl == 0:
+            assert r.n_distinct == lvl0[(r.o_orderpriority, r.o_year)]
+        elif r.lvl == 1:
+            assert r.n_distinct == lvl1[r.o_orderpriority]
+        else:
+            assert r.n_distinct == lvl2
+    assert sum(1 for r in rows if r.lvl == 0) == len(lvl0)
+    assert sum(1 for r in rows if r.lvl == 1) == len(lvl1)
+    assert sum(1 for r in rows if r.lvl == 2) == 1
+
+
+def _stack_pav(buckets):
+    """Classic pool-adjacent-violators on (n, pos) bucket rows in
+    bucket order — the textbook O(B) stack algorithm, implemented
+    independently of the plan's minimax formulation."""
+    pools = []  # (n, pos)
+    for n, pos in buckets:
+        pools.append((n, pos))
+        while len(pools) >= 2:
+            n2, p2 = pools[-1]
+            n1, p1 = pools[-2]
+            if p1 * n2 >= p2 * n1:  # mean[-2] >= mean[-1]: violator, pool
+                pools[-2:] = [(n1 + n2, p1 + p2)]
+            else:
+                break
+    # expand: each pool's mean applies to every input bucket it absorbed
+    fitted = []
+    it = iter(pools)
+    cur_n, cur_p, used = None, None, 0
+    for n, pos in buckets:
+        if cur_n is None or used >= cur_n:
+            cur_n, cur_p = next(it)
+            used = 0
+        fitted.append(cur_p / cur_n)
+        used += n
+    return fitted
+
+
+def test_isotonic_matches_stack_pav(spark):
+    """The minimax-formula fit must equal the classic stack PAV run on
+    the same (n, pos) buckets, and must be monotone nondecreasing with
+    the weighted mean preserved (PAV is a projection: it never changes
+    the overall positive rate)."""
+    rows = sorted(
+        all_queries()["features_isotonic_calibration"]
+        .builder(spark, SF_SMOKE)
+        .collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    cal = [r.calib_micro for r in rows]
+    assert all(a <= b for a, b in zip(cal, cal[1:])), "fit not monotone"
+    fitted = _stack_pav([(r.n, r.pos) for r in rows])
+    for r, f in zip(rows, fitted):
+        assert r.calib_micro == round(f * 1e6), (
+            f"bucket {r.bucket}: minimax {r.calib_micro} != stack PAV "
+            f"{round(f * 1e6)}"
+        )
+    total_n = sum(r.n for r in rows)
+    total_pos = sum(r.pos for r in rows)
+    mean_fit = sum(r.n * r.calib_micro / 1e6 for r in rows) / total_n
+    assert math.isclose(mean_fit, total_pos / total_n, abs_tol=1e-5)
+
+
+def test_hashing_trick_identities(spark):
+    """|weight| <= n_tok with matching parity (each token contributes
+    exactly +-1), dims inside [0, 256), and the sampled tokens are
+    fully accounted for: sum(n_tok) equals the token count of the
+    doc_id % 7 == 0 documents."""
+    rows = (
+        all_queries()["features_hashing_trick"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.dim < 256
+        assert abs(r.weight) <= r.n_tok
+        assert (r.weight - r.n_tok) % 2 == 0
+    total = sum(r.n_tok for r in rows)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(F.size(F.split(F.trim("text"), " ")).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert total == docs
+
+
+def test_bigram_logprob_full_python_recompute(spark):
+    """Recompute every document's bigram surprisal sum in plain Python
+    from the fixture text (corpus bigram counts / prefix counts,
+    micro-nat rounding per bigram) and require exact bigint equality —
+    the strongest possible pin on the join + quantization pipeline."""
+    docs = {
+        r.doc_id: r.text.strip().split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    for ws in docs.values():
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    expect = defaultdict(lambda: [0, 0])
+    for did, ws in docs.items():
+        for a, b in zip(ws, ws[1:]):
+            mn = round(-math.log(c12[(a, b)] / c1[a]) * 1e6)
+            expect[did][0] += 1
+            expect[did][1] += mn
+    rows = all_queries()["text_bigram_logprob"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        nb, ssum = expect[r.doc_id]
+        assert r.n_bigrams == nb
+        assert r.surprisal_sum == ssum, (
+            f"doc {r.doc_id}: {r.surprisal_sum} != python {ssum}"
+        )

@@ -310,3 +310,87 @@ def decode_real_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(dec, REAL_DECODED_SCHEMA)
+
+
+def _bmp_row_values(buf: bytes) -> tuple[np.ndarray, int]:
+    """Per-row channel values (top-down) of a 24-bit BMP whose rows are
+    constant-valued (our synthesized payloads), plus the integer
+    milli-mean over all real pixel bytes — the two inputs the
+    perceptual hash needs."""
+    magic, _, _, _, off = struct.unpack_from("<2sIHHI", buf, 0)
+    assert magic == b"BM"
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", buf, 14)
+    assert bpp == 24
+    stride = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(buf, dtype=np.uint8, count=h * stride, offset=off)
+    rows = arr.reshape(h, stride)[:, : 3 * w][::-1]
+    total = int(rows.astype(np.int64).sum())
+    mean_milli = total * 1000 // (h * 3 * w)
+    return rows[:, 0].astype(np.int64), mean_milli
+
+
+def phash60(media: DataFrame) -> DataFrame:
+    """60-bit perceptual average-hash of REAL image payloads — the
+    image analogue of SimHash near-dup: bit i compares the pixel row at
+    position (i*h) div 60 against the image's own integer milli-mean
+    (1000*v > mean_milli — exact integer compare, no float). 60 bits,
+    not the classic 64, so the hash stays inside a signed bigint's
+    positive range in BOTH engines (DuckDB's << overflows at bit 63);
+    the 15-bit LSH bands below get a 32k-value keyspace either way.
+    Computed in mapInPandas from the decoded bytes; Arrow batches
+    stream through, payloads never visit the driver."""
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d, buf in zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()):
+                vals, mean_milli = _bmp_row_values(bytes(buf))
+                h = len(vals)
+                ph_bits = 0
+                for i in range(60):
+                    if 1000 * int(vals[i * h // 60]) > mean_milli:
+                        ph_bits |= 1 << i
+                out.append((int(d), ph_bits))
+            yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return media.mapInPandas(ph, "doc_id bigint, phash bigint")
+
+
+def phash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image detection over the 60-bit perceptual hash:
+    4 bands x 15 bits LSH candidate generation, then exact Hamming
+    verify. With 4 bands and radius 3 the banding is LOSSLESS by
+    pigeonhole — 3 differing bits can corrupt at most 3 of the 4 bands,
+    so every qualifying pair shares at least one exact band — which is
+    why the brute-force oracle matches exactly. 15-bit bands give a
+    32k-value keyspace per band, so band buckets stay small at scale
+    (a hot bucket means genuinely identical hashes — inherent
+    duplicates, the thing being detected — not LSH degradation).
+    Candidates are ids+hashes only (never payloads); the band
+    equi-join is the same bucketed shape as MinHash LSH
+    (operators/dedup.py). Output is one bounded row per image with
+    >=1 near-dup: neighbor count + smallest neighbor id."""
+    hashes = phash60(media).localCheckpoint()  # reused by 4-band explode + verify
+    bands = hashes.selectExpr(
+        "doc_id",
+        "phash",
+        "explode(transform(sequence(0, 3),"
+        " b -> struct(b AS band,"
+        " CAST(shiftright(phash, b * 15) & 32767 AS INT) AS key))) AS bk",
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    left = bands.selectExpr("doc_id AS a", "phash AS ha", "band", "key")
+    right = bands.selectExpr("doc_id AS b", "phash AS hb", "band", "key")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .filter(F.bit_count(F.expr("ha ^ hb")) <= max_hamming)
+    )
+    sym = pairs.selectExpr("a AS doc_id", "b AS nb").unionAll(
+        pairs.selectExpr("b AS doc_id", "a AS nb")
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near"),
+        F.min("nb").alias("nearest_id"),
+    )

@@ -2356,3 +2356,59 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return decode_real_media(synthesize_real_media(docs))
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id, 3 + doc_id % 7 AS h,
+         list_transform(range(3 + doc_id % 7), y -> (doc_id + y) % 256) AS vs
+  FROM documents WHERE doc_id % 3 = 0
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(60),
+              i -> CASE WHEN vs[((i * h) // 60) + 1] * 1000
+                             > (list_sum(vs) * 1000) // h
+                        THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+              AS BIGINT) AS phash
+  FROM imgs
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+sym AS (
+  SELECT a AS doc_id, b AS nb FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+       CAST(min(nb) AS BIGINT) AS nearest_id
+FROM sym GROUP BY doc_id
+""",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over REAL image bytes —
+    the image-dedup stage of a multimodal curation pipeline: a 60-bit
+    average-hash is computed from each DECODED BMP's actual pixel rows
+    (operators/multimodal.py::phash60, mapInPandas — payloads never
+    leave tasks), then near-dups at Hamming <= 3 are found by 4-band x
+    15-bit LSH + exact verify. The banding is LOSSLESS at this radius by
+    pigeonhole (3 flipped bits corrupt at most 3 of 4 bands), which is
+    what lets the brute-force closed-form oracle match the bucketed
+    plan EXACTLY — same guarantee scale-wise as MinHash LSH: the
+    candidate join exchanges ids+hashes through band buckets, never
+    pixels, and the all-pairs set is never materialized. The payloads
+    follow the closed-form generative model of doc_id, so DuckDB
+    recomputes every hash symbolically: any decode or hash bug breaks
+    the value hash."""
+    from stream_processing_project_spark.operators.multimodal import (
+        phash_neardup,
+        synthesize_real_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs).filter(F.col("kind") == "image")
+    return phash_neardup(media)

@@ -78,6 +78,7 @@ _PRIORITY = [
     # r05-new oracles first (the standing ADVICE convention: every new
     # oracle gets a hard cross-engine driver row in its own round)
     "olap_bitmap_distinct_rollup",
+    "multimodal_phash_neardup",
     "features_isotonic_calibration",
     "features_hashing_trick",
     "text_bigram_logprob",

@@ -167,3 +167,43 @@ def test_bigram_logprob_full_python_recompute(spark):
         assert r.surprisal_sum == ssum, (
             f"doc {r.doc_id}: {r.surprisal_sum} != python {ssum}"
         )
+
+
+def test_phash_neardup_lsh_lossless_and_hash_correct(spark):
+    """The 60-bit aHash computed from REAL decoded BMP bytes must equal
+    the closed-form hash recomputed in Python from doc_id, and the
+    LSH-bucketed near-dup output must equal a brute-force all-pairs
+    Hamming scan (the pigeonhole losslessness claim at radius 3)."""
+    from stream_processing_project_spark.operators.multimodal import (
+        phash60,
+        synthesize_real_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = synthesize_real_media(docs).filter(F.col("kind") == "image")
+    got = {r.doc_id: r.phash for r in phash60(media).collect()}
+    assert got
+    for did, ph in got.items():
+        h = 3 + did % 7
+        vs = [(did + y) % 256 for y in range(h)]
+        mean_milli = sum(vs) * 1000 // h
+        want = sum(
+            1 << i for i in range(60) if vs[i * h // 60] * 1000 > mean_milli
+        )
+        assert ph == want, f"doc {did}: phash {ph} != closed form {want}"
+    rows = {
+        r.doc_id: (r.n_near, r.nearest_id)
+        for r in all_queries()["multimodal_phash_neardup"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    brute = defaultdict(list)
+    ids = sorted(got)
+    for x in ids:
+        for y in ids:
+            if x < y and bin(got[x] ^ got[y]).count("1") <= 3:
+                brute[x].append(y)
+                brute[y].append(x)
+    assert rows == {
+        d: (len(nbs), min(nbs)) for d, nbs in brute.items()
+    }

@@ -102,6 +102,13 @@ QUERIES = [
     "olap_conversion_paths_topk",
     "profile_join_cardinality",
     "governance_crypto_shred",
+    # r05 additions: exact-distinct bitmap rollup, calibration,
+    # hashed features, bigram LM, perceptual-hash image near-dup
+    "olap_bitmap_distinct_rollup",
+    "features_isotonic_calibration",
+    "features_hashing_trick",
+    "text_bigram_logprob",
+    "multimodal_phash_neardup",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids
@@ -173,8 +180,9 @@ def main() -> None:
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 
+    names = sys.argv[1:] or QUERIES  # optional subset: scale_curve.py q1 q2
     print(f"{'query':32s} {'sf0.01':>8s} {'sf0.1':>8s} {'sf1':>8s} {'x(0.1->1)':>10s}")
-    for name in QUERIES:
+    for name in names:
         row = [name]
         times = []
         for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", SF1]:

@@ -357,40 +357,83 @@ def phash60(media: DataFrame) -> DataFrame:
 
 
 def phash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate image detection over the 60-bit perceptual hash:
-    4 bands x 15 bits LSH candidate generation, then exact Hamming
-    verify. With 4 bands and radius 3 the banding is LOSSLESS by
-    pigeonhole — 3 differing bits can corrupt at most 3 of the 4 bands,
-    so every qualifying pair shares at least one exact band — which is
-    why the brute-force oracle matches exactly. 15-bit bands give a
-    32k-value keyspace per band, so band buckets stay small at scale
-    (a hot bucket means genuinely identical hashes — inherent
-    duplicates, the thing being detected — not LSH degradation).
-    Candidates are ids+hashes only (never payloads); the band
-    equi-join is the same bucketed shape as MinHash LSH
-    (operators/dedup.py). Output is one bounded row per image with
-    >=1 near-dup: neighbor count + smallest neighbor id."""
-    hashes = phash60(media).localCheckpoint()  # reused by 4-band explode + verify
-    bands = hashes.selectExpr(
-        "doc_id",
+    """Near-duplicate image detection over the 60-bit perceptual hash,
+    CLASS-COMPRESSED: identical hashes are collapsed to one class row
+    (count + two smallest member ids) BEFORE any pairing, so all
+    quadratic work happens at the distinct-hash level and member-level
+    output is a linear broadcast map-back. This is the decisive scale
+    property: a corpus with massive duplication (the common case — and
+    the fixture's: ~500 members per class at sf1) produces huge
+    MEMBER-pair counts, but the class-pair graph stays |distinct
+    hashes|-sized. The first cut paired members directly and measured
+    115x at 10x data (438M candidate pairs); this form measures ~1x.
+
+    Class pairs at Hamming <= max_hamming come from 4-band x 15-bit
+    LSH + exact verify — lossless at radius 3 by pigeonhole (3 flipped
+    bits corrupt at most 3 of 4 bands), which is why the brute-force
+    class-level oracle matches exactly. Output: one row per image with
+    >= 1 near-dup (same-class members count — Hamming 0): neighbor
+    count + smallest neighbor id (own-class min excludes the image
+    itself via the second-smallest member id)."""
+    hashes = phash60(media)
+    classes = (
+        hashes.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").alias("min1"),
+        )
+        .localCheckpoint()  # distinct-hash table reused by bands/m2/map-back
+    )
+    m2 = (
+        hashes.join(F.broadcast(classes.select("phash", "min1")), "phash")
+        .filter(F.col("doc_id") > F.col("min1"))
+        .groupBy("phash")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    bands = classes.selectExpr(
         "phash",
+        "n",
+        "min1",
         "explode(transform(sequence(0, 3),"
         " b -> struct(b AS band,"
         " CAST(shiftright(phash, b * 15) & 32767 AS INT) AS key))) AS bk",
-    ).select("doc_id", "phash", "bk.band", "bk.key")
-    left = bands.selectExpr("doc_id AS a", "phash AS ha", "band", "key")
-    right = bands.selectExpr("doc_id AS b", "phash AS hb", "band", "key")
-    pairs = (
+    ).select("phash", "n", "min1", "bk.band", "bk.key")
+    left = bands.selectExpr("phash AS pa", "band", "key")
+    right = bands.selectExpr("phash AS pb", "n AS nb", "min1 AS minb", "band", "key")
+    cpairs = (
         left.join(right, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
+        .filter(F.col("pa") != F.col("pb"))
+        .select("pa", "pb", "nb", "minb")
         .distinct()
-        .filter(F.bit_count(F.expr("ha ^ hb")) <= max_hamming)
+        .filter(F.bit_count(F.expr("pa ^ pb")) <= max_hamming)
     )
-    sym = pairs.selectExpr("a AS doc_id", "b AS nb").unionAll(
-        pairs.selectExpr("b AS doc_id", "a AS nb")
+    neigh = cpairs.groupBy("pa").agg(
+        F.sum("nb").cast("bigint").alias("neigh_n"),
+        F.min("minb").alias("neigh_min"),
     )
-    return sym.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_near"),
-        F.min("nb").alias("nearest_id"),
+    own_nearest = F.when(
+        F.col("n") > 1,
+        F.when(F.col("doc_id") == F.col("min1"), F.col("min2")).otherwise(
+            F.col("min1")
+        ),
+    )
+    nearest = (
+        F.when(own_nearest.isNull(), F.col("neigh_min"))
+        .when(F.col("neigh_min").isNull(), own_nearest)
+        .otherwise(F.least(own_nearest, F.col("neigh_min")))
+    )
+    return (
+        hashes.join(F.broadcast(classes), "phash")
+        .join(F.broadcast(m2), "phash", "left")
+        .join(
+            F.broadcast(neigh), F.col("phash") == F.col("pa"), "left"
+        )
+        .withColumn(
+            "n_near",
+            (F.col("n") - 1 + F.coalesce(F.col("neigh_n"), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("n_near") > 0)
+        .select("doc_id", "n_near", nearest.cast("bigint").alias("nearest_id"))
     )

@@ -679,10 +679,15 @@ def bigram_logprob(
         " concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg)))"
         " AS p",
     ).select("id", "p.w1", "p.bg")
-    c12 = bigr.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE count rollup over the exploded bigrams; the prefix counts
+    # derive from the (much smaller) bigram table — c1(w1) = sum of
+    # c12 over bigrams starting with w1 — instead of a second pass
+    # over every token occurrence (measured: removes one full
+    # explode+aggregate of the corpus from the plan)
+    c12 = bigr.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
-        bigr.join(F.broadcast(c12), "bg")
+        bigr.join(F.broadcast(c12.select("bg", "c12")), "bg")
         .join(F.broadcast(c1), "w1")
         .withColumn(
             "micronats",

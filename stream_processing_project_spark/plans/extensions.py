@@ -2375,18 +2375,38 @@ hashed AS (
               AS BIGINT) AS phash
   FROM imgs
 ),
-pairs AS (
-  SELECT a.doc_id AS a, b.doc_id AS b
-  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+classes AS (
+  SELECT phash, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min1
+  FROM hashed GROUP BY phash
+),
+m2 AS (
+  SELECT h.phash, min(h.doc_id) AS min2
+  FROM hashed h JOIN classes c ON c.phash = h.phash AND h.doc_id > c.min1
+  GROUP BY h.phash
+),
+cpairs AS (
+  SELECT a.phash AS pa, b.n AS nb, b.min1 AS minb
+  FROM classes a JOIN classes b ON a.phash <> b.phash
   WHERE bit_count(xor(a.phash, b.phash)) <= 3
 ),
-sym AS (
-  SELECT a AS doc_id, b AS nb FROM pairs
-  UNION ALL SELECT b, a FROM pairs
+neigh AS (
+  SELECT pa, CAST(sum(nb) AS BIGINT) AS neigh_n, min(minb) AS neigh_min
+  FROM cpairs GROUP BY pa
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
-       CAST(min(nb) AS BIGINT) AS nearest_id
-FROM sym GROUP BY doc_id
+SELECT h.doc_id,
+       CAST(c.n - 1 + coalesce(g.neigh_n, 0) AS BIGINT) AS n_near,
+       CAST(CASE
+         WHEN c.n > 1 THEN
+           CASE WHEN g.neigh_min IS NULL
+                THEN (CASE WHEN h.doc_id = c.min1 THEN m.min2 ELSE c.min1 END)
+                ELSE least(CASE WHEN h.doc_id = c.min1 THEN m.min2
+                                ELSE c.min1 END, g.neigh_min) END
+         ELSE g.neigh_min END AS BIGINT) AS nearest_id
+FROM hashed h
+JOIN classes c ON c.phash = h.phash
+LEFT JOIN m2 m ON m.phash = h.phash
+LEFT JOIN neigh g ON g.pa = h.phash
+WHERE c.n - 1 + coalesce(g.neigh_n, 0) > 0
 """,
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2395,12 +2415,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     average-hash is computed from each DECODED BMP's actual pixel rows
     (operators/multimodal.py::phash60, mapInPandas — payloads never
     leave tasks), then near-dups at Hamming <= 3 are found by 4-band x
-    15-bit LSH + exact verify. The banding is LOSSLESS at this radius by
-    pigeonhole (3 flipped bits corrupt at most 3 of 4 bands), which is
-    what lets the brute-force closed-form oracle match the bucketed
-    plan EXACTLY — same guarantee scale-wise as MinHash LSH: the
-    candidate join exchanges ids+hashes through band buckets, never
-    pixels, and the all-pairs set is never materialized. The payloads
+    15-bit LSH + exact verify AT THE DISTINCT-HASH CLASS LEVEL —
+    identical hashes collapse to one class row before any pairing, so
+    heavy duplication (the fixture has ~500-member classes at sf1)
+    never creates member-level pair explosions; members get their
+    counts back through a linear broadcast map-back. The banding is
+    LOSSLESS at this radius by pigeonhole (3 flipped bits corrupt at
+    most 3 of 4 bands), which is what lets the brute-force closed-form
+    class-level oracle match the bucketed plan EXACTLY — same
+    guarantee scale-wise as MinHash LSH: the candidate join exchanges
+    hashes through band buckets, never pixels or member pairs. The payloads
     follow the closed-form generative model of doc_id, so DuckDB
     recomputes every hash symbolically: any decode or hash bug breaks
     the value hash."""

@@ -109,6 +109,10 @@ QUERIES = [
     "features_hashing_trick",
     "text_bigram_logprob",
     "multimodal_phash_neardup",
+    "cdc_retract_aggregate",
+    "streaming_retract_aggregate",
+    "timeseries_holt_brown_trend",
+    "vector_random_projection_jl",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -549,3 +549,79 @@ def pit_feature_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+RETRACT_AGG_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_changes", LongType()),
+        StructField("n_live", LongType()),
+        StructField("sum_cents_live", LongType()),
+    ]
+)
+
+# (n_changes, n_live, sum_cents) — O(1) integers per key
+_RETRACT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_changes", LongType()),
+        StructField("n_live", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+
+def _fold_retract(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's change rows into the group's live
+    aggregate via the retraction algebra: +after for inserts,
+    (after - before) for updates, -before for deletes. Pure integer
+    sums — commutative and associative, so unlike the EWMA fold no
+    within-batch ordering matters; micro-batch boundaries bridge
+    through the three stored integers."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    n_changes, n_live, sum_cents = state.get if state.exists else (0, 0, 0)
+    for op, before, after in zip(
+        pdf["op"].tolist(), pdf["before"].tolist(), pdf["after"].tolist()
+    ):
+        n_changes += 1
+        if op == "c":
+            n_live += 1
+            sum_cents += int(after)
+        elif op == "u":
+            sum_cents += int(after) - int(before)
+        else:  # d
+            n_live -= 1
+            sum_cents -= int(before)
+    state.update((n_changes, n_live, sum_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_changes": [n_changes],
+            "n_live": [n_live],
+            "sum_cents_live": [sum_cents],
+        }
+    )
+
+
+def retract_stream(changes: DataFrame) -> DataFrame:
+    """Retraction-aware streaming aggregate (the Flink retract-stream
+    capability as arbitrary state): SUM/COUNT per group maintained
+    from +after/-before deltas alone — O(1) state per key (three
+    integers), no per-key version history, state sharded with the
+    groupBy shuffle. The batch twin (`cdc_retract_aggregate`) proves
+    the same algebra against the materialized-state oracle; this
+    operator carries it across micro-batch boundaries. Input: rows
+    (user_id, op, before, after) with op in {c, u, d}."""
+    return changes.groupBy("user_id").applyInPandasWithState(
+        _fold_retract,
+        RETRACT_AGG_SCHEMA,
+        _RETRACT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -2436,3 +2436,104 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     media = synthesize_real_media(docs).filter(F.col("kind") == "image")
     return phash_neardup(media)
+
+
+@register(
+    "vector_random_projection_jl",
+    oracle="""
+WITH mat AS (
+  SELECT i.i, j.j,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':'
+                         || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(0, 64) i(i), range(0, 16) j(j)
+),
+x AS (
+  SELECT vec_id, i.i,
+         CAST(round(embedding[i.i + 1] * 1e6) AS BIGINT) AS xm
+  FROM embeddings, range(0, 64) i(i)
+),
+y AS (
+  SELECT x.vec_id, m.j, CAST(sum(m.sgn * x.xm) AS BIGINT) AS proj_micro
+  FROM x JOIN mat m ON m.i = x.i
+  GROUP BY x.vec_id, m.j
+),
+nx AS (SELECT vec_id, CAST(sum(xm * xm) AS BIGINT) AS sx FROM x GROUP BY vec_id),
+ny AS (SELECT vec_id, CAST(sum(proj_micro * proj_micro) AS BIGINT) AS sy
+       FROM y GROUP BY vec_id)
+SELECT y.vec_id, y.j, y.proj_micro,
+       CAST(ny.sy AS DOUBLE) / (16.0 * CAST(nx.sx AS DOUBLE)) AS norm_ratio
+FROM y JOIN nx ON nx.vec_id = y.vec_id JOIN ny ON ny.vec_id = y.vec_id
+""",
+)
+def vector_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    norm-preservation audit — the dimension reducer that needs NO
+    training pass (contrast vector_pca_power_iteration): a +-1
+    Achlioptas sign matrix drawn deterministically from the
+    cross-engine md5-prefix hash, so both engines replay the identical
+    matrix and the projection value-hash-oracles. Embedding elements
+    micro-quantize to exact bigints BEFORE any arithmetic, so every
+    projected coordinate is an exact signed integer sum (no float
+    order anywhere); the audit ratio ||y||^2 / (k * ||x||^2) — the JL
+    lemma's concentration target, ~1 per vector — is one raw
+    fixed-order double division at the end. Plan shape: the d x k = 
+    1024-row sign matrix materializes ONCE and broadcasts; the
+    posexploded corpus fan-outs through the broadcast equi-join on the
+    source dim (k rows per element — dense mat-vec, the inherent JL
+    cost), then ONE map-side-combined rollup keyed (vec, target-dim).
+    At 100 TB nothing shuffles but (vec, j) partial sums; the matrix
+    never re-derives per row. Feeds the ANN family: project first,
+    then LSH/IVF the 16-dim codes at 4x less exchange volume."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "xv"),
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("xv").cast("double") * 1e6, 0).cast("bigint").alias("xm"),
+    )
+    mat = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(16).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.expr(
+                    "CAST(conv(substr(md5(concat(CAST(i AS STRING), ':',"
+                    " CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0"
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    y = (
+        x.join(F.broadcast(mat), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("xm")).cast("bigint").alias("proj_micro"))
+        .localCheckpoint()  # reused by the output join and the norm audit
+    )
+    nx = x.groupBy("vec_id").agg(
+        F.sum(F.col("xm") * F.col("xm")).cast("bigint").alias("sx")
+    )
+    ny = y.groupBy("vec_id").agg(
+        F.sum(F.col("proj_micro") * F.col("proj_micro")).cast("bigint").alias("sy")
+    )
+    return (
+        y.join(nx, "vec_id")
+        .join(ny, "vec_id")
+        .select(
+            "vec_id",
+            "j",
+            "proj_micro",
+            (
+                F.col("sy").cast("double") / (16.0 * F.col("sx").cast("double"))
+            ).alias("norm_ratio"),
+        )
+    )

@@ -4961,3 +4961,122 @@ def olap_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# Brown double-smoothing lag weights at alpha=0.25, K=12 lags, inlined
+# as integer literals in BOTH engines (the EWMA convention): s1 weights
+# round(a*(1-a)^j * 1e6), s2 weights round(a^2*(j+1)*(1-a)^j * 1e6) —
+# s2 = EWMA(EWMA(x)) folds to a single convolution with (j+1)-weighted
+# taps, which is what makes trend extraction ONE scatter pass.
+_BROWN_W1 = [250000, 187500, 140625, 105469, 79102, 59326,
+             44495, 33371, 25028, 18771, 14078, 10559]
+_BROWN_W2 = [62500, 93750, 105469, 105469, 98877, 88989,
+             77866, 66742, 56314, 46928, 38716, 31676]
+_BROWN_K = len(_BROWN_W1)
+_BROWN_W1_SQL = "[" + ", ".join(str(w) for w in _BROWN_W1) + "]"
+_BROWN_W2_SQL = "[" + ", ".join(str(w) for w in _BROWN_W2) + "]"
+
+
+@register(
+    "timeseries_holt_brown_trend",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT event_type, h + j.j AS th,
+         cents * ({_BROWN_W1_SQL}[j.j + 1]) AS n1,
+         ({_BROWN_W1_SQL}[j.j + 1]) AS d1,
+         cents * ({_BROWN_W2_SQL}[j.j + 1]) AS n2,
+         ({_BROWN_W2_SQL}[j.j + 1]) AS d2
+  FROM hourly, range(0, {_BROWN_K}) j(j)
+),
+sm AS (
+  SELECT event_type, th,
+         CAST(sum(n1) AS BIGINT) AS num1, CAST(sum(d1) AS BIGINT) AS den1,
+         CAST(sum(n2) AS BIGINT) AS num2, CAST(sum(d2) AS BIGINT) AS den2
+  FROM contrib GROUP BY 1, 2
+)
+SELECT h.event_type,
+       strftime(to_timestamp(h.h * 3600), '%Y-%m-%d %H:%M:%S') AS bucket,
+       2.0 * (CAST(s.num1 AS DOUBLE) / s.den1)
+         - CAST(s.num2 AS DOUBLE) / s.den2 AS level_cents,
+       (CAST(s.num1 AS DOUBLE) / s.den1
+         - CAST(s.num2 AS DOUBLE) / s.den2) / 3.0 AS trend_cents,
+       2.0 * (CAST(s.num1 AS DOUBLE) / s.den1)
+         - CAST(s.num2 AS DOUBLE) / s.den2
+         + 3.0 * ((CAST(s.num1 AS DOUBLE) / s.den1
+                   - CAST(s.num2 AS DOUBLE) / s.den2) / 3.0)
+         AS forecast_3h_cents
+FROM hourly h JOIN sm s ON h.event_type = s.event_type AND h.h = s.th
+""",
+)
+def timeseries_holt_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double exponential smoothing — trend-aware series
+    smoothing + short-horizon forecast, the step between flat EWMA
+    (timeseries_ewma_smooth, which lags trending series by design) and
+    the global OLS forecast (timeseries_linear_forecast, one line for
+    the whole history). Brown's method is Holt's linear trend with a
+    single alpha: level = 2*s1 - s2, trend = a/(1-a)*(s1 - s2),
+    h-step forecast = level + h*trend, where s1 = EWMA(x) and
+    s2 = EWMA(s1). The decisive identity for scale: s2 folds to ONE
+    convolution with (j+1)-weighted taps, so BOTH smoothers come out
+    of a single scatter pass (the truncated-K inversion of the
+    sequential recurrence, the EWMA-smooth idiom) — each hourly bucket
+    emits K=12 contributions to both weight tables, one
+    map-side-combined rollup keyed (series, target-hour) sums exact
+    bigint numerators and weight masses, and every double expression
+    after that is the same fixed-order text in both engines (raw
+    divisions, never rounded — plans/common.py rules). Gap handling is
+    mass-normalized per convolution (absent lags contribute neither).
+    At 100 TB the 2K-wide fan-out multiplies the |series x hours|
+    rollup only, never raw events."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w1 = F.array(*[F.lit(x) for x in _BROWN_W1])
+    w2 = F.array(*[F.lit(x) for x in _BROWN_W2])
+    contrib = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BROWN_K - 1))).alias("j"),
+    ).select(
+        "event_type",
+        (F.col("h") + F.col("j")).alias("th"),
+        (F.col("cents") * F.element_at(w1, F.col("j") + 1)).alias("n1"),
+        F.element_at(w1, F.col("j") + 1).alias("d1"),
+        (F.col("cents") * F.element_at(w2, F.col("j") + 1)).alias("n2"),
+        F.element_at(w2, F.col("j") + 1).alias("d2"),
+    )
+    sm = contrib.groupBy("event_type", "th").agg(
+        F.sum("n1").alias("num1"),
+        F.sum("d1").alias("den1"),
+        F.sum("n2").alias("num2"),
+        F.sum("d2").alias("den2"),
+    )
+    s1 = F.col("num1").cast("double") / F.col("den1")
+    s2 = F.col("num2").cast("double") / F.col("den2")
+    level = 2.0 * s1 - s2
+    trend = (s1 - s2) / 3.0
+    return (
+        hourly.alias("hh")
+        .join(
+            sm.alias("ss"),
+            (F.col("hh.event_type") == F.col("ss.event_type"))
+            & (F.col("hh.h") == F.col("ss.th")),
+        )
+        .select(
+            F.col("hh.event_type").alias("event_type"),
+            F.from_unixtime(F.col("hh.h") * 3600, "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            level.alias("level_cents"),
+            trend.alias("trend_cents"),
+            (level + 3.0 * trend).alias("forecast_3h_cents"),
+        )
+    )

@@ -82,6 +82,10 @@ _PRIORITY = [
     "features_isotonic_calibration",
     "features_hashing_trick",
     "text_bigram_logprob",
+    "cdc_retract_aggregate",
+    "streaming_retract_aggregate",
+    "timeseries_holt_brown_trend",
+    "vector_random_projection_jl",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

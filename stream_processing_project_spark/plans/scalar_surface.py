@@ -507,3 +507,114 @@ def synthetic_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     generator_source.register(spark)
     return spark.read.format("cdc_events").option("rows", 10000).load()
+
+
+@register(
+    "cdc_retract_aggregate",
+    oracle="""
+WITH live AS (
+  -- the MATERIALIZED path: apply the change log to per-id state, then
+  -- aggregate the survivors (deletes vanish, updates take new value)
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT)
+           + CASE WHEN event_id % 20 = 0 THEN 37 ELSE 0 END AS cents
+  FROM events WHERE event_id % 20 <> 1
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_live,
+       CAST(sum(cents) AS BIGINT) AS sum_cents_live
+FROM live GROUP BY user_id
+""",
+)
+def cdc_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware aggregate maintenance — the Flink retract-stream
+    capability (what makes aggregates over UPDATING inputs work without
+    replaying history): each change contributes +after for inserts,
+    (after - before) for updates, -before for deletes, and SUM/COUNT
+    per group are maintained from those DELTAS ALONE — O(1) state per
+    group, no per-key version log, no shuffle of materialized state.
+    The deterministic change log derives row-locally from the fixture
+    (every event inserts at integer cents; ids % 20 == 0 later update
+    to cents+37 carrying their before-image; ids % 20 == 1 later
+    delete) — so the log needs NO self-join to find before-images. The
+    Spark side aggregates the retraction stream; the ORACLE aggregates
+    the MATERIALIZED final state instead — the cross-engine hash match
+    is a proof that the delta algebra equals apply-then-aggregate,
+    which is the correctness contract of incremental view maintenance
+    over changelogs (same family as olap_mv_join_delta for joins).
+    Shape at 100 TB: one scan, a 3-way row-local change fan-out
+    (explode of a when-array, no join), one map-side-combined rollup
+    keyed by group. A group whose state empties (all rows deleted)
+    retracts its output row, matching the oracle's survivors-only
+    aggregate at any scale factor."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    # row-local change fan-out: insert always; update/delete by op class
+    changes = ev.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.col("event_id") % 20 == 0,
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(None).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    ),
+                    F.struct(
+                        F.lit("u").alias("op"),
+                        F.col("cents").alias("before"),
+                        (F.col("cents") + 37).alias("after"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("event_id") % 20 == 1,
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(None).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    ),
+                    F.struct(
+                        F.lit("d").alias("op"),
+                        F.col("cents").alias("before"),
+                        F.lit(None).cast("bigint").alias("after"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(None).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    )
+                )
+            )
+        ).alias("ch"),
+    ).select("user_id", "ch.op", "ch.before", "ch.after")
+    d_count = (
+        F.when(F.col("op") == "c", 1)
+        .when(F.col("op") == "d", -1)
+        .otherwise(0)
+    )
+    d_sum = (
+        F.when(F.col("op") == "c", F.col("after"))
+        .when(F.col("op") == "u", F.col("after") - F.col("before"))
+        .otherwise(-F.col("before"))
+    )
+    return (
+        changes.groupBy("user_id")
+        .agg(
+            F.sum(d_count).cast("bigint").alias("n_live"),
+            F.sum(d_sum).cast("bigint").alias("sum_cents_live"),
+        )
+        # a group whose state empties retracts its row — materialized-
+        # view semantics, and what keeps parity with the survivors-only
+        # oracle at ANY scale factor (not just ones where no user's
+        # rows are all deleted)
+        .filter(F.col("n_live") > 0)
+    )

@@ -1168,3 +1168,106 @@ def streaming_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.run_to_completion(
         pit_feature_stream(events), output_mode="update"
     )
+
+
+@register(
+    "streaming_retract_aggregate",
+    oracle="""
+WITH live AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT)
+           + CASE WHEN event_id % 20 = 0 THEN 37 ELSE 0 END AS cents
+  FROM events WHERE event_id % 20 <> 1
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_live,
+         CAST(sum(cents) AS BIGINT) AS sum_cents_live
+  FROM live GROUP BY user_id
+),
+nch AS (
+  SELECT user_id,
+         CAST(count(*) + count(*) FILTER (WHERE event_id % 20 < 2)
+              AS BIGINT) AS n_changes
+  FROM events GROUP BY user_id
+)
+SELECT n.user_id, n.n_changes,
+       coalesce(a.n_live, 0) AS n_live,
+       coalesce(a.sum_cents_live, 0) AS sum_cents_live
+FROM nch n LEFT JOIN agg a ON a.user_id = n.user_id
+""",
+)
+def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retraction-aware aggregate — the Flink retract-stream
+    semantic as an arbitrary-state operator: per-user SUM/COUNT over an
+    UPDATING input maintained from +after/-before deltas with O(1)
+    integer state per key (operators/stateful.py::retract_stream). The
+    change stream derives ROW-LOCALLY from each arriving event (insert
+    always; ids % 20 == 0 then update to cents+37 with before-image;
+    ids % 20 == 1 then delete) — a stateless explode in front of the
+    stateful groupBy, so the only shuffle is the state sharding. The
+    ORACLE aggregates the MATERIALIZED final state (survivors only):
+    the hash match proves delta-maintenance equals apply-then-aggregate
+    ACROSS micro-batch boundaries — the batch twin
+    (`cdc_retract_aggregate`) proves the same algebra in one pass, this
+    proves the state bridge. A group whose rows all die keeps its zero
+    row here (n_changes still counts) — the retract-sink view of an
+    emptied group. The update log reduces to the last emission per
+    user (n_changes is strictly increasing)."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    from stream_processing_project_spark.operators.stateful import retract_stream
+
+    changes = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.col("event_id"),
+    ).select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.col("event_id") % 20 == 0,
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(0).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    ),
+                    F.struct(
+                        F.lit("u").alias("op"),
+                        F.col("cents").alias("before"),
+                        (F.col("cents") + 37).alias("after"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("event_id") % 20 == 1,
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(0).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    ),
+                    F.struct(
+                        F.lit("d").alias("op"),
+                        F.col("cents").alias("before"),
+                        F.lit(0).cast("bigint").alias("after"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("c").alias("op"),
+                        F.lit(0).cast("bigint").alias("before"),
+                        F.col("cents").alias("after"),
+                    )
+                )
+            )
+        ).alias("ch"),
+    ).select("user_id", "ch.op", "ch.before", "ch.after")
+    log = pipeline.run_to_completion(retract_stream(changes), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_changes", "n_live", "sum_cents_live")
+    )

@@ -207,3 +207,135 @@ def test_phash_neardup_lsh_lossless_and_hash_correct(spark):
     assert rows == {
         d: (len(nbs), min(nbs)) for d, nbs in brute.items()
     }
+
+
+def test_retract_aggregate_matches_python_state_machine(spark):
+    """Apply the change log in a plain Python state machine (insert /
+    update / delete per id), aggregate the surviving state, and require
+    exact equality with the delta-algebra output — both for the batch
+    form and the streaming form (which must also bridge micro-batch
+    boundaries to the same totals, plus a change-count audit)."""
+    ev = {
+        r.event_id: (r.user_id, round(r.value * 100))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "value")
+        .collect()
+    }
+    state: dict = {}
+    n_changes: Counter = Counter()
+    for eid, (uid, cents) in ev.items():
+        state[eid] = (uid, cents)
+        n_changes[uid] += 1
+        if eid % 20 == 0:
+            state[eid] = (uid, cents + 37)
+            n_changes[uid] += 1
+        elif eid % 20 == 1:
+            del state[eid]
+            n_changes[uid] += 1
+    want: dict = {}
+    for uid, cents in state.values():
+        n, s = want.get(uid, (0, 0))
+        want[uid] = (n + 1, s + cents)
+    batch = {
+        r.user_id: (r.n_live, r.sum_cents_live)
+        for r in all_queries()["cdc_retract_aggregate"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert batch == want
+    stream = {
+        r.user_id: (r.n_changes, r.n_live, r.sum_cents_live)
+        for r in all_queries()["streaming_retract_aggregate"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert {u: (n, s) for u, (_, n, s) in stream.items()} == {
+        **{u: (0, 0) for u in n_changes},  # emptied groups emit zeros
+        **want,
+    }
+    assert {u: c for u, (c, _, _) in stream.items()} == dict(n_changes)
+
+
+def test_holt_brown_matches_python_convolution(spark):
+    """Recompute both smoothers in plain Python from the hourly integer
+    cents (same weight literals, same mass normalization) and require
+    the level/trend/forecast doubles to be bit-equal — pins the scatter
+    inversion AND the fixed-order double assembly."""
+    from stream_processing_project_spark.plans.olap import (
+        _BROWN_K,
+        _BROWN_W1,
+        _BROWN_W2,
+    )
+
+    hourly: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.col("event_type"),
+            (F.unix_seconds("ts") / 3600).cast("long").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("cents"))
+        .collect()
+    ):
+        hourly[(r.event_type, r.h)] = r.cents
+    rows = (
+        all_queries()["timeseries_holt_brown_trend"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == len(hourly)
+    import datetime
+
+    for r in rows:
+        dt = datetime.datetime.strptime(r.bucket, "%Y-%m-%d %H:%M:%S")
+        h = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() // 3600)
+        n1 = d1 = n2 = d2 = 0
+        for j in range(_BROWN_K):
+            c = hourly.get((r.event_type, h - j))
+            if c is not None:
+                n1 += c * _BROWN_W1[j]
+                d1 += _BROWN_W1[j]
+                n2 += c * _BROWN_W2[j]
+                d2 += _BROWN_W2[j]
+        s1, s2 = n1 / d1, n2 / d2
+        level, trend = 2.0 * s1 - s2, (s1 - s2) / 3.0
+        assert r.level_cents == level
+        assert r.trend_cents == trend
+        assert r.forecast_3h_cents == level + 3.0 * trend
+
+
+def test_jl_projection_norm_concentration(spark):
+    """The JL audit ratio ||y||^2/(k||x||^2) must recompute exactly in
+    Python from the deterministic sign matrix, and its corpus mean must
+    concentrate near 1 (the lemma's expectation: E[ratio] = 1)."""
+    import hashlib
+
+    def sgn(i, j):
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    rows = (
+        all_queries()["vector_random_projection_jl"].builder(spark, SF_SMOKE).collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(r.vec_id, {})[r.j] = (r.proj_micro, r.norm_ratio)
+    ratios = []
+    for vid, emb in vecs.items():
+        xm = [round(float(x) * 1e6) for x in emb]
+        for j in range(16):
+            want = sum(sgn(i, j) * xm[i] for i in range(64))
+            assert got[vid][j][0] == want
+        sx = sum(v * v for v in xm)
+        sy = sum(got[vid][j][0] ** 2 for j in range(16))
+        want_ratio = sy / (16.0 * sx)
+        assert got[vid][0][1] == want_ratio
+        ratios.append(want_ratio)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, f"JL mean ratio {mean} out of band"

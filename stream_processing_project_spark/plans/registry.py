@@ -86,6 +86,8 @@ _PRIORITY = [
     "streaming_retract_aggregate",
     "timeseries_holt_brown_trend",
     "vector_random_projection_jl",
+    "cdc_time_travel_read",
+    "sampling_neyman_allocation",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

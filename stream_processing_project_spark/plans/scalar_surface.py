@@ -618,3 +618,223 @@ def cdc_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows are all deleted)
         .filter(F.col("n_live") > 0)
     )
+
+
+@register(
+    "cdc_time_travel_read",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT)
+         + CASE WHEN event_id % 20 = 0
+                     AND ts + INTERVAL 36 HOUR <= TIMESTAMP '2024-01-16 00:00:00'
+                THEN 37 ELSE 0 END AS cents_asof,
+       CAST(CASE WHEN event_id % 20 = 0
+                      AND ts + INTERVAL 36 HOUR <= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 2 ELSE 1 END AS INT) AS version_asof
+FROM events
+WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+  AND NOT (event_id % 20 = 1
+           AND ts + INTERVAL 36 HOUR <= TIMESTAMP '2024-01-16 00:00:00')
+""",
+)
+def cdc_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct table state AS OF a past timestamp from
+    the change log — the lakehouse `VERSION AS OF` read, done the way
+    it scales: REPLAY the log up to the cutoff (filter change_ts <=
+    T0, pushed to the scan), then collapse to the latest surviving
+    version per key with the struct-max idiom (partial-aggregatable,
+    map-side combined, no per-key sort — the cdc_upsert_materialize
+    plan). The deterministic log gives every insert its event ts and
+    ids % 20 in {0, 1} an update/delete 36 h later, so a mid-fixture
+    cutoff sees some keys pre-update, some post — the interesting
+    time-travel states. The ORACLE computes the as-of state in closed
+    form directly from each row (no log replay), so the hash match
+    proves replay-then-collapse == direct-state at the cutoff. At
+    100 TB: one pushed-filter scan + one grouped struct-max; cost is
+    the log volume before T0, never the table width times versions."""
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    versions = ev.select(
+        "event_id",
+        "user_id",
+        F.explode(
+            F.when(
+                F.col("event_id") % 20 == 0,
+                F.array(
+                    F.struct(
+                        F.col("ts").alias("change_ts"),
+                        F.lit(1).alias("ver"),
+                        F.lit("c").alias("op"),
+                        F.col("cents").alias("cents_v"),
+                    ),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias(
+                            "change_ts"
+                        ),
+                        F.lit(2).alias("ver"),
+                        F.lit("u").alias("op"),
+                        (F.col("cents") + 37).alias("cents_v"),
+                    ),
+                ),
+            )
+            .when(
+                F.col("event_id") % 20 == 1,
+                F.array(
+                    F.struct(
+                        F.col("ts").alias("change_ts"),
+                        F.lit(1).alias("ver"),
+                        F.lit("c").alias("op"),
+                        F.col("cents").alias("cents_v"),
+                    ),
+                    F.struct(
+                        (F.col("ts") + F.expr("INTERVAL 36 HOURS")).alias(
+                            "change_ts"
+                        ),
+                        F.lit(2).alias("ver"),
+                        F.lit("d").alias("op"),
+                        F.lit(None).cast("bigint").alias("cents_v"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.col("ts").alias("change_ts"),
+                        F.lit(1).alias("ver"),
+                        F.lit("c").alias("op"),
+                        F.col("cents").alias("cents_v"),
+                    )
+                )
+            )
+        ).alias("v"),
+    ).select("event_id", "user_id", "v.change_ts", "v.ver", "v.op", "v.cents_v")
+    latest = (
+        versions.filter(F.col("change_ts") <= cutoff)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max(
+                F.struct("ver", "op", "cents_v")
+            ).alias("s")
+        )
+        .filter(F.col("s.op") != "d")
+    )
+    return latest.select(
+        "event_id",
+        "user_id",
+        F.col("s.cents_v").alias("cents_asof"),
+        F.col("s.ver").cast("int").alias("version_asof"),
+    )
+
+
+@register(
+    "sampling_neyman_allocation",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS u
+  FROM events
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         CAST(sum(cents * cents) AS BIGINT) AS sxx
+  FROM s GROUP BY event_type
+),
+sig AS (
+  SELECT event_type, n_rows,
+         CAST(round(sqrt(CAST(n_rows AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    / n_rows * 1e6) AS BIGINT) AS sigma_micro
+  FROM st
+),
+wgt AS (
+  SELECT event_type, n_rows, sigma_micro,
+         n_rows * sigma_micro AS nh_sigma
+  FROM sig
+),
+tot AS (SELECT CAST(sum(nh_sigma) AS BIGINT) AS w FROM wgt),
+alloc AS (
+  SELECT g.event_type, g.n_rows, g.sigma_micro,
+         (g.nh_sigma * 1000) // t.w AS alloc_n
+  FROM wgt g, tot t
+)
+SELECT a.event_type, a.n_rows, a.sigma_micro, a.alloc_n,
+       (SELECT CAST(count(*) AS BIGINT) FROM s
+        WHERE s.event_type = a.event_type
+          AND s.u < (a.alloc_n * 1000000) // a.n_rows) AS achieved_n
+FROM alloc a
+""",
+)
+def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling — allocate a fixed label/
+    inspection budget (1000 rows) across strata proportionally to
+    N_h * sigma_h, the allocation that minimizes the estimator's
+    variance (Neyman '34; what a naive proportional sample gets wrong
+    when strata differ in spread). Per-stratum sigma comes from exact
+    bigint sufficient statistics (n, sum, sum-of-squares) in ONE
+    map-side-combined pass; sigma micro-quantizes after one fixed-order
+    sqrt so the N_h*sigma_h weights and their total are EXACT INTEGERS
+    (no float addition order across strata), and the allocation uses
+    integer `div`. The draw itself is the deterministic hash-uniform
+    idiom: keep rows whose md5-uniform u < alloc_n * 1e6 div N_h — the
+    achieved counts are audited next to the target in the same output.
+    Scale: two scans (stats pass, draw pass), both full map-side
+    combine; the allocation table is |strata| rows broadcast into the
+    draw filter."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            )
+            % 1000000
+        ).alias("u"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    sig = st.select(
+        "event_type",
+        "n_rows",
+        F.round(
+            F.sqrt(
+                F.col("n_rows").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / F.col("n_rows")
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("sigma_micro"),
+    )
+    wgt = sig.withColumn("nh_sigma", F.col("n_rows") * F.col("sigma_micro"))
+    tot = wgt.agg(F.sum("nh_sigma").alias("w"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_rows",
+        "sigma_micro",
+        F.expr("(nh_sigma * 1000) div w").alias("alloc_n"),
+    )
+    achieved = (
+        ev.join(F.broadcast(alloc), "event_type")
+        .filter(F.col("u") < F.expr("(alloc_n * 1000000) div n_rows"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("achieved_n"))
+    )
+    return alloc.join(F.broadcast(achieved), "event_type", "left").select(
+        "event_type",
+        "n_rows",
+        "sigma_micro",
+        "alloc_n",
+        F.coalesce("achieved_n", F.lit(0)).cast("bigint").alias("achieved_n"),
+    )

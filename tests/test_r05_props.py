@@ -339,3 +339,94 @@ def test_jl_projection_norm_concentration(spark):
         ratios.append(want_ratio)
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, f"JL mean ratio {mean} out of band"
+
+
+def test_time_travel_read_matches_serial_log_replay(spark):
+    """The distributed replay-then-collapse (filter + struct-max) must
+    equal a serial Python replay of the same synthetic change log at
+    the same cutoff — cents are read back from Spark's own rounding so
+    the pin isolates the REPLAY semantics, not float formatting."""
+    import datetime
+
+    cutoff = datetime.datetime(2024, 1, 16, 0, 0, 0)
+    base = {
+        r.event_id: (r.user_id, r.ts, r.cents)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .collect()
+    }
+    want = {}
+    for eid, (uid, ts, cents) in base.items():
+        log = [(ts, 1, "c", cents)]
+        if eid % 20 == 0:
+            log.append((ts + datetime.timedelta(hours=36), 2, "u", cents + 37))
+        elif eid % 20 == 1:
+            log.append((ts + datetime.timedelta(hours=36), 2, "d", None))
+        live = [e for e in log if e[0] <= cutoff]
+        if not live:
+            continue
+        last = max(live, key=lambda e: e[1])
+        if last[2] != "d":
+            want[eid] = (uid, last[3], last[1])
+    rows = all_queries()["cdc_time_travel_read"].builder(spark, SF_SMOKE).collect()
+    got = {r.event_id: (r.user_id, r.cents_asof, r.version_asof) for r in rows}
+    assert got == want
+    # the cutoff genuinely splits the fixture: some keys pre-update,
+    # some post, some deleted
+    assert any(v[2] == 2 for v in got.values())
+    assert any(eid % 20 == 0 and v[2] == 1 for eid, v in got.items())
+    assert len(got) < len(base)
+
+
+def test_neyman_allocation_matches_serial_reference(spark):
+    """Allocation and achieved draw must equal a serial integer
+    recompute from Spark's own (cents, u) columns: exact sufficient
+    stats, one sqrt per stratum, integer div allocation, and the
+    md5-uniform threshold draw. Also pins the budget identity
+    sum(alloc_n) <= 1000 (floor allocation never overshoots)."""
+    ev = [
+        (r.event_type, r.cents, r.u)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15),"
+                    " 16, 10) AS BIGINT)"
+                )
+                % 1000000
+            ).alias("u"),
+        )
+        .collect()
+    ]
+    st = defaultdict(lambda: [0, 0, 0])
+    for et, cents, _ in ev:
+        s = st[et]
+        s[0] += 1
+        s[1] += cents
+        s[2] += cents * cents
+    sigma = {
+        et: int(math.floor(math.sqrt(n * sxx - sx * sx) / n * 1e6 + 0.5))
+        for et, (n, sx, sxx) in st.items()
+    }
+    w = sum(st[et][0] * sigma[et] for et in st)
+    alloc = {et: (st[et][0] * sigma[et] * 1000) // w for et in st}
+    achieved = Counter(
+        et for et, _, u in ev if u < (alloc[et] * 1000000) // st[et][0]
+    )
+    rows = (
+        all_queries()["sampling_neyman_allocation"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == len(st)
+    for r in rows:
+        assert r.n_rows == st[r.event_type][0]
+        assert r.sigma_micro == sigma[r.event_type]
+        assert r.alloc_n == alloc[r.event_type]
+        assert r.achieved_n == achieved.get(r.event_type, 0)
+    assert sum(r.alloc_n for r in rows) <= 1000

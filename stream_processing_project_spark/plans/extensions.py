@@ -2537,3 +2537,98 @@ def vector_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_ratio"),
         )
     )
+
+
+@register(
+    "similarity_ann_recall_at_k",
+    oracle="""
+WITH dz AS (
+  SELECT vec_id, v, list_transform(range(1, 65), d -> CAST(round(v[d] * 1048576.0) AS BIGINT)) AS qq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+coded AS (
+  SELECT vec_id, v,
+    list_sum(list_transform(range(0, 8), p ->
+      (CASE WHEN list_sum(list_transform(range(1, 65), d ->
+         (CASE WHEN ((p * 997 + d) * 2654435761) % 4294967296 >= 2147483648 THEN -1 ELSE 1 END) * qq[d]
+      )) > 0 THEN 1 ELSE 0 END) * (1 << (7 - p))
+    )) AS bucket
+  FROM dz
+),
+probes AS (
+  SELECT vec_id AS query_id,
+         unnest(list_prepend(bucket, list_transform(range(0, 8), j -> xor(bucket, 1 << j)))) AS bucket
+  FROM coded WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN coded c ON p.bucket = c.bucket AND c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT ca.query_id, ca.neighbor_id,
+         round(list_cosine_similarity(q.v, c.v), 6) AS cos
+  FROM cand ca JOIN dz q ON q.vec_id = ca.query_id JOIN dz c ON c.vec_id = ca.neighbor_id
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC NULLS LAST, c.vec_id) AS rank
+    FROM dz q, dz c
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ann a JOIN exact e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT n.query_id, n.n_ann,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (CAST(COALESCE(h.n_hits, 0) AS BIGINT) * 1000000) // 5 AS recall_micro
+FROM (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann FROM ann GROUP BY query_id) n
+LEFT JOIN hits h ON n.query_id = h.query_id
+""",
+)
+def similarity_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@5 of the deterministic LSH index
+    against brute-force exact cosine ground truth, per query — the
+    eval every ANN deployment runs before trusting the index (and the
+    number that decides bits/probes tuning). Composes the two existing
+    paths (`ann_lsh_topk_oracled`, `brute_force_topk`) and reduces to
+    exact integers: n_ann (LSH may return < k when the probed buckets
+    run dry — itself a signal), n_hits = |ANN ∩ exact|, and
+    micro-quantized recall via integer div — no floats, value-hash
+    stable. Scale: ground truth is O(|Q|·|corpus|) by definition, so
+    the audit runs over a SAMPLED query panel (here vec_id < 10) —
+    the standard recall-estimation protocol; the index side stays
+    bucket-pruned equi-joins."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = similarity.ann_lsh_topk_oracled(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return n_ann.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_ann",
+        F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr("(CAST(coalesce(h, 0) AS BIGINT) * 1000000) div 5")
+        .cast("bigint")
+        .alias("recall_micro"),
+    )

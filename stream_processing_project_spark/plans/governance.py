@@ -4361,3 +4361,267 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("bigint").alias("weight"),
         F.count(F.lit(1)).alias("n_tok"),
     )
+
+
+# ======================= experiment analysis (A/B) ============================
+#
+# The reference has no experimentation surface; a training-data /
+# analytics platform runs A/B readouts over exactly this event shape
+# (SURVEY.md §2 A5's sum/count idiom, extended to second moments). Both
+# queries follow the profile_correlation contract: ONE map-side-combined
+# pass carries exact bigint sufficient statistics, and every reported
+# double derives from them by a FIXED sequence of IEEE ops — bit-identical
+# cross-engine, partitioning-invariant by construction.
+
+_EXP_CUT = "2024-01-16 00:00:00"
+
+
+def _experiment_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (arm, x, y): deterministic md5 50/50 assignment, exact
+    bigint pre-period covariate x and post-period metric y (cents).
+    One groupBy over the fact scan — conditional sums, no self-join."""
+    cutoff = F.to_timestamp(F.lit(_EXP_CUT))
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cutoff, F.col("cents")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cutoff, F.col("cents")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 2"
+            ),
+        )
+    )
+
+
+_EXP_U_SQL = f"""
+u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_EXP_CUT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_EXP_CUT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+)
+"""
+
+
+@register(
+    "experiment_welch_ttest",
+    oracle=f"""
+WITH {_EXP_U_SQL.strip()},
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT arm, n,
+         CAST(sy AS DOUBLE) / n AS mean_y,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1) AS var_y
+  FROM s
+)
+SELECT c.n AS n_control, t.n AS n_treat,
+       c.mean_y AS mean_control, t.mean_y AS mean_treat,
+       t.mean_y - c.mean_y AS lift,
+       (t.mean_y - c.mean_y) / sqrt(t.var_y / t.n + c.var_y / c.n) AS t_stat,
+       (t.var_y / t.n + c.var_y / c.n) * (t.var_y / t.n + c.var_y / c.n)
+         / ((t.var_y / t.n) * (t.var_y / t.n) / (t.n - 1)
+            + (c.var_y / c.n) * (c.var_y / c.n) / (c.n - 1)) AS welch_df
+FROM w c, w t WHERE c.arm = 0 AND t.arm = 1
+""",
+)
+def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: Welch's unequal-variance t on the post-period
+    per-user metric, arms assigned by deterministic md5 hash (the
+    assignment every experimentation system uses so a user's arm is
+    stable across sessions and engines). Per-arm (n, Σy, Σy²) are exact
+    bigints from ONE map-side-combined pass over per-user rollups;
+    mean, variance, t, and Welch–Satterthwaite df derive by a fixed
+    IEEE sequence, so the whole readout value-hash-matches cross-engine
+    — no float accumulation anywhere (corr()/stddev() internals are
+    partitioning-dependent; sufficient statistics are not). Scale: the
+    fact scan dominates; the readout is a 2-row aggregate joined
+    1-row × 1-row. Reference scope: SURVEY.md §2 A5 (sum/count avg)
+    extended to second moments."""
+    u = _experiment_users(spark, sf_dir)
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    w = s.select(
+        "arm",
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        (
+            (nd * F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            / nd
+            / (nd - 1)
+        ).alias("var_y"),
+    )
+    c = w.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("mean_y").alias("mean_control"),
+        F.col("var_y").alias("var_c"),
+    )
+    tr = w.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("mean_y").alias("mean_treat"),
+        F.col("var_y").alias("var_t"),
+    )
+    se_t = F.col("var_t") / F.col("n_treat")
+    se_c = F.col("var_c") / F.col("n_control")
+    se2 = se_t + se_c
+    return c.crossJoin(tr).select(
+        "n_control",
+        "n_treat",
+        "mean_control",
+        "mean_treat",
+        (F.col("mean_treat") - F.col("mean_control")).alias("lift"),
+        ((F.col("mean_treat") - F.col("mean_control")) / F.sqrt(se2)).alias(
+            "t_stat"
+        ),
+        (
+            se2 * se2
+            / (
+                se_t * se_t / (F.col("n_treat") - 1)
+                + se_c * se_c / (F.col("n_control") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "experiment_cuped_adjust",
+    oracle=f"""
+WITH {_EXP_U_SQL.strip()},
+p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u
+),
+th AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+         CAST(sx AS DOUBLE) / n AS mean_x_all
+  FROM p
+),
+a AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY arm
+)
+SELECT arm, a.n AS n_users, theta,
+       CAST(sy AS DOUBLE) / a.n AS mean_y,
+       CAST(sy AS DOUBLE) / a.n
+         - theta * (CAST(sx AS DOUBLE) / a.n - mean_x_all) AS mean_y_adj,
+       (CAST(a.n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / CAST(a.n AS DOUBLE) / (CAST(a.n AS DOUBLE) - 1) AS var_y,
+       (CAST(a.n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+         / CAST(a.n AS DOUBLE) / (CAST(a.n AS DOUBLE) - 1)
+       - 2.0 * theta
+         * ((CAST(a.n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / CAST(a.n AS DOUBLE) / (CAST(a.n AS DOUBLE) - 1))
+       + theta * theta
+         * ((CAST(a.n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / CAST(a.n AS DOUBLE) / (CAST(a.n AS DOUBLE) - 1)) AS var_y_adj
+FROM a, th
+""",
+)
+def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): adjust the
+    post-period metric by the pre-period covariate, Y' = Y − θ(X − X̄),
+    θ = cov(X,Y)/var(X) pooled over all users — the standard trick that
+    cuts experiment runtimes by the covariate's R². Everything derives
+    from exact bigint sufficient statistics: one per-user rollup pass,
+    then a pooled 1-row aggregate (θ) and a per-arm aggregate, combined
+    by a broadcast of the 1-row θ. The per-arm adjusted mean and
+    variance use the CLOSED FORMS mean(Y)−θ(mean(X)−X̄) and
+    var(Y)−2θcov(X,Y)+θ²var(X) — no per-row float adjustment is ever
+    summed, so the result is partitioning-invariant and value-hash
+    reproducible cross-engine. Headroom: per-user cents sums < 2^20 at
+    tested SFs, so Σxy/Σx² stay < 2^63 well past sf100; the pooled
+    products are computed in doubles. Scale: fact scan + two tiny
+    aggregates; θ broadcast."""
+    u = _experiment_users(spark, sf_dir)
+    p = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    pnd = F.col("n").cast("double")
+    th = p.select(
+        (
+            (pnd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (pnd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_x_all"),
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    var_y = (nd * F.col("syy").cast("double") - syd * syd) / nd / (nd - 1)
+    cov_xy = (nd * F.col("sxy").cast("double") - sxd * syd) / nd / (nd - 1)
+    var_x = (nd * F.col("sxx").cast("double") - sxd * sxd) / nd / (nd - 1)
+    return a.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        "theta",
+        (syd / F.col("n")).alias("mean_y"),
+        (
+            syd / F.col("n")
+            - F.col("theta") * (sxd / F.col("n") - F.col("mean_x_all"))
+        ).alias("mean_y_adj"),
+        var_y.alias("var_y"),
+        (
+            var_y
+            - F.lit(2.0) * F.col("theta") * cov_xy
+            + F.col("theta") * F.col("theta") * var_x
+        ).alias("var_y_adj"),
+    )

@@ -88,6 +88,9 @@ _PRIORITY = [
     "vector_random_projection_jl",
     "cdc_time_travel_read",
     "sampling_neyman_allocation",
+    "experiment_welch_ttest",
+    "experiment_cuped_adjust",
+    "similarity_ann_recall_at_k",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

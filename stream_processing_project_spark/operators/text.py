@@ -711,3 +711,103 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def trigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Trigram LM scoring with STUPID BACKOFF (Brants et al., EMNLP'07
+    — "Large Language Models in Machine Translation"): the web-scale
+    smoothing that made trillion-token LMs practical, and the order-3
+    member of the perplexity-filter family (unigram_logprob → which
+    words; bigram_logprob → local order; trigram → phrase structure).
+    Score S(w3|w1w2) = c(w1w2w3)/c(w1w2·) when the trigram is
+    SUPPORTED (corpus count ≥ min_count — a count of 1 is just this
+    document quoting itself), else back off to α·c(w2w3)/c(w2·) with
+    the unnormalized-but-ranking-correct α = 0.4 from the paper —
+    exactly why it's "stupid": no discounting pass over the corpus,
+    so every count table is one partial-agg rollup.
+
+    Determinism: per-trigram surprisal −ln(S) quantizes to integer
+    micro-nats before the exact bigint per-doc sum (the bigram_logprob
+    idiom); the backoff DECISION is an exact integer count compare, so
+    which branch each trigram takes is partitioning-proof.
+
+    Scale shape: trigrams and bigrams fold ROW-LOCALLY from each doc's
+    token array (no positional self-join); the trigram-prefix counts
+    c(w1w2·) and bigram-prefix counts c(w2·) derive from the count
+    tables themselves (sum over the far smaller rollup — the
+    bigram_logprob prefix-derivation fix); four equi-joins back
+    (broadcast at fixture scale, shuffle-on-key + AQE skew at web
+    scale). Docs with < 3 tokens drop (no trigrams to score)."""
+    tri = df.selectExpr(
+        f"{id_col} AS id", f"split(trim({text_col}), ' ') AS ws"
+    ).selectExpr(
+        "id",
+        "explode(transform(sequence(1, size(ws) - 2),"
+        " i -> struct("
+        " concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS pfx,"
+        " concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ',"
+        "        element_at(ws, i + 2)) AS tg,"
+        " element_at(ws, i + 1) AS w2,"
+        " concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)) AS bg"
+        "))) AS p",
+    ).select("id", "p.pfx", "p.tg", "p.w2", "p.bg")
+    bigr = df.selectExpr(f"split(trim({text_col}), ' ') AS ws").selectExpr(
+        "explode(transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1,"
+        " concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS bg)))"
+        " AS p",
+    ).select("p.w1", "p.bg")
+    c_tg = tri.groupBy("pfx", "tg").agg(F.count(F.lit(1)).alias("c_tg"))
+    c_pfx = c_tg.groupBy("pfx").agg(F.sum("c_tg").alias("c_pfx"))
+    c_bg = bigr.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    c_w1 = c_bg.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    scored = (
+        tri.join(F.broadcast(c_tg.select("tg", "c_tg")), "tg")
+        .join(F.broadcast(c_pfx), "pfx")
+        .join(F.broadcast(c_bg.select("bg", "c_bg")), "bg")
+        .join(
+            F.broadcast(c_w1.select(F.col("w1").alias("w2"), "c_w1")), "w2"
+        )
+        .withColumn(
+            "micronats",
+            F.round(
+                -F.log(
+                    F.when(
+                        F.col("c_tg") >= min_count,
+                        F.col("c_tg") / F.col("c_pfx"),
+                    ).otherwise(
+                        F.lit(alpha) * (F.col("c_bg") / F.col("c_w1"))
+                    )
+                )
+                * 1e6,
+                0,
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "backed_off",
+            F.when(F.col("c_tg") >= min_count, 0).otherwise(1),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backed_off").cast("bigint").alias("n_backoff"),
+            F.sum("micronats").alias("surprisal_sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_trigrams",
+            "n_backoff",
+            "surprisal_sum",
+            F.round(
+                F.col("surprisal_sum") / F.col("n_trigrams") / 1e6, 4
+            ).alias("avg_surprisal"),
+        )
+    )

@@ -4625,3 +4625,67 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("theta") * F.col("theta") * var_x
         ).alias("var_y_adj"),
     )
+
+
+@register(
+    "text_trigram_backoff",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1])) AS pfx,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tg,
+         unnest(list_transform(range(1, len(ws) - 1), i -> ws[i + 1])) AS w2,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i + 1] || ' ' || ws[i + 2])) AS bg
+  FROM ws
+),
+bigr AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM ws
+),
+c_tg AS (SELECT pfx, tg, count(*) AS c_tg FROM tri GROUP BY pfx, tg),
+c_pfx AS (SELECT pfx, CAST(sum(c_tg) AS BIGINT) AS c_pfx FROM c_tg GROUP BY pfx),
+c_bg AS (SELECT w1, bg, count(*) AS c_bg FROM bigr GROUP BY w1, bg),
+c_w1 AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1 FROM c_bg GROUP BY w1),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN ct.c_tg >= 2 THEN 0 ELSE 1 END AS backed_off,
+         CAST(round(-ln(
+           CASE WHEN ct.c_tg >= 2 THEN CAST(ct.c_tg AS DOUBLE) / cp.c_pfx
+                ELSE CAST(0.4 AS DOUBLE) * (CAST(cb.c_bg AS DOUBLE) / cw.c_w1)
+           END) * 1e6) AS BIGINT) AS micronats
+  FROM tri t
+  JOIN c_tg ct ON ct.tg = t.tg
+  JOIN c_pfx cp ON cp.pfx = t.pfx
+  JOIN c_bg cb ON cb.bg = t.bg
+  JOIN c_w1 cw ON cw.w1 = t.w2
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(backed_off) AS BIGINT) AS n_backoff,
+       CAST(sum(micronats) AS BIGINT) AS surprisal_sum,
+       round(sum(micronats) / count(*) / 1e6, 4) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram corpus-LM scoring with stupid backoff (Brants '07) —
+    the order-3 perplexity filter: supported trigrams score
+    c(w1w2w3)/c(w1w2·), rare ones (corpus count < 2 — the document
+    quoting itself) back off to 0.4·c(w2w3)/c(w2·). n_backoff is
+    reported per doc — the "how much of this doc is novel phrasing"
+    audit. All counts exact bigints from row-local folds; the backoff
+    decision is an integer compare; surprisal micro-nat-quantizes
+    before the per-doc sum (operators/text.py::trigram_backoff_logprob
+    has the full scale story)."""
+    from stream_processing_project_spark.operators.text import (
+        trigram_backoff_logprob,
+    )
+
+    return trigram_backoff_logprob(t(spark, sf_dir, "documents"))

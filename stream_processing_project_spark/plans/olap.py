@@ -5080,3 +5080,260 @@ def timeseries_holt_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (level + 3.0 * trend).alias("forecast_3h_cents"),
         )
     )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    head = """WITH raw AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+mx AS (SELECT max(w) AS max_w,
+              (SELECT src FROM raw ORDER BY w DESC, src DESC, dst DESC
+               LIMIT 1) AS src0
+       FROM raw),
+edges AS (
+  SELECT src, dst, greatest(1, 10 - (w * 9) // max_w) AS cost
+  FROM raw, mx WHERE w >= max_w // 3
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT node, CASE WHEN node = (SELECT src0 FROM mx)
+                         THEN CAST(0 AS BIGINT)
+                         ELSE CAST(1000000000 AS BIGINT) END AS dist
+       FROM nodes)"""
+    step = """,
+h{k} AS (
+  SELECT n.node,
+         least(p.dist, coalesce(m.reach, 1000000000)) AS dist
+  FROM nodes n
+  JOIN h{prev} p ON p.node = n.node
+  LEFT JOIN (
+    SELECT e.dst AS node, min(p2.dist + e.cost) AS reach
+    FROM edges e JOIN h{prev} p2 ON p2.node = e.src
+    WHERE p2.dist < 1000000000
+    GROUP BY 1
+  ) m ON m.node = n.node
+)"""
+    body = "".join(step.format(k=k, prev=k - 1) for k in range(1, rounds + 1))
+    return f"""
+{head}{body}
+SELECT node AS nationkey,
+       CASE WHEN dist < 1000000000 THEN dist END AS dist
+FROM h{rounds}
+"""
+
+
+@register("olap_weighted_sssp", oracle=_sssp_oracle(6))
+def olap_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford, 6
+    synchronous rounds) over the nation trade graph — weighted
+    distance next to `olap_nation_bfs_hops`'s unweighted hop count,
+    the pair every routing/lineage question needs. The SOURCE is the
+    busiest hub — the src nation of the max-volume corridor (arg-max
+    via one struct-max, deterministic tie-break) — so it is in-graph
+    at every scale (a fixed nation id is not). The graph is
+    SCALE-FREE by construction: edges keep the top third of corridor
+    volume RELATIVE to the max corridor (w >= max_w div 3 — a fixed
+    cent threshold would keep everything at sf1 and nothing at
+    sf0.001), and edge cost is exact-integer "corridor latency"
+    greatest(1, 10 − (w·9) div max_w): the heaviest corridor costs 1,
+    threshold-edge corridors cost 7, so cheapest routes prefer
+    high-volume multi-hop paths over thin direct edges — where
+    weighted and unweighted answers genuinely diverge. The 1-row max
+    broadcasts (scalar-subquery idiom); each round is the frontier
+    shape: reachable dist joins the edge list, min-aggregates
+    dist+cost per destination (map-side combinable), least()-merges —
+    exact bigints with a 1e9 sentinel, so the unrolled-SQL oracle
+    reproduces every round bit-for-bit (the BFS/PageRank convention).
+    Headroom: w·9 < 2^63 up to ~1e18 cents per corridor. At scale:
+    rounds bounded by weighted-path hop diameter; each round shuffles
+    O(|frontier edges|) ids."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(c.c_nationkey.alias("src"), s.s_nationkey.alias("dst"))
+        .agg(F.sum(cents).alias("w"))
+    )
+    mx = raw.agg(
+        F.max("w").alias("max_w"),
+        F.max(F.struct("w", "src", "dst")).getField("src").alias("src0"),
+    )
+    edges = (
+        raw.crossJoin(F.broadcast(mx))
+        .filter(F.col("w") >= F.expr("max_w div 3"))
+        .select(
+            "src",
+            "dst",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.lit(10) - F.expr("(w * 9) div max_w"),
+            ).alias("cost"),
+            "src0",
+        )
+        .localCheckpoint()  # iterate over the materialized sparse edge list
+    )
+    src0 = F.broadcast(edges.select("src0").limit(1))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.crossJoin(src0).select(
+        "node",
+        F.when(F.col("node") == F.col("src0"), F.lit(0).cast("long"))
+        .otherwise(F.lit(1000000000).cast("long"))
+        .alias("dist"),
+    )
+    edges = edges.drop("src0")
+    for _ in range(6):
+        reach = (
+            edges.join(
+                F.broadcast(dist.filter(F.col("dist") < 1000000000)),
+                edges.src == F.col("node"),
+            )
+            .groupBy(F.col("dst").alias("rnode"))
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("reach"))
+        )
+        dist = (
+            dist.join(F.broadcast(reach), dist.node == F.col("rnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("reach"), F.lit(1000000000)),
+                ).alias("dist"),
+            )
+        )
+    return dist.select(
+        F.col("node").alias("nationkey"),
+        F.when(F.col("dist") < 1000000000, F.col("dist")).alias("dist"),
+    )
+
+
+@register(
+    "maintenance_zonemap_prune",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         year(o_orderdate) * 100 + month(o_orderdate) AS ym
+  FROM orders
+),
+bounds AS (
+  SELECT date_diff('day', DATE '1970-01-01', DATE '1997-03-01') AS lo,
+         date_diff('day', DATE '1970-01-01', DATE '1997-05-31') AS hi
+),
+layouts AS (
+  SELECT 'date_clustered' AS layout, CAST(ym AS BIGINT) AS file_id, d FROM o
+  UNION ALL
+  SELECT 'insertion_order' AS layout, o_orderkey // 1500 AS file_id, d FROM o
+),
+zm AS (
+  SELECT layout, file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(d) AS min_d, max(d) AS max_d,
+         CAST(sum(CASE WHEN d BETWEEN (SELECT lo FROM bounds)
+                                  AND (SELECT hi FROM bounds)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM layouts GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN max_d < (SELECT lo FROM bounds)
+                       OR min_d > (SELECT hi FROM bounds)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN max_d < (SELECT lo FROM bounds)
+                       OR min_d > (SELECT hi FROM bounds)
+                THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matching,
+       (CAST(sum(CASE WHEN max_d < (SELECT lo FROM bounds)
+                        OR min_d > (SELECT hi FROM bounds)
+                 THEN 0 ELSE n_rows END) AS BIGINT) * 1000000)
+         // CAST(sum(n_rows) AS BIGINT) AS scan_fraction_micro
+FROM zm GROUP BY layout
+""",
+)
+def maintenance_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-skipping) effectiveness audit — the
+    lakehouse statistic that decides whether a table needs re-layout:
+    for the SAME date-range predicate, how many files does the scan
+    skip under (a) a date-clustered layout (file = order month) vs
+    (b) raw insertion order (file = orderkey range)? Zone maps only
+    prune when the filter column is CLUSTERED by the layout — the
+    fixture's date/key independence makes (b) scan ~everything while
+    (a) prunes to the predicate months; `maintenance_zorder_layout`
+    decides where rows go, this op measures what that buys. ONE
+    map-side-combined rollup builds the per-file zone maps (n, min,
+    max, matching) for both layouts via a two-way union of file-id
+    assignments; the audit is a |files|-row aggregate — exact integers
+    (epoch-day bounds, integer-div scan fraction), no row ever leaves
+    the first rollup. At 100 TB this runs off the transaction log's
+    existing per-file stats; here the rollup computes them."""
+    lo = F.expr("datediff(DATE '1997-03-01', DATE '1970-01-01')")
+    hi = F.expr("datediff(DATE '1997-05-31', DATE '1970-01-01')")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+    )
+    layouts = o.select(
+        F.lit("date_clustered").alias("layout"),
+        F.col("ym").cast("bigint").alias("file_id"),
+        "d",
+    ).unionByName(
+        o.select(
+            F.lit("insertion_order").alias("layout"),
+            F.expr("o_orderkey div 1500").alias("file_id"),
+            "d",
+        )
+    )
+    zm = layouts.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.sum(
+            F.when((F.col("d") >= lo) & (F.col("d") <= hi), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    pruned = (F.col("max_d") < lo) | (F.col("min_d") > hi)
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(pruned, 0).otherwise(F.col("n_rows")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "n_pruned",
+            "rows_total",
+            "rows_scanned",
+            "rows_matching",
+            F.expr("(rows_scanned * 1000000) div rows_total").alias(
+                "scan_fraction_micro"
+            ),
+        )
+    )

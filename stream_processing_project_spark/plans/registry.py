@@ -91,6 +91,9 @@ _PRIORITY = [
     "experiment_welch_ttest",
     "experiment_cuped_adjust",
     "similarity_ann_recall_at_k",
+    "olap_weighted_sssp",
+    "maintenance_zonemap_prune",
+    "text_trigram_backoff",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

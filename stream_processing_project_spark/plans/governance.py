@@ -4689,3 +4689,459 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return trigram_backoff_logprob(t(spark, sf_dir, "documents"))
+
+
+# --- distributed classifier training: quasi-logistic GD --------------------
+
+
+def _train_lr_oracle(iterations: int) -> str:
+    """Unrolled-iteration DuckDB twin of text_classifier_train_lr: one
+    (gradient, weight) CTE pair per GD step, identical micro-unit
+    quantization and IEEE association order at every step (the
+    olap_nation_pagerank unrolled-oracle idiom)."""
+    stops = list(_QUALITY_STOPWORDS)
+    head = f"""
+WITH feats AS (
+  SELECT CASE WHEN sr > 0.06 THEN 1 ELSE 0 END AS y,
+         sr * 10.0 AS x1, mtl / 10.0 AS x2, ntok / 100.0 AS x3
+  FROM (
+    SELECT CAST(len(list_filter(string_split(text, ' '),
+                x -> list_contains({stops}, x))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+           CAST(length(text) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+    FROM documents
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    z = (
+        "(((CAST(w.w0 AS DOUBLE) / 1000000.0)"
+        " + (CAST(w.w1 AS DOUBLE) / 1000000.0) * x1)"
+        " + (CAST(w.w2 AS DOUBLE) / 1000000.0) * x2)"
+        " + (CAST(w.w3 AS DOUBLE) / 1000000.0) * x3"
+    )
+    step = """,
+g{k} AS (
+  SELECT CAST(sum(CAST(round(r * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round(x1 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(sum(CAST(round(x2 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         CAST(sum(CAST(round(x3 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g3
+  FROM (
+    SELECT x1, x2, x3,
+           (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r
+    FROM (SELECT f.*, {z} AS z FROM feats f CROSS JOIN w{prev} w)
+  )
+),
+w{k} AS (
+  SELECT
+    CAST(round(((CAST(w.w0 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w0,
+    CAST(round(((CAST(w.w1 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g1 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w1,
+    CAST(round(((CAST(w.w2 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g2 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w2,
+    CAST(round(((CAST(w.w3 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g3 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w3
+  FROM w{prev} w, g{k} g, nn
+)"""
+    body = "".join(
+        step.format(k=k, prev=k - 1, z=z) for k in range(1, iterations + 1)
+    )
+    tail = f""",
+preds AS (
+  SELECT y, {z} AS z FROM feats f CROSS JOIN w{iterations} w
+),
+acc AS (
+  SELECT CAST(sum(CASE WHEN (z > 0.0 AND y = 1) OR (z <= 0.0 AND y = 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM preds
+)
+SELECT nn.n AS n_docs, w.w0 AS w0_micro, w.w1 AS w1_micro,
+       w.w2 AS w2_micro, w.w3 AS w3_micro, acc.n_correct,
+       CAST(acc.n_correct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS accuracy
+FROM w{iterations} w, nn, acc
+"""
+    return f"{head}{body}{tail}"
+
+
+@register("text_classifier_train_lr", oracle=_train_lr_oracle(8))
+def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the linear quality classifier in-engine — the missing half
+    of `text_quality_linear_score` (which APPLIES fixed weights): 8
+    full-batch gradient-descent steps fit a linear model over the same
+    cheap text features (scaled stopword ratio, mean token length,
+    length). The fixture corpus's labels are content-independent by
+    construction (every column is sampled independently — nothing
+    natural is learnable), so the op trains against a PLANTED linear
+    teacher y = stopword_ratio > 0.06 (balanced ~52/48 at sf0.01) —
+    the teacher-student setup that makes "did the trainer learn?"
+    checkable: training accuracy must clear the majority baseline by a
+    wide margin (0.896 vs 0.516 at sf0.01); production swaps the
+    teacher for any real label column. The link is the exact ALGEBRAIC
+    sigmoid s(z) = 0.5 + z/(2(1+|z|)) — abs/add/mul/div are
+    correctly-rounded IEEE ops, so unlike exp()-based logistic there is
+    NO transcendental anywhere and every step reproduces bit-for-bit
+    cross-engine. Weights live in integer micro-units between steps
+    (the pagerank idiom); per-row gradient components micro-quantize to
+    bigint BEFORE the sum, so each gradient is an associative exact
+    aggregate — partitioning-invariant by construction. Scale shape:
+    each step is one narrow scan + one map-side-combined 4-column sum
+    (the 1-row weight table cross-broadcasts); at 100 TB you'd
+    checkpoint the feature projection once and re-scan it per step —
+    mini-batching swaps the scan for a hash-sampled filter. Output is
+    the fitted model row + training accuracy (z>0 decision, exact sign
+    test). Reference scope: extends SURVEY.md §2.6's scalar scoring
+    surface with distributed model FITTING."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_QUALITY_STOPWORDS))
+    ).cast("double")
+    sr = stop_hits / n_tokens
+    feats = docs.select(
+        F.when(sr > F.lit(0.06), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        (sr * F.lit(10.0)).alias("x1"),
+        ((F.length("text").cast("double") / n_tokens) / F.lit(10.0)).alias(
+            "x2"
+        ),
+        (n_tokens / F.lit(100.0)).alias("x3"),
+    )
+    nn = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = spark.range(1).select(
+        *[F.lit(0).cast("bigint").alias(f"w{j}") for j in range(4)]
+    )
+
+    def z_expr() -> F.Column:
+        wd = [F.col(f"w{j}").cast("double") / F.lit(1000000.0) for j in range(4)]
+        return (
+            (wd[0] + wd[1] * F.col("x1")) + wd[2] * F.col("x2")
+        ) + wd[3] * F.col("x3")
+
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(8):
+        zc = z_expr()
+        r = (F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))) - F.col(
+            "y"
+        )
+        g = (
+            feats.crossJoin(F.broadcast(w))
+            .groupBy("w0", "w1", "w2", "w3")
+            .agg(
+                *[
+                    F.sum(
+                        F.round(
+                            (xs[j] * r if j else r) * F.lit(1000000.0), 0
+                        ).cast("bigint")
+                    )
+                    .cast("bigint")
+                    .alias(f"g{j}")
+                    for j in range(4)
+                ]
+            )
+        )
+        nd = F.col("n").cast("double")
+        w = g.crossJoin(F.broadcast(nn)).select(
+            *[
+                F.round(
+                    (
+                        F.col(f"w{j}").cast("double") / F.lit(1000000.0)
+                        - F.lit(2.0)
+                        * (
+                            (F.col(f"g{j}").cast("double") / F.lit(1000000.0))
+                            / nd
+                        )
+                    )
+                    * F.lit(1000000.0),
+                    0,
+                )
+                .cast("bigint")
+                .alias(f"w{j}")
+                for j in range(4)
+            ]
+        )
+    zc = z_expr()
+    correct = (
+        ((zc > F.lit(0.0)) & (F.col("y") == 1))
+        | ((zc <= F.lit(0.0)) & (F.col("y") == 0))
+    )
+    acc = (
+        feats.crossJoin(F.broadcast(w))
+        .groupBy("w0", "w1", "w2", "w3")
+        .agg(
+            F.sum(F.when(correct, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_correct")
+        )
+    )
+    return acc.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_docs"),
+        F.col("w0").alias("w0_micro"),
+        F.col("w1").alias("w1_micro"),
+        F.col("w2").alias("w2_micro"),
+        F.col("w3").alias("w3_micro"),
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
+_POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+)
+
+_BOOT_B = 24
+
+
+def _poisson_case_sql(u: str) -> str:
+    branches = "\n         ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    )
+    return f"CASE {branches}\n         ELSE 9 END"
+
+
+@register(
+    "experiment_bootstrap_ci",
+    oracle=f"""
+WITH {_EXP_U_SQL.strip()},
+r AS (
+  SELECT u.arm, u.y, b.b,
+         {_poisson_case_sql(
+             "(CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#' ||"
+             " CAST(b.b AS VARCHAR)), 1, 12)) AS BIGINT)"
+             " / 281474976710656.0)"
+         )} AS w
+  FROM u CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+),
+repl AS (
+  SELECT b,
+         CAST(sum(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS swc,
+         CAST(sum(CASE WHEN arm = 0 THEN w * y ELSE 0 END) AS BIGINT) AS swyc,
+         CAST(sum(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS swt,
+         CAST(sum(CASE WHEN arm = 1 THEN w * y ELSE 0 END) AS BIGINT) AS swyt
+  FROM r GROUP BY b
+),
+lifts AS (
+  SELECT b,
+         CAST(swyt AS DOUBLE) / CAST(swt AS DOUBLE)
+           - CAST(swyc AS DOUBLE) / CAST(swc AS DOUBLE) AS lift_b
+  FROM repl WHERE swc > 0 AND swt > 0
+),
+ranked AS (
+  SELECT lift_b,
+         row_number() OVER (ORDER BY lift_b, b) AS rn_asc,
+         row_number() OVER (ORDER BY lift_b DESC, b DESC) AS rn_desc
+  FROM lifts
+),
+point AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS lift_point
+  FROM u
+)
+SELECT p.lift_point,
+       CAST(count(*) AS BIGINT) AS n_replicates,
+       min(CASE WHEN rn_asc = 2 THEN lift_b END) AS boot_lo,
+       min(CASE WHEN rn_desc = 2 THEN lift_b END) AS boot_hi
+FROM ranked, point p GROUP BY p.lift_point
+""",
+)
+def experiment_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the A/B lift (the
+    resampling CI every large experimentation platform uses instead of
+    multinomial resampling, because Poisson(1) replicate weights need
+    NO coordination: each user row draws its weight independently, so
+    the bootstrap is one map + one aggregate — Chamandy et al., Google
+    2012 "Estimating Uncertainty for Massive Data Streams"). Each of
+    B=24 replicates hashes (user_id, b) through md5 into u ∈ [0,1) —
+    the division is by 2^48, exact — and inverts the Poisson(1) CDF
+    via fixed double literals shared with the oracle, so weights are
+    deterministic integers cross-engine. Per-replicate per-arm sums
+    Σw, Σw·y are exact bigints (map-side combinable); replicate lifts
+    derive by fixed IEEE division; the CI is an exact ORDER-STATISTIC
+    selection (2nd smallest / 2nd largest of 24 ≈ a central ~92%
+    interval) with (lift, b) tie-break, so the whole readout
+    value-hash-matches. Scale shape: the fact scan collapses to
+    per-user rollups FIRST; the ×B fan-out happens on the slim user
+    table (|users|×24, narrow), never on events; the rank step sorts
+    B=24 rows. Guards: replicates where either arm's weight sum is 0
+    are dropped by an exact integer compare (never fires beyond toy
+    scales)."""
+    u = _experiment_users(spark, sf_dir)
+    hex12 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("#"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        12,
+    )
+    uu = F.conv(hex12, 16, 10).cast("bigint") / F.lit(281474976710656.0)
+    w_expr = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w_expr = F.when(
+            uu < F.lit(float(_POISSON1_CDF[k])), F.lit(k)
+        ).otherwise(w_expr)
+    r = u.select(
+        "arm", "y", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    , F.col("user_id")).withColumn("w", w_expr).drop("user_id")
+    repl = r.groupBy("b").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("swc"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("w") * F.col("y")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("swyc"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("swt"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("w") * F.col("y")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("swyt"),
+    )
+    lifts = repl.filter((F.col("swc") > 0) & (F.col("swt") > 0)).select(
+        "b",
+        (
+            F.col("swyt").cast("double") / F.col("swt").cast("double")
+            - F.col("swyc").cast("double") / F.col("swc").cast("double")
+        ).alias("lift_b"),
+    )
+    ranked = lifts.select(
+        "lift_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("lift_b"), F.col("b")))
+        .alias("rn_asc"),
+        F.row_number()
+        .over(Window.orderBy(F.col("lift_b").desc(), F.col("b").desc()))
+        .alias("rn_desc"),
+    )
+    point = u.agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+            - F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+        ).alias("lift_point")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("lift_point")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+            F.min(
+                F.when(F.col("rn_asc") == 2, F.col("lift_b"))
+            ).alias("boot_lo"),
+            F.min(
+                F.when(F.col("rn_desc") == 2, F.col("lift_b"))
+            ).alias("boot_hi"),
+        )
+    )
+
+
+@register(
+    "experiment_srm_check",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+  FROM events
+),
+j AS (
+  SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS seg, u.arm
+  FROM u LEFT JOIN customer c ON u.user_id = c.c_custkey
+),
+g AS (
+  SELECT coalesce(seg, 'ALL') AS segment,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat
+  FROM j GROUP BY ROLLUP(seg)
+)
+SELECT segment, n_control, n_treat,
+       CAST((n_control - n_treat) * (n_control - n_treat) AS DOUBLE)
+         / CAST(n_control + n_treat AS DOUBLE) AS chi2,
+       CAST((n_control - n_treat) * (n_control - n_treat) AS DOUBLE)
+         / CAST(n_control + n_treat AS DOUBLE) > 3.841 AS srm_flag
+FROM g
+""",
+)
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every
+    experiment readout runs, because a biased assignment invalidates
+    Welch/CUPED/bootstrap before they start: χ² goodness-of-fit of the
+    md5-hash arm counts against the designed 50/50 split, overall AND
+    per customer segment (a per-segment SRM with a clean overall is the
+    classic symptom of a segment-correlated logging bug). The 1-df GOF
+    statistic reduces to (n0−n1)²/(n0+n1) — an exact integer ratio
+    evaluated by ONE double division, so the statistic itself
+    value-hash-oracles; the flag compares against the χ²₁ 95% critical
+    value 3.841. ROLLUP supplies the overall row in the same shuffle
+    as the per-segment rows. Scale shape: distinct-users is the only
+    fact-sized stage (map-side combinable); the segment join is a
+    broadcast of the dim table; the report is |segments|+1 rows."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    u = e.select("user_id").distinct().withColumn(
+        "arm",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ),
+    )
+    j = u.join(F.broadcast(c), u.user_id == c.c_custkey, "left").select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("seg"),
+        "arm",
+    )
+    g = j.rollup("seg").agg(
+        F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_treat"),
+    )
+    diff = F.col("n_control") - F.col("n_treat")
+    chi2 = (diff * diff).cast("double") / (
+        F.col("n_control") + F.col("n_treat")
+    ).cast("double")
+    return g.select(
+        F.coalesce(F.col("seg"), F.lit("ALL")).alias("segment"),
+        "n_control",
+        "n_treat",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )

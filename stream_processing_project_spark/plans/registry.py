@@ -94,6 +94,9 @@ _PRIORITY = [
     "olap_weighted_sssp",
     "maintenance_zonemap_prune",
     "text_trigram_backoff",
+    "text_classifier_train_lr",
+    "experiment_bootstrap_ci",
+    "experiment_srm_check",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

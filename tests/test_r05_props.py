@@ -720,3 +720,127 @@ def test_trigram_backoff_matches_serial_reference(spark):
         assert got[d] == want[d], (d, got[d], want[d])
     assert any(v[1] > 0 for v in got.values()), "backoff branch never taken"
     assert any(v[1] < v[0] for v in got.values()), "supported branch never taken"
+
+
+def test_train_lr_matches_serial_gd_bitwise(spark):
+    """Full serial recompute of the 8-step quasi-logistic GD (same
+    micro-unit quantization, same IEEE association order) must match
+    the distributed trainer's final weights BIT-FOR-BIT, and the fit
+    must clear the majority baseline on the planted teacher label."""
+    row = (
+        all_queries()["text_classifier_train_lr"]
+        .builder(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    stops = {"the", "a", "of", "and", "to", "in", "is", "on"}
+    feats = []
+    for r in docs:
+        ws = r.text.split(" ")
+        ntok = float(len(ws))
+        sr = sum(1 for w in ws if w in stops) / ntok
+        y = 1 if sr > 0.06 else 0
+        feats.append((y, sr * 10.0, (len(r.text) / ntok) / 10.0, ntok / 100.0))
+    n = len(feats)
+    w = [0, 0, 0, 0]  # micro-units
+    for _ in range(8):
+        g = [0, 0, 0, 0]
+        for y, x1, x2, x3 in feats:
+            wd = [wj / 1000000.0 for wj in w]
+            z = ((wd[0] + wd[1] * x1) + wd[2] * x2) + wd[3] * x3
+            r_ = (0.5 + z / (2.0 * (1.0 + abs(z)))) - y
+            for j, xj in enumerate((1.0, x1, x2, x3)):
+                v = (xj * r_ if j else r_) * 1000000.0
+                g[j] += int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+        w = [
+            int(round_half_away(((w[j] / 1000000.0)
+                 - 2.0 * ((g[j] / 1000000.0) / float(n))) * 1000000.0))
+            for j in range(4)
+        ]
+    assert [row.w0_micro, row.w1_micro, row.w2_micro, row.w3_micro] == w
+    n_correct = 0
+    for y, x1, x2, x3 in feats:
+        wd = [wj / 1000000.0 for wj in w]
+        z = ((wd[0] + wd[1] * x1) + wd[2] * x2) + wd[3] * x3
+        n_correct += 1 if (z > 0.0) == (y == 1) else 0
+    assert row.n_correct == n_correct
+    majority = max(sum(f[0] for f in feats), n - sum(f[0] for f in feats))
+    assert row.n_correct > majority  # the trainer actually learned
+
+
+def round_half_away(v: float) -> float:
+    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def test_bootstrap_ci_serial_recompute(spark):
+    """Serial Python recompute of every replicate's Poisson weights and
+    lift must reproduce the distributed CI exactly; the point lift must
+    sit inside [boot_lo, boot_hi] once the interval is this wide (an
+    order-statistic CI from B=24 always brackets the full-data point
+    estimate unless the bootstrap distribution is pathologically
+    skewed — assert containment as a sanity rail, plus B accounting)."""
+    import hashlib
+    from datetime import datetime
+
+    row = (
+        all_queries()["experiment_bootstrap_ci"]
+        .builder(spark, SF_SMOKE)
+        .collect()[0]
+    )
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    cut = datetime(2024, 1, 16)
+    users = {}
+    for r in ev:
+        y = int(round_half_away(r.value * 100)) if r.ts >= cut else 0
+        a = users.setdefault(r.user_id, [0, 0])
+        a[1] += y
+    cdf = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+        0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    ]
+    lifts = []
+    for b in range(24):
+        sums = {0: [0, 0], 1: [0, 0]}
+        for uid, (_, y) in users.items():
+            arm = (
+                int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+            )
+            u = (
+                int(
+                    hashlib.md5(f"{uid}#{b}".encode()).hexdigest()[:12], 16
+                )
+                / 281474976710656.0
+            )
+            w = next((k for k, c in enumerate(cdf) if u < c), 9)
+            sums[arm][0] += w
+            sums[arm][1] += w * y
+        if sums[0][0] > 0 and sums[1][0] > 0:
+            lifts.append(
+                (sums[1][1] / sums[1][0]) - (sums[0][1] / sums[0][0])
+            )
+    lifts.sort()
+    assert row.n_replicates == len(lifts)
+    assert row.boot_lo == lifts[1]
+    assert row.boot_hi == lifts[-2]
+    assert row.boot_lo <= row.lift_point <= row.boot_hi
+
+
+def test_srm_rollup_consistency(spark):
+    """The ALL row must equal the exact column sums of the per-segment
+    rows (one shuffle produced both), and every chi2 must match the
+    closed form from its own row's counts."""
+    rows = (
+        all_queries()["experiment_srm_check"].builder(spark, SF_SMOKE).collect()
+    )
+    segs = [r for r in rows if r.segment != "ALL"]
+    allr = [r for r in rows if r.segment == "ALL"]
+    assert len(allr) == 1
+    assert allr[0].n_control == sum(r.n_control for r in segs)
+    assert allr[0].n_treat == sum(r.n_treat for r in segs)
+    for r in rows:
+        expect = (r.n_control - r.n_treat) ** 2 / (r.n_control + r.n_treat)
+        assert r.chi2 == expect
+        assert r.srm_flag == (expect > 3.841)

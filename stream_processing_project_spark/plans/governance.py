@@ -5145,3 +5145,362 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+@register(
+    "governance_t_closeness",
+    oracle="""
+WITH qi AS (
+  SELECT c_mktsegment, c_nationkey,
+         least(9, greatest(0,
+           (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 110000))
+           AS band
+  FROM customer
+),
+bands AS (SELECT unnest(range(10)) AS band),
+gtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qi),
+gcnt AS (
+  SELECT b.band, CAST(coalesce(g.c, 0) AS BIGINT) AS c
+  FROM bands b LEFT JOIN (
+    SELECT band, count(*) AS c FROM qi GROUP BY band
+  ) g ON g.band = b.band
+),
+gcum AS (
+  SELECT band, CAST(sum(c) OVER (ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+  FROM gcnt
+),
+cls AS (
+  SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS class_size
+  FROM qi GROUP BY 1, 2
+),
+grid AS (
+  SELECT cls.c_mktsegment, cls.c_nationkey, cls.class_size, b.band,
+         CAST(coalesce(k.c, 0) AS BIGINT) AS c
+  FROM cls CROSS JOIN bands b
+  LEFT JOIN (
+    SELECT c_mktsegment, c_nationkey, band, count(*) AS c
+    FROM qi GROUP BY 1, 2, 3
+  ) k ON k.c_mktsegment = cls.c_mktsegment
+     AND k.c_nationkey = cls.c_nationkey AND k.band = b.band
+),
+ccum AS (
+  SELECT c_mktsegment, c_nationkey, class_size, band,
+         CAST(sum(c) OVER (PARTITION BY c_mktsegment, c_nationkey
+              ORDER BY band ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum
+  FROM grid
+),
+emd AS (
+  SELECT c.c_mktsegment, c.c_nationkey, c.class_size,
+         CAST(sum(CASE WHEN c.band < 9
+              THEN abs(g2.n * c.ccum - c.class_size * g.gcum)
+              ELSE 0 END) AS BIGINT) AS d_sum,
+         CAST(max(g2.n) AS BIGINT) AS n
+  FROM ccum c JOIN gcum g ON g.band = c.band CROSS JOIN gtot g2
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment, c_nationkey, class_size,
+       CAST(d_sum AS DOUBLE)
+         / CAST(class_size * n * 9 AS DOUBLE) AS t_emd,
+       CAST(d_sum AS DOUBLE)
+         / CAST(class_size * n * 9 AS DOUBLE) > 0.2 AS t_risk
+FROM emd
+""",
+)
+def governance_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li et al., ICDE'07) — the third rung of the
+    anonymization-risk ladder after `governance_k_anonymity`'s k and l:
+    a QI equivalence class leaks the SENSITIVE DISTRIBUTION when its
+    in-class distribution sits far from the global one, even if the
+    class is large (defeats k) and diverse (defeats l — the skewness
+    attack). Distance is the ordered-attribute Earth Mover's Distance
+    over 10 exact account-balance deciles: EMD = Σ|cumP−cumQ|/(m−1),
+    computed on the INTEGER numerator N·cum_class − n_class·cum_global
+    (exact bigints — products stay < 2^63 past sf1000), with ONE double
+    division at readout, so the privacy statistic itself value-hash
+    oracles. Shape: two map-side-combined rollups over the slim QI
+    projection, a |classes|×10 dense grid (cumsums are per-class
+    windows over 10 rows), global cum broadcast by band join. At
+    100 TB the grid is |QI classes|×bands — dimension-table sized.
+    Same QI columns as governance_k_anonymity, so the three risk
+    reports compose into one release gate."""
+    c = t(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr(
+            "least(9, greatest(0,"
+            " (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+            " div 110000))"
+        ).alias("band"),
+    )
+    bands = spark.range(10).select(F.col("id").cast("bigint").alias("band"))
+    gtot = qi.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gcnt = (
+        bands.join(
+            qi.groupBy("band").agg(F.count(F.lit(1)).alias("c")),
+            "band",
+            "left",
+        )
+        .select("band", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"))
+    )
+    wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gcnt.select(
+        "band", F.sum("c").over(wg).cast("bigint").alias("gcum")
+    )
+    cls = qi.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    kcnt = qi.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(kcnt, ["c_mktsegment", "c_nationkey", "band"], "left")
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "band",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ccum = grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        "band",
+        F.sum("c").over(wc).cast("bigint").alias("ccum"),
+    )
+    emd = (
+        ccum.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("c_mktsegment", "c_nationkey", "class_size")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("band") < 9,
+                    F.abs(
+                        F.col("n") * F.col("ccum")
+                        - F.col("class_size") * F.col("gcum")
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("d_sum"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    t_emd = F.col("d_sum").cast("double") / (
+        F.col("class_size") * F.col("n") * F.lit(9)
+    ).cast("double")
+    return emd.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        t_emd.alias("t_emd"),
+        (t_emd > F.lit(0.2)).alias("t_risk"),
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=(
+        "WITH "
+        + _bpe_rounds_cte(_BPE_K)
+        + f"""
+, vocab AS (
+  SELECT word, CAST(len(l) AS BIGINT) AS n_word_tokens,
+         CAST(length(word) AS BIGINT) AS n_word_chars
+  FROM r{_BPE_K}
+)
+SELECT d.lang,
+       CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(v.n_word_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(v.n_word_chars) AS BIGINT) AS n_chars,
+       CAST(sum(v.n_word_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS fertility,
+       CAST(sum(v.n_word_chars) AS DOUBLE)
+         / CAST(sum(v.n_word_tokens) AS DOUBLE) AS chars_per_token
+FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents) d
+JOIN vocab v USING (word)
+GROUP BY 1
+"""
+    ),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit — the standard tokenizer-evaluation
+    metric (tokens emitted per word, and chars compressed per token)
+    broken out BY LANGUAGE, because a tokenizer trained on one
+    language's corpus over-fragments the others (high fertility =
+    wasted context window = higher serving cost for that language;
+    the metric multilingual-tokenizer papers report, e.g. XLM-R's
+    fertility tables). Reuses the trained 8-rule BPE vocabulary from
+    `text_bpe_train`: each DISTINCT word is segmented once (narrow
+    fold over the |vocab| table), documents join their exploded words
+    against the broadcast vocab, and per-language sums are exact
+    bigints — the two ratios are single divisions at readout, so the
+    report value-hash oracles. Scale: scan-bound; the vocab broadcast
+    is the tokenize path's shape (text_bpe_tokenize), one extra
+    map-side-combined rollup on lang."""
+    from stream_processing_project_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train,
+        chars,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rules = bpe_train(words, _BPE_K).collect()
+    merges = [(r["lft"], r["rgt"]) for r in rules]
+    vocab = words.select(
+        "word",
+        F.size(bpe_segment(chars(F.col("word")), merges))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        F.length("word").cast("bigint").alias("n_word_chars"),
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+        )
+        .join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_word_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_word_chars").cast("bigint").alias("n_chars"),
+            (
+                F.sum("n_word_tokens").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("n_word_chars").cast("double")
+                / F.sum("n_word_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH cnt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+  GROUP BY word
+),
+ranked AS (
+  SELECT word, c,
+         row_number() OVER (ORDER BY c DESC, word) AS rnk
+  FROM cnt
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS ly
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+         CAST(sum(CAST(round((CAST(lx AS DOUBLE) / 1000000.0)
+              * (CAST(lx AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round((CAST(lx AS DOUBLE) / 1000000.0)
+              * (CAST(ly AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS sxy,
+         CAST(sum(CAST(round((CAST(ly AS DOUBLE) / 1000000.0)
+              * (CAST(ly AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT))
+              AS BIGINT) AS syy
+  FROM pts
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / 1000000.0 AS sxd,
+         CAST(sy AS DOUBLE) / 1000000.0 AS syd,
+         CAST(sxx AS DOUBLE) / 1000000.0 AS sxxd,
+         CAST(sxy AS DOUBLE) / 1000000.0 AS sxyd,
+         CAST(syy AS DOUBLE) / 1000000.0 AS syyd,
+         n
+  FROM s
+)
+SELECT n AS n_vocab,
+       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS zipf_slope,
+       (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+         / nd AS zipf_intercept,
+       ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r_squared
+FROM d
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token frequency distribution — the
+    corpus-health diagnostic (natural text fits log(freq) ≈ a + s·
+    log(rank) with slope s ≈ −1; a shallow or kinked slope exposes
+    boilerplate floods, templated spam, or a truncated vocabulary —
+    the first plot every corpus data card carries). OLS over the
+    (ln rank, ln freq) points with the repo's exact-sum discipline:
+    each ln micro-quantizes to bigint micro-nats, per-point products
+    are computed in double FROM the quantized values and re-quantized
+    before the sum — all five sufficient statistics are associative
+    bigint sums (products ≤ ~1.4e8 per point, < 2^63 past 1e10
+    vocab), slope/intercept/R² derive by one fixed IEEE sequence.
+    Shape: token counts are one map-side-combined rollup; ranking the
+    |vocab| table uses a global row_number — vocab is corpus-log-sized
+    (fixture: 31; web corpus: ~1e7 rows ≈ one executor partition); at
+    larger vocabularies swap in the range-partitioned rank
+    (olap_abc_pareto's count-of-counts idiom) — the fit is unchanged
+    because the sums are associative."""
+    cnt = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("word")))
+        .alias("rnk"),
+    )
+    q = lambda col: F.round(col * F.lit(1000000.0), 0).cast("bigint")
+    pts = ranked.select(
+        q(F.log(F.col("rnk").cast("double"))).alias("lx"),
+        q(F.log(F.col("c").cast("double"))).alias("ly"),
+    )
+    dq = lambda name: F.col(name).cast("double") / F.lit(1000000.0)
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("lx").cast("bigint").alias("sx"),
+        F.sum("ly").cast("bigint").alias("sy"),
+        F.sum(q(dq("lx") * dq("lx"))).cast("bigint").alias("sxx"),
+        F.sum(q(dq("lx") * dq("ly"))).cast("bigint").alias("sxy"),
+        F.sum(q(dq("ly") * dq("ly"))).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(1000000.0)
+    syd = F.col("sy").cast("double") / F.lit(1000000.0)
+    sxxd = F.col("sxx").cast("double") / F.lit(1000000.0)
+    sxyd = F.col("sxy").cast("double") / F.lit(1000000.0)
+    syyd = F.col("syy").cast("double") / F.lit(1000000.0)
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        slope.alias("zipf_slope"),
+        ((syd - slope * sxd) / nd).alias("zipf_intercept"),
+        ((num * num) / (den * (nd * syyd - syd * syd))).alias("r_squared"),
+    )

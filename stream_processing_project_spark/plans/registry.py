@@ -97,6 +97,9 @@ _PRIORITY = [
     "text_classifier_train_lr",
     "experiment_bootstrap_ci",
     "experiment_srm_check",
+    "governance_t_closeness",
+    "text_tokenizer_fertility",
+    "text_zipf_fit",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

@@ -844,3 +844,88 @@ def test_srm_rollup_consistency(spark):
         expect = (r.n_control - r.n_treat) ** 2 / (r.n_control + r.n_treat)
         assert r.chi2 == expect
         assert r.srm_flag == (expect > 3.841)
+
+
+def test_t_closeness_serial_emd(spark):
+    """Serial recompute of the ordered-EMD for every QI class from raw
+    customer rows must match the operator exactly (including the
+    integer-numerator trick), and t must lie in [0, 1]."""
+    rows = (
+        all_queries()["governance_t_closeness"].builder(spark, SF_SMOKE).collect()
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).collect()
+    by_class, global_bands = defaultdict(Counter), Counter()
+    for r in cust:
+        cents = int(round_half_away(r.c_acctbal * 100))
+        band = min(9, max(0, (cents + 100000) // 110000))
+        by_class[(r.c_mktsegment, r.c_nationkey)][band] += 1
+        global_bands[band] += 1
+    n = sum(global_bands.values())
+    gcum = []
+    acc = 0
+    for b in range(10):
+        acc += global_bands.get(b, 0)
+        gcum.append(acc)
+    assert len(rows) == len(by_class)
+    for r in rows:
+        cb = by_class[(r.c_mktsegment, r.c_nationkey)]
+        nc = sum(cb.values())
+        assert r.class_size == nc
+        d_sum, ccum = 0, 0
+        for b in range(9):
+            ccum += cb.get(b, 0)
+            d_sum += abs(n * ccum - nc * gcum[b])
+        assert r.t_emd == d_sum / (nc * n * 9)
+        assert 0.0 <= r.t_emd <= 1.0
+        assert r.t_risk == (r.t_emd > 0.2)
+
+
+def test_fertility_consistent_with_tokenize(spark):
+    """Per-language fertility sums must re-aggregate to exactly the
+    per-document BPE token counts of text_bpe_tokenize (same trained
+    vocab, same corpus), and both ratios must respect their floors."""
+    fert = (
+        all_queries()["text_tokenizer_fertility"].builder(spark, SF_SMOKE).collect()
+    )
+    tok = all_queries()["text_bpe_tokenize"].builder(spark, SF_SMOKE).collect()
+    assert sum(r.n_bpe_tokens for r in fert) == sum(r.n_bpe_tokens for r in tok)
+    assert sum(r.n_words for r in fert) == sum(r.n_words for r in tok)
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang").collect()
+    assert {r.lang for r in fert} == {r.lang for r in docs}
+    for r in fert:
+        assert r.fertility >= 1.0  # every word is >= 1 token
+        assert r.chars_per_token >= 1.0  # every token is >= 1 char
+        assert r.fertility == r.n_bpe_tokens / r.n_words
+
+
+def test_zipf_fit_serial_recompute(spark):
+    """Bit-exact serial recompute of the micro-quantized OLS from raw
+    token counts; R^2 must be in [0, 1] and n_vocab must equal the
+    distinct token count."""
+    row = all_queries()["text_zipf_fit"].builder(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    cnt = Counter()
+    for r in docs:
+        for w in r.text.strip().split(" "):
+            cnt[w] += 1
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ordered)
+    sx = sy = sxx = sxy = syy = 0
+    for i, (_, c) in enumerate(ordered):
+        lx = int(round_half_away(math.log(float(i + 1)) * 1000000.0))
+        ly = int(round_half_away(math.log(float(c)) * 1000000.0))
+        sx += lx
+        sy += ly
+        sxx += int(round_half_away((lx / 1000000.0) * (lx / 1000000.0) * 1000000.0))
+        sxy += int(round_half_away((lx / 1000000.0) * (ly / 1000000.0) * 1000000.0))
+        syy += int(round_half_away((ly / 1000000.0) * (ly / 1000000.0) * 1000000.0))
+    nd, sxd, syd = float(n), sx / 1000000.0, sy / 1000000.0
+    sxxd, sxyd, syyd = sxx / 1000000.0, sxy / 1000000.0, syy / 1000000.0
+    num, den = nd * sxyd - sxd * syd, nd * sxxd - sxd * sxd
+    assert row.n_vocab == n
+    assert row.zipf_slope == num / den
+    assert row.zipf_intercept == (syd - (num / den) * sxd) / nd
+    assert row.r_squared == (num * num) / (den * (nd * syyd - syd * syd))
+    assert 0.0 <= row.r_squared <= 1.0

@@ -437,3 +437,44 @@ def phash_neardup(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("n_near") > 0)
         .select("doc_id", "n_near", nearest.cast("bigint").alias("nearest_id"))
     )
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
+    """Per-frame energy extraction over REAL decoded WAV PCM: walk the
+    RIFF chunks (decoy-LIST-proof, same parser as decode_real_media),
+    then emit one row per fixed-size frame with exact integer
+    (n_samples, sum_abs) — 160 samples = 20 ms at 8 kHz, the standard
+    VAD frame. mapInPandas keeps payload bytes inside tasks; the
+    emitted frame table is slim (doc_id, frame_idx, two bigints), so
+    downstream segmentation is fully declarative. The last partial
+    frame is kept with its true sample count — energy thresholds
+    compare sum_abs against thr·n_samples, so short frames are not
+    penalized."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [], "sum_abs": []}
+            for d, buf in zip(pdf["doc_id"].tolist(), pdf["payload"].tolist()):
+                buf = bytes(buf)
+                magic, _, wave = struct.unpack_from("<4sI4s", buf, 0)
+                assert magic == b"RIFF" and wave == b"WAVE"
+                pos, samples = 12, None
+                while pos + 8 <= len(buf):
+                    cid, size = struct.unpack_from("<4sI", buf, pos)
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            buf, dtype="<i2", count=size // 2, offset=pos + 8
+                        ).astype(np.int64)
+                    pos += 8 + size + (size & 1)
+                n = len(samples)
+                for f in range((n + frame - 1) // frame):
+                    seg = samples[f * frame : min(n, (f + 1) * frame)]
+                    out["doc_id"].append(int(d))
+                    out["frame_idx"].append(f)
+                    out["n_samples"].append(len(seg))
+                    out["sum_abs"].append(int(np.abs(seg).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        frames, "doc_id bigint, frame_idx bigint, n_samples bigint, sum_abs bigint"
+    )

@@ -2632,3 +2632,123 @@ def similarity_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id, 800 + doc_id % 800 AS n FROM documents WHERE doc_id % 3 = 1
+),
+fr AS (
+  SELECT doc_id, n, unnest(range((n + 159) // 160)) AS f FROM aud
+),
+en AS (
+  SELECT doc_id, f,
+         CAST(least(160, n - f * 160) AS BIGINT) AS ns,
+         CAST(list_sum(list_transform(range(f * 160, least(n, (f + 1) * 160)),
+              i -> abs((doc_id * 7 + i) % 2001 - 1000))) AS BIGINT) AS sum_abs
+  FROM fr
+),
+act AS (SELECT doc_id, f, (sum_abs > 500 * ns) AS a FROM en),
+flag AS (
+  SELECT doc_id, f, a,
+         CASE WHEN a AND NOT coalesce(lag(a) OVER w, FALSE)
+              THEN 1 ELSE 0 END AS s
+  FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+),
+runs AS (
+  SELECT doc_id, f, a,
+         CAST(sum(s) OVER (PARTITION BY doc_id ORDER BY f
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+  FROM flag
+),
+runlen AS (
+  SELECT doc_id, rid, CAST(count(*) AS BIGINT) AS len
+  FROM runs WHERE a GROUP BY 1, 2
+),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+  FROM runs GROUP BY 1
+)
+SELECT p.doc_id, p.n_frames, p.n_active,
+       CAST(coalesce(r.n_seg, 0) AS BIGINT) AS n_segments,
+       CAST(coalesce(r.longest, 0) AS BIGINT) AS longest_run
+FROM perdoc p
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_seg, max(len) AS longest
+  FROM runlen GROUP BY 1
+) r ON r.doc_id = p.doc_id
+""",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio activity segmentation over REAL decoded WAV
+    PCM — the voice-activity-detection shape every speech-data
+    pipeline runs before transcription (drop silence, split long
+    audio into utterance-sized training clips): 20 ms frames (160
+    samples at 8 kHz), exact integer frame energy Σ|s|, a frame is
+    ACTIVE when mean |amplitude| exceeds 500 (sum_abs > 500·n — an
+    integer compare, short tail frames unpenalized), and segments are
+    maximal active runs found by declarative gaps-and-islands (flag
+    run starts by lag(), cumsum run ids, one count per run). The
+    codec pass is the real RIFF chunk walker (decoy-LIST-proof) in
+    mapInPandas (operators/multimodal.py::audio_frame_energy); the
+    payloads follow the closed-form generative model, so DuckDB
+    recomputes every frame energy and every run SYMBOLICALLY — a
+    stride bug, a chunk misparse, or an off-by-one in the run logic
+    breaks the value hash. Scale shape: frames table is slim (4
+    integer cols, ~6 rows per audio second); windows partition by
+    doc_id (clip-sized partitions); the report is one row per asset.
+    Production swap: real VAD replaces the threshold, same plan."""
+    from stream_processing_project_spark.operators.multimodal import (
+        audio_frame_energy,
+        synthesize_real_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    media = synthesize_real_media(docs).filter(F.col("kind") == "audio")
+    en = audio_frame_energy(media)
+    wd = Window.partitionBy("doc_id").orderBy("frame_idx")
+    act = en.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("sum_abs") > F.lit(500) * F.col("n_samples")).alias("a"),
+    )
+    flag = act.withColumn(
+        "s",
+        F.when(
+            F.col("a") & ~F.coalesce(F.lag("a").over(wd), F.lit(False)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flag.withColumn(
+        "rid",
+        F.sum("s")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    runlen = (
+        runs.filter(F.col("a"))
+        .groupBy("doc_id", "rid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    perdoc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(F.col("a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_active"),
+    )
+    segs = runlen.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.max("len").alias("longest")
+    )
+    return perdoc.join(segs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_active",
+        F.coalesce(F.col("n_seg"), F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce(F.col("longest"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_run"),
+    )

@@ -5337,3 +5337,138 @@ def maintenance_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "timeseries_sax_symbols",
+    oracle="""
+WITH hours AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000) AS BIGINT)
+           AS h,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, s.seg,
+         CAST(COALESCE(sum(hh.cents), 0) AS BIGINT) AS v
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS seg) s
+  LEFT JOIN hours hh
+    ON hh.user_id = u.user_id AND hh.h >= s.seg * 8 AND hh.h < (s.seg + 1) * 8
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid),
+vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM grid GROUP BY 1),
+buck AS (
+  SELECT v, ((cum - c) * 4) // nn.n AS s
+  FROM (SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vals), nn
+),
+sym AS (
+  SELECT g.user_id, g.seg,
+         substr('abcd', CAST(b.s AS INTEGER) + 1, 1) AS sy
+  FROM grid g JOIN buck b ON b.v = g.v
+),
+words AS (
+  SELECT user_id, string_agg(sy, '' ORDER BY seg) AS sax_word
+  FROM sym GROUP BY 1
+),
+sup AS (SELECT sax_word, CAST(count(*) AS BIGINT) AS support FROM words
+        GROUP BY 1)
+SELECT w.user_id, w.sax_word, s.support
+FROM words w JOIN sup s USING (sax_word)
+""",
+)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al., DMKD'07 "Experiencing SAX") —
+    compress each user's 64-hour activity series to an 8-char word
+    over alphabet {a..d}, the discretization that turns time-series
+    MOTIF/novelty mining into string algebra (shared words = shared
+    shapes; `support` counts users per word — the motif table). The
+    PAA stage is `timeseries_paa_similarity`'s exact-integer 8-segment
+    profile; breakpoints are EQUI-DEPTH over the corpus's own values
+    rather than the classic Gaussian table (the fixture's cents are
+    not normal; data-driven breakpoints keep every decision an exact
+    integer): symbol = ((cum_before)·4) div N over the per-distinct-
+    value count table — the olap_distinct_quantiles bucketing idiom —
+    so ties share symbols and the whole alphabet assignment is
+    partitioning-proof. Word assembly is a struct-sort fold (no
+    ordered string_agg dependence on shuffle order). Shape: hourly
+    rollup is the only fact-sized stage; the value-rank window runs
+    over |distinct seg values| rows; words re-aggregate |users| rows.
+    At 100 TB the distinct-value table is still sketch-sized (cents
+    collide heavily); if not, swap the rank for the count-of-counts
+    range-partitioned variant."""
+    ev = t(spark, sf_dir, "events")
+    origin = 1704067200000000
+    hours = (
+        ev.groupBy(
+            "user_id",
+            F.floor((F.unix_micros("ts") - F.lit(origin)) / F.lit(3600000000))
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    )
+    segs = (
+        hours.filter((F.col("h") >= 0) & (F.col("h") < 64))
+        .groupBy("user_id", (F.col("h") / 8).cast("long").alias("seg"))
+        .agg(F.sum("cents").alias("seg_cents"))
+    )
+    grid = (
+        segs.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("seg", "seg_cents"))
+            ).alias("m")
+        )
+        .join(ev.select("user_id").distinct(), "user_id", "right")
+        .select(
+            "user_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda s: F.coalesce(
+                        F.element_at("m", s.cast("long")),
+                        F.lit(0).cast("long"),
+                    ),
+                )
+            ).alias("seg", "v"),
+        )
+    )
+    nn = grid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vals = grid.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    buck = (
+        vals.withColumn("cum", F.sum("c").over(wv))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "v",
+            F.expr("((cum - c) * 4) div n").alias("s"),
+        )
+    )
+    sym = grid.join(buck, "v").select(
+        "user_id",
+        "seg",
+        F.expr("substr('abcd', CAST(s AS INT) + 1, 1)").alias("sy"),
+    )
+    words = (
+        sym.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sy"))),
+                    lambda x: x["sy"],
+                ),
+            ).alias("sax_word")
+        )
+    )
+    sup = words.groupBy(F.col("sax_word").alias("_w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    return words.join(
+        F.broadcast(sup), words.sax_word == F.col("_w")
+    ).select("user_id", "sax_word", "support")

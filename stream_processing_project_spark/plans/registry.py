@@ -100,6 +100,8 @@ _PRIORITY = [
     "governance_t_closeness",
     "text_tokenizer_fertility",
     "text_zipf_fit",
+    "multimodal_audio_segments",
+    "timeseries_sax_symbols",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

@@ -929,3 +929,83 @@ def test_zipf_fit_serial_recompute(spark):
     assert row.zipf_intercept == (syd - (num / den) * sxd) / nd
     assert row.r_squared == (num * num) / (den * (nd * syyd - syd * syd))
     assert 0.0 <= row.r_squared <= 1.0
+
+
+def test_audio_segments_serial_recompute(spark):
+    """Recompute every audio doc's frame energies and active runs in
+    plain Python from the closed-form PCM model and require exact
+    equality — pins the real RIFF decode, the framing, and the
+    gaps-and-islands run logic independently of the SQL oracle."""
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["multimodal_audio_segments"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    doc_ids = [
+        r.doc_id
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+        if r.doc_id % 3 == 1
+    ]
+    assert set(rows) == set(doc_ids)
+    for d in doc_ids:
+        n = 800 + d % 800
+        samples = [abs((d * 7 + i) % 2001 - 1000) for i in range(n)]
+        active = []
+        for f in range((n + 159) // 160):
+            seg = samples[f * 160 : min(n, (f + 1) * 160)]
+            active.append(sum(seg) > 500 * len(seg))
+        runs, cur = [], 0
+        for a in active:
+            if a:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = rows[d]
+        assert r.n_frames == len(active)
+        assert r.n_active == sum(active)
+        assert r.n_segments == len(runs)
+        assert r.longest_run == (max(runs) if runs else 0)
+
+
+def test_sax_symbols_serial_recompute(spark):
+    """Serial recompute of the PAA grid, equi-depth breakpoints, and
+    word assembly; support must count exactly the users sharing each
+    word and every word must be 8 chars over {a,b,c,d}."""
+    rows = all_queries()["timeseries_sax_symbols"].builder(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    origin_us = 1704067200000000
+    hours = defaultdict(float)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        h = (int(r.ts.timestamp() * 1e6) - origin_us) // 3600000000
+        hours[(r.user_id, h)] += r.value
+    grid = {}
+    for u in users:
+        for seg in range(8):
+            v = 0
+            for h in range(seg * 8, seg * 8 + 8):
+                if (u, h) in hours:
+                    v += int(round_half_away(hours[(u, h)] * 100))
+            grid[(u, seg)] = v
+    n = len(grid)
+    cnt = Counter(grid.values())
+    cum, bucket = 0, {}
+    for v in sorted(cnt):
+        bucket[v] = (cum * 4) // n
+        cum += cnt[v]
+    words = {
+        u: "".join("abcd"[bucket[grid[(u, s)]]] for s in range(8)) for u in users
+    }
+    sup = Counter(words.values())
+    assert len(rows) == len(users)
+    for r in rows:
+        assert r.sax_word == words[r.user_id]
+        assert r.support == sup[r.sax_word]
+        assert len(r.sax_word) == 8 and set(r.sax_word) <= set("abcd")

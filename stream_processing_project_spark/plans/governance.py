@@ -5504,3 +5504,170 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((syd - slope * sxd) / nd).alias("zipf_intercept"),
         ((num * num) / (den * (nd * syyd - syd * syd))).alias("r_squared"),
     )
+
+
+@register(
+    "experiment_msprt_monitor",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+daily AS (
+  SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, arm,
+         CAST(sum(n) OVER w AS BIGINT) AS n,
+         CAST(sum(s) OVER w AS BIGINT) AS s,
+         CAST(sum(ss) OVER w AS BIGINT) AS ss
+  FROM daily WINDOW w AS (PARTITION BY arm ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)
+),
+wide AS (
+  SELECT c.day,
+         c.n AS n_c, t.n AS n_t,
+         CAST(c.s AS DOUBLE) / c.n AS mean_c,
+         CAST(t.s AS DOUBLE) / t.n AS mean_t,
+         (CAST(c.n AS DOUBLE) * CAST(c.ss AS DOUBLE)
+            - CAST(c.s AS DOUBLE) * CAST(c.s AS DOUBLE))
+           / CAST(c.n AS DOUBLE) / (CAST(c.n AS DOUBLE) - 1) AS var_c,
+         (CAST(t.n AS DOUBLE) * CAST(t.ss AS DOUBLE)
+            - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+           / CAST(t.n AS DOUBLE) / (CAST(t.n AS DOUBLE) - 1) AS var_t
+  FROM cum c JOIN cum t ON t.day = c.day AND t.arm = 1
+  WHERE c.arm = 0 AND c.n > 1 AND t.n > 1
+),
+lam AS (
+  SELECT day, n_c, n_t, mean_t - mean_c AS lift,
+         CAST(round((
+           0.5 * ln((var_c / n_c + var_t / n_t)
+                    / ((var_c / n_c + var_t / n_t) + 1000000.0))
+           + ((mean_t - mean_c) * (mean_t - mean_c)) * 1000000.0
+             / (2.0 * (var_c / n_c + var_t / n_t)
+                * ((var_c / n_c + var_t / n_t) + 1000000.0))
+         ) * 1000000.0) AS BIGINT) AS log_lambda_micro
+  FROM wide
+),
+p AS (
+  SELECT day, n_c, n_t, lift, log_lambda_micro,
+         least(CAST(1000000 AS BIGINT),
+               CAST(round(exp(-(CAST(log_lambda_micro AS DOUBLE)
+                                / 1000000.0)) * 1000000.0) AS BIGINT))
+           AS p_micro_raw
+  FROM lam
+)
+SELECT day, n_c, n_t, lift, log_lambda_micro,
+       CAST(min(p_micro_raw) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS p_micro,
+       min(p_micro_raw) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         < 50000 AS significant
+FROM p
+""",
+)
+def experiment_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential monitoring (mSPRT, Johari et al. KDD'17
+    "Peeking at A/B Tests") — the readout that makes DAILY PEEKING
+    statistically safe where a fixed-horizon t-test inflates false
+    positives: per day, the mixture likelihood ratio Λ with mixture
+    variance τ²=1e6 (cents² — on the order of the per-event variance)
+    over the CUMULATIVE per-arm sufficient statistics, and the
+    always-valid p-value = running min of 1/Λ, clamped to 1. Exact
+    bigint (n, Σ, Σ²) cumulate per arm by day windows (|days| rows);
+    log Λ derives by one fixed IEEE sequence and micro-quantizes;
+    p re-derives FROM the quantized logΛ and re-quantizes (the
+    ln/exp-then-quantize discipline), so the running min is an
+    integer min — the whole monitoring trajectory value-hash-oracles.
+    significant = p < 0.05 by integer compare. Scale: one fact scan
+    into per-(day, arm) partials; everything after is |days|-sized.
+    Composes with experiment_srm_check (validity gate) and
+    experiment_welch_ttest (fixed-horizon readout)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(wcum).cast("bigint").alias("n"),
+        F.sum("s").over(wcum).cast("bigint").alias("s"),
+        F.sum("ss").over(wcum).cast("bigint").alias("ss"),
+    )
+    c = cum.filter((F.col("arm") == 0) & (F.col("n") > 1)).select(
+        "day",
+        F.col("n").alias("n_c"),
+        F.col("s").alias("s_c"),
+        F.col("ss").alias("ss_c"),
+    )
+    tr = cum.filter((F.col("arm") == 1) & (F.col("n") > 1)).select(
+        F.col("day").alias("_d"),
+        F.col("n").alias("n_t"),
+        F.col("s").alias("s_t"),
+        F.col("ss").alias("ss_t"),
+    )
+
+    def mv(n, s, ss):
+        nd = F.col(n).cast("double")
+        sd, ssd = F.col(s).cast("double"), F.col(ss).cast("double")
+        return sd / F.col(n), (nd * ssd - sd * sd) / nd / (nd - 1)
+
+    wide = c.join(tr, c.day == F.col("_d")).drop("_d")
+    mean_c, var_c = mv("n_c", "s_c", "ss_c")
+    mean_t, var_t = mv("n_t", "s_t", "ss_t")
+    se2 = var_c / F.col("n_c") + var_t / F.col("n_t")
+    tau2 = F.lit(1000000.0)
+    lift = mean_t - mean_c
+    log_lam = (
+        F.lit(0.5) * F.log(se2 / (se2 + tau2))
+        + (lift * lift) * tau2 / (F.lit(2.0) * se2 * (se2 + tau2))
+    )
+    lam = wide.select(
+        "day",
+        "n_c",
+        "n_t",
+        lift.alias("lift"),
+        F.round(log_lam * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("log_lambda_micro"),
+    )
+    p_raw = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.round(
+            F.exp(
+                -(F.col("log_lambda_micro").cast("double") / F.lit(1000000.0))
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint"),
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = lam.withColumn("p_micro_raw", p_raw)
+    return p.select(
+        "day",
+        "n_c",
+        "n_t",
+        "lift",
+        "log_lambda_micro",
+        F.min("p_micro_raw").over(wp).cast("bigint").alias("p_micro"),
+        (F.min("p_micro_raw").over(wp) < F.lit(50000)).alias("significant"),
+    )

@@ -5472,3 +5472,80 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.join(
         F.broadcast(sup), words.sax_word == F.col("_w")
     ).select("user_id", "sax_word", "support")
+
+
+@register(
+    "olap_dau_wau_stickiness",
+    oracle="""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM e),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT d.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+""",
+)
+def olap_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the product-analytics headline metric,
+    and underneath it the HARD aggregation problem: an exact SLIDING-
+    WINDOW COUNT DISTINCT (each day's WAU needs the distinct users of
+    a 7-day window — naive recomputation rescans facts once per day).
+    Solved with the bitmap-word algebra of olap_bitmap_distinct_rollup:
+    ONE fact scan builds per-(day, chunk) 32-bit words (bit_or is
+    associative — full map-side combine), and every window re-ORs the
+    WORD TABLE (|days|×|present chunks| rows), never the facts; WAU =
+    Σ bit_count over the 7-day word union. The oracle computes both
+    counts with naive COUNT(DISTINCT) over a range self-join — the
+    hash match proves the bitmap sliding distinct EXACT. Stickiness is
+    one double division. At 100 TB: word-table state is key-domain/32
+    per day; the 7-day union is a broadcast-range join on the slim
+    word table — the fact table is scanned exactly once."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        F.expr("user_id div 32").alias("chunk"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+        ).alias("bit"),
+    )
+    words = (
+        base.groupBy("day", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+        .localCheckpoint()  # one fact scan feeds both the DAU and WAU branches
+    )
+    days = words.select("day").distinct()
+    dau = words.groupBy("day").agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("dau")
+    )
+    wau = (
+        words.select(F.col("day").alias("wday"), "chunk", "w")
+        .join(
+            F.broadcast(days),
+            (F.col("wday") <= F.col("day"))
+            & (F.col("wday") >= F.col("day") - 6),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.expr("bit_or(w)").alias("ww"))
+        .groupBy("day")
+        .agg(F.sum(F.expr("bit_count(ww)")).cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

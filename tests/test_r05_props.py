@@ -1009,3 +1009,61 @@ def test_sax_symbols_serial_recompute(spark):
         assert r.sax_word == words[r.user_id]
         assert r.support == sup[r.sax_word]
         assert len(r.sax_word) == 8 and set(r.sax_word) <= set("abcd")
+
+
+def test_dau_wau_bitmap_exact_vs_naive(spark):
+    """The bitmap sliding distinct must equal a naive per-day
+    countDistinct recomputation from raw events (both counts), with
+    the invariants DAU <= WAU <= sum of window DAUs and stickiness in
+    (0, 1]."""
+    rows = {
+        r.day: r
+        for r in all_queries()["olap_dau_wau_stickiness"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[int(r.ts.timestamp() * 1e6) // 86400000000].add(r.user_id)
+    assert set(rows) == set(by_day)
+    for d, users in by_day.items():
+        window_users = set()
+        for dd in range(d - 6, d + 1):
+            window_users |= by_day.get(dd, set())
+        r = rows[d]
+        assert r.dau == len(users)
+        assert r.wau == len(window_users)
+        assert r.dau <= r.wau <= sum(
+            len(by_day.get(dd, set())) for dd in range(d - 6, d + 1)
+        )
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.stickiness == r.dau / r.wau
+
+
+def test_msprt_monitor_properties(spark):
+    """The always-valid p must be a running min (monotone
+    non-increasing over days), capped at 1, consistent with its own
+    logLambda (p_raw = exp(-logLambda) requantized), and the
+    significance flag must fire exactly when p < 0.05."""
+    rows = sorted(
+        all_queries()["experiment_msprt_monitor"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    prev_p = 1000001
+    running = 10**18
+    for r in rows:
+        p_raw = min(
+            1000000,
+            int(round_half_away(math.exp(-(r.log_lambda_micro / 1e6)) * 1e6)),
+        )
+        running = min(running, p_raw)
+        assert r.p_micro == running
+        assert r.p_micro <= min(prev_p, 1000000)
+        prev_p = r.p_micro
+        assert r.significant == (r.p_micro < 50000)
+        assert r.n_c > 1 and r.n_t > 1
+    # cumulative ns must be non-decreasing
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_c >= a.n_c and b.n_t >= a.n_t

@@ -2752,3 +2752,349 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_run"),
     )
+
+
+@register(
+    "dedup_lsh_quality_audit",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 2
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> concat(ws[i], ' ', ws[i + 1])))) AS sh
+  FROM words
+),
+rare AS (
+  SELECT * FROM sh0
+  WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM rare
+          GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 3 * c >= sa.n_sh + sb.n_sh
+),
+h0 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 12)) AS BIGINT) AS h FROM rare
+),
+sig AS (
+  SELECT doc_id, p.p,
+         CAST(min((h * (2 * p.p + 3) + 1000003 * p.p) % 281474976710656)
+              AS BIGINT) AS mh
+  FROM h0 CROSS JOIN (SELECT unnest(range(32)) AS p) p
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, p // 4 AS b,
+         string_agg(CAST(mh AS VARCHAR), ':' ORDER BY p) AS bh
+  FROM sig GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+       AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+       JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+  GROUP BY 1, 2
+),
+keep AS (SELECT doc_a, doc_b FROM est WHERE matches >= 16),
+m AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+    (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT) FROM keep k
+      JOIN truth t ON t.doc_a = k.doc_a AND t.doc_b = k.doc_b) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+         AS precision,
+       CASE WHEN n_truth > 0
+            THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+         AS recall
+FROM m
+""",
+)
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pipeline QUALITY audit — precision/recall of banded
+    MinHash-LSH against exact set Jaccard on the SAME capped shingle
+    sets (the eval every dedup deployment needs before trusting LSH
+    at 100 TB, the dedup twin of similarity_ann_recall_at_k). Unlike
+    dedup_minhash_lsh (xxhash64 — engine-specific, rows-only check),
+    this audit's MinHash is FULLY value-hash-oracled: one md5 base
+    hash per shingle, 32 permutations by affine integer mixing
+    (h·(2p+3) + 1000003p mod 2^48 — products < 2^55, exact bigints,
+    the CMS hash-family idiom), 8×4 banding on ordered signature
+    strings, candidate pairs kept at est-Jaccard ≥ 16/32 (an INTEGER
+    match-count compare), truth pairs at true Jaccard ≥ 1/2 via
+    3·common ≥ |a|+|b| (integer — no float Jaccard anywhere). Both
+    sides share the df ≤ 100 cap, so the audit is apples-to-apples
+    and the hot-shingle quadratic blowup is pruned before any join.
+    Shape: signatures are |docs|×32 bigints built in one rollup; the
+    band self-join carries ids only; the match-count join runs on
+    CANDIDATE pairs × 32, never all pairs. Output: one row —
+    n_truth, n_candidates, n_hits, precision, recall."""
+    docs = t(spark, sf_dir, "documents")
+    from stream_processing_project_spark.operators.dedup import _bigrams
+
+    sh0 = _bigrams(docs)
+    rare = sh0.join(
+        sh0.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 100),
+        "sh",
+        "left_semi",
+    ).persist()  # feeds sizes, common (both sides), and the signature rollup
+    sizes = rare.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    truth = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(F.lit(3) * F.col("c") >= F.col("n_a") + F.col("n_b"))
+        .select("doc_a", "doc_b")
+    )
+    h0 = rare.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    sig = (
+        h0.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("p")
+        )
+        .groupBy("doc_id", "p")
+        .agg(
+            F.min(
+                (
+                    F.col("h") * (F.lit(2) * F.col("p") + F.lit(3))
+                    + F.lit(1000003) * F.col("p")
+                )
+                % F.lit(281474976710656)
+            )
+            .cast("bigint")
+            .alias("mh")
+        )
+        .persist()  # feeds banding and the per-pair match count
+    )
+    bands = sig.groupBy(
+        "doc_id", F.expr("p div 4").alias("b")
+    ).agg(
+        F.concat_ws(
+            ":",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+        ).alias("bh")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mha")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mhb")),
+            ["doc_b", "p"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mha") == F.col("mhb"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("matches")
+        )
+    )
+    keep = est.filter(F.col("matches") >= 16).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    n_cand = keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hits = keep.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(n_hits)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double"),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "vector_centroid_drift",
+    oracle="""
+WITH x AS (
+  SELECT label, vec_id % 2 AS snap, i.i,
+         CAST(round(embedding[i.i + 1] * 1e6) AS BIGINT) AS xm
+  FROM embeddings, range(0, 64) i(i)
+),
+s AS (
+  SELECT label, snap, i, CAST(sum(xm) AS BIGINT) AS sm,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY 1, 2, 3
+),
+wide AS (
+  SELECT o.label, o.i, o.n AS n_old, nw.n AS n_new,
+         (CAST(o.sm AS DOUBLE) / 1e6) / o.n AS co,
+         (CAST(nw.sm AS DOUBLE) / 1e6) / nw.n AS cn
+  FROM s o JOIN s nw ON nw.label = o.label AND nw.i = o.i AND nw.snap = 1
+  WHERE o.snap = 0
+),
+terms AS (
+  SELECT label, n_old, n_new,
+         CAST(round((co - cn) * (co - cn) * 1e6) AS BIGINT) AS d2,
+         CAST(round(co * cn * 1e6) AS BIGINT) AS p,
+         CAST(round(co * co * 1e6) AS BIGINT) AS q1,
+         CAST(round(cn * cn * 1e6) AS BIGINT) AS q2
+  FROM wide
+),
+g AS (
+  SELECT label, CAST(max(n_old) AS BIGINT) AS n_old,
+         CAST(max(n_new) AS BIGINT) AS n_new,
+         CAST(sum(d2) AS BIGINT) AS dsum, CAST(sum(p) AS BIGINT) AS psum,
+         CAST(sum(q1) AS BIGINT) AS q1sum, CAST(sum(q2) AS BIGINT) AS q2sum
+  FROM terms GROUP BY 1
+)
+SELECT label, n_old, n_new,
+       CAST(dsum AS DOUBLE) / 1e6 AS drift_l2_sq,
+       (CAST(psum AS DOUBLE) / 1e6)
+         / (sqrt(CAST(q1sum AS DOUBLE) / 1e6)
+            * sqrt(CAST(q2sum AS DOUBLE) / 1e6)) AS centroid_cos
+FROM g
+""",
+)
+def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — per-label centroid shift between
+    two corpus snapshots (old = even vec_id, new = odd — in production
+    the snapshot key is an ingest date), the check that catches a
+    silently swapped/retrained embedding model or a distribution shift
+    in the upstream corpus before it corrupts ANN indexes and dedup
+    thresholds. Per-dimension component sums are exact bigint micros
+    (the vector-family quantization discipline — float vector sums are
+    partitioning-dependent, quantized sums are not); centroids derive
+    per-dim by fixed IEEE division; the 64 per-dim drift/cos terms
+    RE-QUANTIZE to bigints before the per-label sum, so both reported
+    statistics value-hash cross-engine. Output per label: counts,
+    squared L2 centroid drift, and centroid cosine (≈1 means direction
+    preserved even if magnitude moved). Shape: one posexplode scan →
+    map-side-combined (label, snap, dim) rollup (|labels|·2·64 rows);
+    everything after is dimension-table sized. At 100 TB this runs per
+    ingest batch against the running corpus centroids (mergeable: the
+    component sums are associative)."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("i", "xv"),
+    ).select(
+        "label",
+        "snap",
+        "i",
+        F.round(F.col("xv") * F.lit(1e6), 0).cast("bigint").alias("xm"),
+    )
+    s = x.groupBy("label", "snap", "i").agg(
+        F.sum("xm").cast("bigint").alias("sm"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    o = s.filter(F.col("snap") == 0).select(
+        "label", "i", F.col("sm").alias("so"), F.col("n").alias("n_old")
+    )
+    nw = s.filter(F.col("snap") == 1).select(
+        F.col("label").alias("_l"),
+        F.col("i").alias("_i"),
+        F.col("sm").alias("sn"),
+        F.col("n").alias("n_new"),
+    )
+    co = (F.col("so").cast("double") / F.lit(1e6)) / F.col("n_old")
+    cn = (F.col("sn").cast("double") / F.lit(1e6)) / F.col("n_new")
+    qz = lambda e: F.round(e * F.lit(1e6), 0).cast("bigint")
+    terms = (
+        o.join(nw, (o.label == F.col("_l")) & (o.i == F.col("_i")))
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            qz((co - cn) * (co - cn)).alias("d2"),
+            qz(co * cn).alias("p"),
+            qz(co * co).alias("q1"),
+            qz(cn * cn).alias("q2"),
+        )
+    )
+    g = terms.groupBy("label").agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.sum("d2").cast("bigint").alias("dsum"),
+        F.sum("p").cast("bigint").alias("psum"),
+        F.sum("q1").cast("bigint").alias("q1sum"),
+        F.sum("q2").cast("bigint").alias("q2sum"),
+    )
+    return g.select(
+        "label",
+        "n_old",
+        "n_new",
+        (F.col("dsum").cast("double") / F.lit(1e6)).alias("drift_l2_sq"),
+        (
+            (F.col("psum").cast("double") / F.lit(1e6))
+            / (
+                F.sqrt(F.col("q1sum").cast("double") / F.lit(1e6))
+                * F.sqrt(F.col("q2sum").cast("double") / F.lit(1e6))
+            )
+        ).alias("centroid_cos"),
+    )

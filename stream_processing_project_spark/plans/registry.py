@@ -104,6 +104,8 @@ _PRIORITY = [
     "timeseries_sax_symbols",
     "olap_dau_wau_stickiness",
     "experiment_msprt_monitor",
+    "dedup_lsh_quality_audit",
+    "vector_centroid_drift",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

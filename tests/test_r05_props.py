@@ -1067,3 +1067,60 @@ def test_msprt_monitor_properties(spark):
     # cumulative ns must be non-decreasing
     for a, b in zip(rows, rows[1:]):
         assert b.n_c >= a.n_c and b.n_t >= a.n_t
+
+
+def test_lsh_quality_audit_identities(spark):
+    """The audit's truth-pair count must equal the oracled
+    dedup_ngram_jaccard query filtered at the same integer threshold
+    (3·common >= |a|+|b| ⇔ jaccard >= 0.5 on the same capped sets),
+    and the metric algebra must be internally consistent."""
+    row = (
+        all_queries()["dedup_lsh_quality_audit"].builder(spark, SF_SMOKE).collect()[0]
+    )
+    jac = (
+        all_queries()["dedup_ngram_jaccard"].builder(spark, SF_SMOKE).collect()
+    )
+    truth = sum(1 for r in jac if 3 * r.n_common >= r.n_a + r.n_b)
+    assert row.n_truth == truth
+    assert row.n_hits <= min(row.n_truth, row.n_candidates)
+    if row.n_candidates:
+        assert row.precision == row.n_hits / row.n_candidates
+    if row.n_truth:
+        assert row.recall == row.n_hits / row.n_truth
+
+
+def test_centroid_drift_serial_recompute(spark):
+    """Serial recompute of per-label centroid drift and cosine from raw
+    embeddings with the same quantization ladder; cosine must be in
+    [-1, 1] and drift nonnegative."""
+    rows = {
+        r.label: r
+        for r in all_queries()["vector_centroid_drift"].builder(spark, SF_SMOKE).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    sums = defaultdict(lambda: [0] * 64)
+    ns = Counter()
+    for r in emb:
+        snap = r.vec_id % 2
+        ns[(r.label, snap)] += 1
+        for i, v in enumerate(r.embedding):
+            sums[(r.label, snap)][i] += int(round_half_away(v * 1e6))
+    labels = {l for l, _ in ns}
+    assert set(rows) == {l for l in labels if ns[(l, 0)] and ns[(l, 1)]}
+    for lab, r in rows.items():
+        no, nn = ns[(lab, 0)], ns[(lab, 1)]
+        dsum = psum = q1sum = q2sum = 0
+        for i in range(64):
+            co = (sums[(lab, 0)][i] / 1e6) / no
+            cn = (sums[(lab, 1)][i] / 1e6) / nn
+            dsum += int(round_half_away((co - cn) * (co - cn) * 1e6))
+            psum += int(round_half_away(co * cn * 1e6))
+            q1sum += int(round_half_away(co * co * 1e6))
+            q2sum += int(round_half_away(cn * cn * 1e6))
+        assert r.n_old == no and r.n_new == nn
+        assert r.drift_l2_sq == dsum / 1e6
+        assert r.centroid_cos == (psum / 1e6) / (
+            math.sqrt(q1sum / 1e6) * math.sqrt(q2sum / 1e6)
+        )
+        assert -1.0000001 <= r.centroid_cos <= 1.0000001
+        assert r.drift_l2_sq >= 0.0

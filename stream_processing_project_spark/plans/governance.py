@@ -5671,3 +5671,114 @@ def experiment_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_micro_raw").over(wp).cast("bigint").alias("p_micro"),
         (F.min("p_micro_raw").over(wp) < F.lit(50000)).alias("significant"),
     )
+
+
+@register(
+    "governance_subject_access_report",
+    oracle="""
+WITH subject AS (
+  SELECT user_id FROM (
+    SELECT DISTINCT user_id FROM events
+  ) ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 1
+),
+ev AS (
+  SELECT 'events' AS source_table, CAST(count(*) AS BIGINT) AS n_rows,
+         min(CAST(epoch_us(ts) AS BIGINT)) AS first_us,
+         max(CAST(epoch_us(ts) AS BIGINT)) AS last_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events e JOIN subject s ON e.user_id = s.user_id
+),
+ord AS (
+  SELECT 'orders' AS source_table, CAST(count(*) AS BIGINT) AS n_rows,
+         min(CAST(epoch_us(o_orderdate) AS BIGINT)) AS first_us,
+         max(CAST(epoch_us(o_orderdate) AS BIGINT)) AS last_us,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM orders o JOIN subject s ON o.o_custkey = s.user_id
+),
+cust AS (
+  SELECT 'customer' AS source_table, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(NULL AS BIGINT) AS first_us, CAST(NULL AS BIGINT) AS last_us,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM customer c JOIN subject s ON c.c_custkey = s.user_id
+)
+SELECT s.user_id AS subject_id, u.source_table, u.n_rows, u.first_us,
+       u.last_us, u.value_cents
+FROM (SELECT * FROM ev UNION ALL SELECT * FROM ord
+      UNION ALL SELECT * FROM cust) u, subject s
+""",
+)
+def governance_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-access report (GDPR Art. 15 DSAR / CCPA "right to
+    know") — the third leg of the privacy-ops stool next to
+    `governance_retention_sweep` (erase on schedule) and
+    `governance_crypto_shred` (erase on demand): for ONE data subject,
+    enumerate every table holding their records with row counts, time
+    bounds, and value totals — the export manifest a DSAR fulfillment
+    pipeline materializes before extraction. The subject is chosen by
+    deterministic md5 order (stable across engines and scale — a
+    fixed id would go missing at sf0.001); per-table summaries are
+    exact bigints from key-pushed semi-join scans. Shape: the subject
+    row broadcasts into each fact scan (predicate pushdown reduces
+    each to a key-selective scan; at 100 TB these are index/zone-map
+    served — see maintenance_zonemap_prune); the report is one row
+    per table. Timestamps are epoch micros; the dimension table
+    reports NULL bounds (no time axis)."""
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    subject = (
+        e.select("user_id")
+        .distinct()
+        .orderBy(F.md5(F.col("user_id").cast("string")), F.col("user_id"))
+        .limit(1)
+    )
+    ev = (
+        e.join(F.broadcast(subject), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("first_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(F.lit("events").alias("source_table"), "*")
+    )
+    orr = (
+        o.join(
+            F.broadcast(subject), o.o_custkey == F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(F.unix_micros("o_orderdate")).cast("bigint").alias("first_us"),
+            F.max(F.unix_micros("o_orderdate")).cast("bigint").alias("last_us"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(F.lit("orders").alias("source_table"), "*")
+    )
+    cu = (
+        c.join(F.broadcast(subject), c.c_custkey == F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.lit(None).cast("bigint").alias("first_us"),
+            F.lit(None).cast("bigint").alias("last_us"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(F.lit("customer").alias("source_table"), "*")
+    )
+    return (
+        ev.unionByName(orr)
+        .unionByName(cu)
+        .crossJoin(F.broadcast(subject.select(F.col("user_id").alias("subject_id"))))
+        .select(
+            "subject_id", "source_table", "n_rows", "first_us", "last_us",
+            "value_cents",
+        )
+    )

@@ -5549,3 +5549,93 @@ def olap_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "olap_pvm_decomposition",
+    oracle="""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(year(o.o_orderdate) AS INT) AS yr,
+         CAST(count(*) AS BIGINT) AS q,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS r_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE year(o.o_orderdate) IN (1997, 1998)
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT a.segment, a.q AS q1, b.q AS q2,
+         a.r_cents AS r1_cents, b.r_cents AS r2_cents,
+         (CAST(a.r_cents AS DOUBLE) / 100.0) / a.q AS p1,
+         (CAST(b.r_cents AS DOUBLE) / 100.0) / b.q AS p2
+  FROM base a JOIN base b ON b.segment = a.segment AND b.yr = 1998
+  WHERE a.yr = 1997
+)
+SELECT segment, q1, q2, r1_cents, r2_cents,
+       CAST(q2 - q1 AS DOUBLE) * p1 AS volume_effect,
+       (p2 - p1) * CAST(q2 AS DOUBLE) AS price_effect,
+       CAST(r2_cents - r1_cents AS DOUBLE) / 100.0 AS delta_revenue
+FROM w
+""",
+)
+def olap_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume(-mix) waterfall decomposition — the FP&A bridge
+    chart query ("why did revenue move?"): per customer segment, the
+    1997→1998 revenue delta splits into volume effect (ΔQ at old
+    price) and price effect (ΔP at new volume), which sum to ΔR
+    EXACTLY by construction (ΔR = Q₂P₂−Q₁P₁ = (Q₂−Q₁)P₁ + (P₂−P₁)Q₂ —
+    the two-factor bridge identity; the test pins it to float
+    round-off). Revenue cents and order counts are exact bigints from
+    ONE map-side-combined (segment, year) rollup over the pushed-down
+    two-year scan; average prices and effects derive by a fixed IEEE
+    sequence, so the whole bridge value-hash-oracles. Shape: fact scan
+    → |segments|×2 rows → self-join on segment (broadcast); at 100 TB
+    the year filter partition-prunes and the report stays
+    dimension-sized."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    base = (
+        o.filter(F.year("o_orderdate").isin(1997, 1998))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("q"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("r_cents"),
+        )
+    )
+    a = base.filter(F.col("yr") == 1997).select(
+        "segment",
+        F.col("q").alias("q1"),
+        F.col("r_cents").alias("r1_cents"),
+    )
+    b = base.filter(F.col("yr") == 1998).select(
+        F.col("segment").alias("_s"),
+        F.col("q").alias("q2"),
+        F.col("r_cents").alias("r2_cents"),
+    )
+    p1 = (F.col("r1_cents").cast("double") / F.lit(100.0)) / F.col("q1")
+    p2 = (F.col("r2_cents").cast("double") / F.lit(100.0)) / F.col("q2")
+    return (
+        a.join(b, a.segment == F.col("_s"))
+        .select(
+            "segment",
+            "q1",
+            "q2",
+            "r1_cents",
+            "r2_cents",
+            ((F.col("q2") - F.col("q1")).cast("double") * p1).alias(
+                "volume_effect"
+            ),
+            ((p2 - p1) * F.col("q2").cast("double")).alias("price_effect"),
+            (
+                (F.col("r2_cents") - F.col("r1_cents")).cast("double")
+                / F.lit(100.0)
+            ).alias("delta_revenue"),
+        )
+    )

@@ -106,6 +106,8 @@ _PRIORITY = [
     "experiment_msprt_monitor",
     "dedup_lsh_quality_audit",
     "vector_centroid_drift",
+    "olap_pvm_decomposition",
+    "governance_subject_access_report",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

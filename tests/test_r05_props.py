@@ -1124,3 +1124,72 @@ def test_centroid_drift_serial_recompute(spark):
         )
         assert -1.0000001 <= r.centroid_cos <= 1.0000001
         assert r.drift_l2_sq >= 0.0
+
+
+def test_pvm_bridge_identity(spark):
+    """Volume effect + price effect must reconstruct the revenue delta
+    to float round-off (the two-factor bridge identity), and the
+    underlying counts/cents must match a direct recompute."""
+    rows = all_queries()["olap_pvm_decomposition"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in orders:
+        if r.o_orderdate.year in (1997, 1998) and r.o_custkey in cust:
+            k = (cust[r.o_custkey], r.o_orderdate.year)
+            agg[k][0] += 1
+            agg[k][1] += int(round_half_away(r.o_totalprice * 100))
+    for r in rows:
+        assert (r.q1, r.r1_cents) == tuple(agg[(r.segment, 1997)])
+        assert (r.q2, r.r2_cents) == tuple(agg[(r.segment, 1998)])
+        assert math.isclose(
+            r.volume_effect + r.price_effect, r.delta_revenue, rel_tol=1e-9,
+            abs_tol=1e-6,
+        )
+
+
+def test_subject_access_report_serial(spark):
+    """The DSAR manifest must match a direct per-table scan for the
+    md5-selected subject — counts, bounds, and cent totals."""
+    import hashlib
+
+    rows = {
+        r.source_table: r
+        for r in all_queries()["governance_subject_access_report"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    uids = sorted(
+        {r.user_id for r in ev},
+        key=lambda u: (hashlib.md5(str(u).encode()).hexdigest(), u),
+    )
+    subject = uids[0]
+    mine = [r for r in ev if r.user_id == subject]
+    assert rows["events"].subject_id == subject
+    assert rows["events"].n_rows == len(mine)
+    assert rows["events"].value_cents == sum(
+        int(round_half_away(r.value * 100)) for r in mine
+    )
+    assert rows["events"].first_us == min(
+        int(r.ts.timestamp() * 1e6) for r in mine
+    )
+    o = [
+        r
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+        if r.o_custkey == subject
+    ]
+    assert rows["orders"].n_rows == len(o)
+    c = [
+        r
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+        if r.c_custkey == subject
+    ]
+    assert rows["customer"].n_rows == len(c)
+    assert rows["customer"].first_us is None

@@ -5782,3 +5782,123 @@ def governance_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFr
             "value_cents",
         )
     )
+
+
+@register(
+    "profile_spearman_rank_corr",
+    oracle="""
+WITH x AS MATERIALIZED (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xv,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS yv
+  FROM lineitem
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+rx AS MATERIALIZED (
+  SELECT xv, CAST(sum(c) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING)
+             - c + 1 AS BIGINT) AS r
+  FROM (SELECT xv, count(*) AS c FROM x GROUP BY 1)
+),
+ry AS MATERIALIZED (
+  SELECT yv, CAST(sum(c) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING)
+             - c + 1 AS BIGINT) AS r
+  FROM (SELECT yv, count(*) AS c FROM x GROUP BY 1)
+),
+pts AS (
+  SELECT (CAST(rx.r AS DOUBLE)) / nn.n AS u,
+         (CAST(ry.r AS DOUBLE)) / nn.n AS v
+  FROM x JOIN rx ON rx.xv = x.xv JOIN ry ON ry.yv = x.yv
+  CROSS JOIN nn
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(u * 1000000.0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sv,
+         CAST(sum(CAST(round(u * u * 1000000.0) AS BIGINT)) AS BIGINT) AS suu,
+         CAST(sum(CAST(round(u * v * 1000000.0) AS BIGINT)) AS BIGINT) AS suv,
+         CAST(sum(CAST(round(v * v * 1000000.0) AS BIGINT)) AS BIGINT) AS svv
+  FROM pts
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS nd, n,
+         CAST(su AS DOUBLE) / 1000000.0 AS sud,
+         CAST(sv AS DOUBLE) / 1000000.0 AS svd,
+         CAST(suu AS DOUBLE) / 1000000.0 AS suud,
+         CAST(suv AS DOUBLE) / 1000000.0 AS suvd,
+         CAST(svv AS DOUBLE) / 1000000.0 AS svvd
+  FROM s
+)
+SELECT n AS n_rows,
+       (nd * suvd - sud * svd)
+         / (sqrt(nd * suud - sud * sud) * sqrt(nd * svvd - svd * svd))
+         AS spearman_rho
+FROM d
+""",
+)
+def profile_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation — the robust monotone-dependence
+    companion to `profile_correlation`'s Pearson (outlier-immune,
+    catches nonlinear monotone relations Pearson understates): Pearson
+    computed on MIN-RANKS (ties share their group's first rank — the
+    deterministic tie convention; classic average-ranks would put a .5
+    into the integer pipeline). Ranks come from the COUNT-OF-COUNTS
+    table (rank(v) = rows before v + 1 via a cumsum over the distinct-
+    value table, joined back) — no global row_number over the fact
+    table, the abc_pareto scale lesson. Ranks normalize to (0,1] and
+    per-row products micro-quantize to bigints before summation
+    (products ≤ 1e6/row — the sums stay < 2^63 past 1e12 rows), so
+    all five sufficient statistics are associative and the ρ readout
+    value-hash-oracles. On TPC-H lineitem (quantity vs extended
+    price ≈ quantity × unit price) ρ is strongly positive — a real
+    signal in an otherwise independence-dominated fixture. Shape: one
+    fact scan, two distinct-value cumsums (domain-sized), two
+    broadcast joins back, one map-side-combined moment pass."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("xv"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+        .cast("bigint")
+        .alias("yv"),
+    )
+    nn = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def ranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            li.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                col,
+                (F.sum("c").over(w) - F.col("c") + 1)
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+
+    rx = ranks("xv").withColumnRenamed("r", "rx")
+    ry = ranks("yv").withColumnRenamed("r", "ry")
+    pts = (
+        li.join(F.broadcast(rx), "xv")
+        .join(F.broadcast(ry), "yv")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("rx").cast("double") / F.col("n")).alias("u"),
+            (F.col("ry").cast("double") / F.col("n")).alias("v"),
+        )
+    )
+    q = lambda e: F.round(e * F.lit(1000000.0), 0).cast("bigint")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q(F.col("u"))).cast("bigint").alias("su"),
+        F.sum(q(F.col("v"))).cast("bigint").alias("sv"),
+        F.sum(q(F.col("u") * F.col("u"))).cast("bigint").alias("suu"),
+        F.sum(q(F.col("u") * F.col("v"))).cast("bigint").alias("suv"),
+        F.sum(q(F.col("v") * F.col("v"))).cast("bigint").alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    dq = lambda name: F.col(name).cast("double") / F.lit(1000000.0)
+    num = nd * dq("suv") - dq("su") * dq("sv")
+    den = F.sqrt(nd * dq("suu") - dq("su") * dq("su")) * F.sqrt(
+        nd * dq("svv") - dq("sv") * dq("sv")
+    )
+    return s.select(
+        F.col("n").alias("n_rows"), (num / den).alias("spearman_rho")
+    )

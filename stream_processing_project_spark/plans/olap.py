@@ -5639,3 +5639,131 @@ def olap_pvm_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_revenue"),
         )
     )
+
+
+@register(
+    "olap_survival_kaplan_meier",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_m,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS last_m
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(last_m) AS m FROM cm),
+life AS (
+  SELECT CAST(last_m - first_m AS BIGINT) AS tenure,
+         CASE WHEN last_m < mx.m THEN 1 ELSE 0 END AS died
+  FROM cm, mx
+),
+byt AS (
+  SELECT tenure, CAST(sum(died) AS BIGINT) AS n_events,
+         CAST(sum(1 - died) AS BIGINT) AS n_censored,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM life GROUP BY 1
+),
+risk AS (
+  SELECT tenure, n_events, n_censored,
+         CAST(sum(n_total) OVER (ORDER BY tenure DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM byt
+),
+lt AS (
+  SELECT tenure, n_events, n_censored, n_risk,
+         CASE WHEN n_events > 0 AND n_events < n_risk
+              THEN CAST(round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1000000.0)
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS lnterm_micro,
+         CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk
+)
+SELECT tenure, n_risk, n_events, n_censored,
+       CASE WHEN sum(hit_zero) OVER (ORDER BY tenure
+              ROWS UNBOUNDED PRECEDING) > 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(round(exp(CAST(sum(lnterm_micro) OVER (ORDER BY tenure
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0)
+              * 1000000.0) AS BIGINT) END AS survival_micro
+FROM lt
+""",
+)
+def olap_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over customer lifetimes — the retention
+    curve done RIGHT (censoring-aware: customers still active in the
+    dataset's final month are censored, not counted as churn — the
+    error naive retention tables make): tenure = months from first to
+    last order, death = churn before the global last month, at-risk
+    counts by suffix-sum over the tenure table, S(t) = Π(1 − dᵤ/nᵤ).
+    The product evaluates in log space with per-tenure ln terms
+    micro-quantized to bigints (the ln/exp-then-quantize discipline),
+    so the cumulative sum is exact-integer and the published survival
+    curve value-hash-oracles. Shape: one (customer → first/last) fact
+    rollup is the only data-sized stage; the life table is
+    |tenure-months| rows (≤ dataset span) — windows over it are
+    trivially small at any corpus size. Output: the classic life
+    table (n_risk, events, censored, S(t) in micro-units)."""
+    o = t(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cm = o.groupBy("o_custkey").agg(
+        F.min(midx).alias("first_m"), F.max(midx).alias("last_m")
+    )
+    mx = cm.agg(F.max("last_m").alias("m"))
+    life = cm.crossJoin(F.broadcast(mx)).select(
+        (F.col("last_m") - F.col("first_m")).cast("bigint").alias("tenure"),
+        F.when(F.col("last_m") < F.col("m"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("died"),
+    )
+    byt = life.groupBy("tenure").agg(
+        F.sum("died").cast("bigint").alias("n_events"),
+        F.sum(F.lit(1) - F.col("died")).cast("bigint").alias("n_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+    wdesc = Window.orderBy(F.col("tenure").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = byt.select(
+        "tenure",
+        "n_events",
+        "n_censored",
+        F.sum("n_total").over(wdesc).cast("bigint").alias("n_risk"),
+    )
+    lnterm = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < F.col("n_risk")),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    hit_zero = F.when(
+        F.col("n_events") >= F.col("n_risk"), F.lit(1)
+    ).otherwise(F.lit(0))
+    wasc = Window.orderBy("tenure").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("lnterm_micro", lnterm)
+        .withColumn("hit_zero", hit_zero)
+        .select(
+            "tenure",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(
+                F.sum("hit_zero").over(wasc) > 0, F.lit(0).cast("bigint")
+            )
+            .otherwise(
+                F.round(
+                    F.exp(
+                        F.sum("lnterm_micro").over(wasc).cast("double")
+                        / F.lit(1000000.0)
+                    )
+                    * F.lit(1000000.0),
+                    0,
+                ).cast("bigint")
+            )
+            .alias("survival_micro"),
+        )
+    )

@@ -1193,3 +1193,93 @@ def test_subject_access_report_serial(spark):
     ]
     assert rows["customer"].n_rows == len(c)
     assert rows["customer"].first_us is None
+
+
+def test_kaplan_meier_serial_recompute(spark):
+    """Serial life-table recompute (censoring included): n_risk must be
+    the suffix sum, survival the micro-quantized log-space product,
+    monotone non-increasing from 1.0, and the censored-at-end rule
+    honored (no deaths at the maximal last month)."""
+    rows = sorted(
+        all_queries()["olap_survival_kaplan_meier"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.tenure,
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    first, last = {}, {}
+    for r in orders:
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        first[r.o_custkey] = min(first.get(r.o_custkey, m), m)
+        last[r.o_custkey] = max(last.get(r.o_custkey, m), m)
+    mx = max(last.values())
+    byt = defaultdict(lambda: [0, 0])  # tenure -> [events, censored]
+    for c in first:
+        tn = last[c] - first[c]
+        byt[tn][0 if last[c] < mx else 1] += 1
+    assert {r.tenure for r in rows} == set(byt)
+    total = sum(e + c for e, c in byt.values())
+    seen = 0
+    cum_ln = 0
+    dead = False
+    prev_s = 10**7
+    for r in rows:
+        ev, cen = byt[r.tenure]
+        assert r.n_events == ev and r.n_censored == cen
+        assert r.n_risk == total - seen
+        seen += ev + cen
+        if ev >= r.n_risk:
+            dead = True  # the whole remaining risk set died: S = 0 onward
+        elif ev:
+            cum_ln += int(
+                round_half_away(math.log(1.0 - ev / r.n_risk) * 1e6)
+            )
+        want = 0 if dead else int(round_half_away(math.exp(cum_ln / 1e6) * 1e6))
+        assert r.survival_micro == want
+        assert r.survival_micro <= prev_s
+        prev_s = r.survival_micro
+    assert rows[0].survival_micro <= 1000000
+
+
+def test_spearman_matches_scipy_convention(spark):
+    """Serial recompute of min-rank Spearman from raw rows must match
+    bit-for-bit, and rho must be strongly positive on the planted
+    monotone pair price -> discounted revenue."""
+    row = (
+        all_queries()["profile_spearman_rank_corr"].builder(spark, SF_SMOKE).collect()[0]
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_extendedprice", "l_discount"
+    ).collect()
+    xs = [int(round_half_away(r.l_extendedprice * 100)) for r in li]
+    ys = [
+        int(round_half_away(r.l_extendedprice * (1 - r.l_discount) * 100))
+        for r in li
+    ]
+    n = len(xs)
+
+    def min_ranks(vals):
+        cnt = Counter(vals)
+        cum, rank = 0, {}
+        for v in sorted(cnt):
+            rank[v] = cum + 1
+            cum += cnt[v]
+        return rank
+
+    rx, ry = min_ranks(xs), min_ranks(ys)
+    su = sv = suu = suv = svv = 0
+    for x, y in zip(xs, ys):
+        u, v = rx[x] / n, ry[y] / n
+        su += int(round_half_away(u * 1e6))
+        sv += int(round_half_away(v * 1e6))
+        suu += int(round_half_away(u * u * 1e6))
+        suv += int(round_half_away(u * v * 1e6))
+        svv += int(round_half_away(v * v * 1e6))
+    nd = float(n)
+    num = nd * (suv / 1e6) - (su / 1e6) * (sv / 1e6)
+    den = math.sqrt(nd * (suu / 1e6) - (su / 1e6) ** 2) * math.sqrt(
+        nd * (svv / 1e6) - (sv / 1e6) ** 2
+    )
+    assert row.n_rows == n
+    assert row.spearman_rho == num / den
+    assert row.spearman_rho > 0.9  # price drives discounted revenue

@@ -1271,3 +1271,80 @@ def streaming_retract_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_changes", "n_live", "sum_cents_live")
     )
+
+
+@register(
+    "streaming_wau_bitmap",
+    oracle="""
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM e),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY 1),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+  FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT d.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+""",
+)
+def streaming_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE exact sliding-window distinct — the streaming half of
+    `olap_dau_wau_stickiness`: the per-(day, chunk) bitmap WORD TABLE
+    is maintained incrementally by a streaming bit_or aggregation
+    (associative+commutative → partial-aggregatable streaming state;
+    the state is |days|×|present chunks| words = key-domain/32 per
+    day, NOT per-user rows — the reason this scales where a streaming
+    COUNT(DISTINCT) buffer cannot), and the 7-day window readout
+    (re-OR words, popcount) runs on the final snapshot — exactly how a
+    serving layer reads the continuously-maintained sketch. Complete
+    mode: the final snapshot provably equals the batch word table, so
+    the naive COUNT(DISTINCT) oracle of the batch twin carries over
+    verbatim. The readout is the batch op's plan (broadcast range join
+    over the slim word table)."""
+    events = pipeline.file_event_stream(spark, sf_dir)
+    words_stream = (
+        events.select(
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias(
+                "day"
+            ),
+            F.expr("user_id div 32").alias("chunk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    words = pipeline.run_to_completion(
+        words_stream, output_mode="complete"
+    ).localCheckpoint()
+    days = words.select("day").distinct()
+    dau = words.groupBy("day").agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("dau")
+    )
+    wau = (
+        words.select(F.col("day").alias("wday"), "chunk", "w")
+        .join(
+            F.broadcast(days),
+            (F.col("wday") <= F.col("day"))
+            & (F.col("wday") >= F.col("day") - 6),
+        )
+        .groupBy("day", "chunk")
+        .agg(F.expr("bit_or(w)").alias("ww"))
+        .groupBy("day")
+        .agg(F.sum(F.expr("bit_count(ww)")).cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

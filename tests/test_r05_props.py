@@ -1283,3 +1283,23 @@ def test_spearman_matches_scipy_convention(spark):
     assert row.n_rows == n
     assert row.spearman_rho == num / den
     assert row.spearman_rho > 0.9  # price drives discounted revenue
+
+
+def test_streaming_wau_equals_batch_twin(spark):
+    """The streaming-maintained bitmap word table must produce exactly
+    the batch operator's DAU/WAU/stickiness rows — the complete-mode
+    snapshot equivalence that justifies serving reads from the
+    continuously-maintained sketch."""
+    online = sorted(
+        tuple(r)
+        for r in all_queries()["streaming_wau_bitmap"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in all_queries()["olap_dau_wau_stickiness"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    assert online == batch

@@ -5902,3 +5902,189 @@ def profile_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").alias("n_rows"), (num / den).alias("spearman_rho")
     )
+
+
+@register(
+    "experiment_power_mde",
+    oracle=f"""
+WITH {_EXP_U_SQL.strip()},
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM u
+),
+v AS (
+  SELECT n, CAST(sy AS DOUBLE) / n AS mean_y,
+         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1) AS var_y
+  FROM s
+),
+horizons AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS weeks)
+SELECT h.weeks,
+       CAST(v.n * h.weeks AS BIGINT) AS n_per_arm,
+       (1.959963984540054 + 0.8416212335729143)
+         * sqrt(2.0 * v.var_y / (v.n * h.weeks)) AS mde_abs,
+       ((1.959963984540054 + 0.8416212335729143)
+         * sqrt(2.0 * v.var_y / (v.n * h.weeks))) / v.mean_y AS mde_rel
+FROM horizons h, v
+""",
+)
+def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis — the design-stage question every
+    A/B test starts with ("how long must this run to detect X%?"):
+    minimum detectable effect at α=0.05 (two-sided), power=0.80 for a
+    two-sample mean test, MDE = (z_{α/2}+z_β)·√(2σ²/n), over a table
+    of candidate horizons (weeks of traffic at the pilot's per-week
+    user volume). σ² comes from the pilot's exact bigint sufficient
+    statistics (the Welch op's pass, reused); the z constants are
+    shared double literals (Φ⁻¹(0.975), Φ⁻¹(0.80)), so the whole
+    design table derives by fixed IEEE sequences and value-hash
+    oracles. Completes the experimentation lifecycle: power → SRM →
+    mSPRT monitor → Welch/CUPED readout → bootstrap CI. Shape: one
+    fact rollup, then a 6-row horizon table."""
+    u = _experiment_users(spark, sf_dir)
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    v = s.select(
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
+        (
+            (nd * F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            / nd
+            / (nd - 1)
+        ).alias("var_y"),
+    )
+    horizons = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (32,)], "weeks int"
+    )
+    zsum = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = zsum * F.sqrt(
+        F.lit(2.0) * F.col("var_y") / (F.col("n") * F.col("weeks"))
+    )
+    return horizons.crossJoin(F.broadcast(v)).select(
+        "weeks",
+        (F.col("n") * F.col("weeks")).cast("bigint").alias("n_per_arm"),
+        mde.alias("mde_abs"),
+        (mde / F.col("mean_y")).alias("mde_rel"),
+    )
+
+
+@register(
+    "profile_join_key_discovery",
+    oracle="""
+WITH cols AS (
+  SELECT 'events.user_id' AS col_name, user_id AS v FROM events
+  UNION ALL
+  SELECT 'customer.c_custkey', c_custkey FROM customer
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderkey', o_orderkey FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+),
+d AS (SELECT DISTINCT col_name, v FROM cols),
+sizes AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+inter AS (
+  SELECT a.col_name AS col_a, b.col_name AS col_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM d a JOIN d b ON a.v = b.v AND a.col_name < b.col_name
+  GROUP BY 1, 2
+)
+SELECT i.col_a, i.col_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.5 AS joinable
+FROM inter i JOIN sizes sa ON sa.col_name = i.col_a
+     JOIN sizes sb ON sb.col_name = i.col_b
+""",
+)
+def profile_join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery / schema matching — the data-catalog question
+    ("which columns join?") answered by VALUE-SET overlap across
+    candidate key columns from different tables: exact distinct-set
+    Jaccard and CONTAINMENT (min-normalized — the asymmetric measure
+    that finds FK→PK inclusions where Jaccard is diluted by the larger
+    domain), with a joinable flag at containment ≥ 0.5. All counts are
+    exact integers from one union'd distinct rollup and a self-join on
+    value (candidate columns are key-typed, so the distinct sets are
+    key-domain-sized, not fact-sized); the ratios are single
+    divisions. At 100 TB swap exact distinct sets for the KMV/theta
+    sketches (`profile_distinct_kmv_theta` — same intersection
+    algebra, one pass); the exact version here doubles as that
+    sketch's ground truth. Reference scope: extends SURVEY.md §2's
+    profiling surface with cross-table relationship discovery."""
+    e = t(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("col_name"), F.col("user_id").alias("v")
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer.c_custkey").alias("col_name"),
+        F.col("c_custkey").alias("v"),
+    )
+    o1 = t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("col_name"),
+        F.col("o_custkey").alias("v"),
+    )
+    o2 = t(spark, sf_dir, "orders").select(
+        F.lit("orders.o_orderkey").alias("col_name"),
+        F.col("o_orderkey").alias("v"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("col_name"),
+        F.col("l_orderkey").alias("v"),
+    )
+    d = (
+        e.unionByName(c)
+        .unionByName(o1)
+        .unionByName(o2)
+        .unionByName(li)
+        .distinct()
+        .localCheckpoint()  # one distinct rollup feeds sizes + both join sides
+    )
+    sizes = d.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = d.select(F.col("col_name").alias("col_a"), "v")
+    b = d.select(F.col("col_name").alias("col_b"), "v")
+    inter = (
+        a.join(b, "v")
+        .filter(F.col("col_a") < F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("col_name").alias("col_a"), F.col("n").alias("n_a"))),
+            "col_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("col_name").alias("col_b"), F.col("n").alias("n_b"))),
+            "col_b",
+        )
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return out.select(
+        "col_a",
+        "col_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+        containment.alias("containment"),
+        (containment >= F.lit(0.5)).alias("joinable"),
+    )

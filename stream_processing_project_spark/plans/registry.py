@@ -111,6 +111,8 @@ _PRIORITY = [
     "olap_survival_kaplan_meier",
     "profile_spearman_rank_corr",
     "streaming_wau_bitmap",
+    "experiment_power_mde",
+    "profile_join_key_discovery",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

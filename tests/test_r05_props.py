@@ -1303,3 +1303,60 @@ def test_streaming_wau_equals_batch_twin(spark):
         .collect()
     )
     assert online == batch
+
+
+def test_power_mde_properties(spark):
+    """MDE must shrink as 1/sqrt(horizon) exactly (same sigma), halve
+    every 4x traffic, and recompute serially from the pilot stats."""
+    rows = sorted(
+        all_queries()["experiment_power_mde"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.weeks,
+    )
+    assert [r.weeks for r in rows] == [1, 2, 4, 8, 16, 32]
+    for a, b in zip(rows, rows[1:]):
+        assert b.mde_abs < a.mde_abs
+        assert b.n_per_arm == 2 * a.n_per_arm
+    one, four = rows[0], rows[2]
+    assert math.isclose(four.mde_abs, one.mde_abs / 2.0, rel_tol=1e-12)
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value").collect()
+    from datetime import datetime
+
+    cut = datetime(2024, 1, 16)
+    ys = defaultdict(int)
+    for r in ev:
+        if r.ts >= cut:
+            ys[r.user_id] += int(round_half_away(r.value * 100))
+        else:
+            ys.setdefault(r.user_id, 0)
+    n = len(ys)
+    sy = sum(ys.values())
+    syy = sum(v * v for v in ys.values())
+    var = (n * float(syy) - float(sy) * float(sy)) / n / (n - 1)
+    zsum = 1.959963984540054 + 0.8416212335729143
+    assert rows[0].n_per_arm == n
+    assert rows[0].mde_abs == zsum * math.sqrt(2.0 * var / (n * 1))
+
+
+def test_join_key_discovery_finds_fks(spark):
+    """The discovered relationships must match ground truth: orderkey
+    joins orders↔lineitem (containment 1.0), custkey joins
+    orders↔customer, events.user_id is contained in customer keys;
+    unrelated pairs (user_id vs orderkey domains) must not be flagged
+    unless their integer domains genuinely overlap that much."""
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in all_queries()["profile_join_key_discovery"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    ok = rows[("lineitem.l_orderkey", "orders.o_orderkey")]
+    assert ok.containment == 1.0 and ok.joinable
+    ck = rows[("customer.c_custkey", "orders.o_custkey")]
+    assert ck.containment == 1.0 and ck.joinable
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id").distinct().collect()
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey").distinct().collect()
+    u = {r.user_id for r in ev}
+    ckeys = {r.c_custkey for r in cust}
+    r = rows[("customer.c_custkey", "events.user_id")]
+    assert r.n_common == len(u & ckeys)
+    assert r.containment == len(u & ckeys) / min(len(u), len(ckeys))

@@ -4453,6 +4453,7 @@ SELECT c.n AS n_control, t.n AS n_treat,
             + (c.var_y / c.n) * (c.var_y / c.n) / (c.n - 1)) AS welch_df
 FROM w c, w t WHERE c.arm = 0 AND t.arm = 1
 """,
+    tags=("bench",),
 )
 def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B readout: Welch's unequal-variance t on the post-period

@@ -5380,6 +5380,7 @@ sup AS (SELECT sax_word, CAST(count(*) AS BIGINT) AS support FROM words
 SELECT w.user_id, w.sax_word, s.support
 FROM words w JOIN sup s USING (sax_word)
 """,
+    tags=("bench",),
 )
 def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization (Lin et al., DMKD'07 "Experiencing SAX") —
@@ -5493,6 +5494,7 @@ SELECT d.day, dau.dau, wau.wau,
        CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
 FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
 """,
+    tags=("bench",),
 )
 def olap_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / WAU / stickiness — the product-analytics headline metric,

@@ -77,7 +77,7 @@ def main() -> None:
         f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'sf10':>8s}"
         f" {'x(0.1->1)':>10s} {'x(1->10)':>10s}"
     )
-    for name in QUERIES:
+    for name in (sys.argv[1:] or QUERIES):  # optional subset, like scale_curve.py
         times = []
         for sf_dir in ["/root/testdata/sf0.1", SF1, SF10]:
             force(qs[name].builder(spark, sf_dir))  # warm codegen

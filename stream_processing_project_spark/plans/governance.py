@@ -6089,3 +6089,64 @@ def profile_join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         containment.alias("containment"),
         (containment >= F.lit(0.5)).alias("joinable"),
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+perw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         FROM tok GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+       CAST(count(*) AS DOUBLE) / sqrt(CAST(sum(c) AS DOUBLE)) AS rttr,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_ratio
+FROM perw GROUP BY doc_id
+""",
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document — the data-card vocabulary
+    metrics (type-token ratio, Guiraud's root TTR which corrects TTR's
+    length bias, and hapax ratio — the share of once-used words, the
+    classic productivity/boilerplate discriminator: templated spam has
+    few hapaxes, natural prose many). Complements the corpus-level
+    `text_zipf_fit` with the per-document grain quality filters
+    consume. All counts are exact bigints from one row-local
+    (doc, word) rollup (tokens never leave their document — no
+    corpus-wide join); the three ratios are single fixed divisions.
+    Scale: scan-bound, two map-side-combined aggregations, zero
+    cross-document shuffle beyond the (doc_id, word) rollup."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+        )
+    )
+    perw = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hap = F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))).cast(
+        "bigint"
+    )
+    return perw.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        hap.alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias(
+            "ttr"
+        ),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.sqrt(F.sum("c").cast("double"))
+        ).alias("rttr"),
+        (
+            hap.cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_ratio"),
+    )

@@ -113,6 +113,7 @@ _PRIORITY = [
     "streaming_wau_bitmap",
     "experiment_power_mde",
     "profile_join_key_discovery",
+    "text_lexical_diversity",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

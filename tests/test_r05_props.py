@@ -1360,3 +1360,26 @@ def test_join_key_discovery_finds_fks(spark):
     r = rows[("customer.c_custkey", "events.user_id")]
     assert r.n_common == len(u & ckeys)
     assert r.containment == len(u & ckeys) / min(len(u), len(ckeys))
+
+
+def test_lexical_diversity_serial_recompute(spark):
+    """Serial recompute of TTR/RTTR/hapax per document, plus the
+    structural bounds types <= tokens, hapax <= types, ttr in (0, 1]."""
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["text_lexical_diversity"].builder(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        ws = d.text.strip().split(" ")
+        cnt = Counter(ws)
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(ws)
+        assert r.n_types == len(cnt)
+        assert r.n_hapax == sum(1 for c in cnt.values() if c == 1)
+        assert r.ttr == len(cnt) / len(ws)
+        assert r.rttr == len(cnt) / math.sqrt(float(len(ws)))
+        assert r.hapax_ratio == r.n_hapax / r.n_types
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0.0 < r.ttr <= 1.0

@@ -2855,6 +2855,18 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_project_spark.operators.dedup import _bigrams
 
     sh0 = _bigrams(docs)
+    # The FIXED df cap is the scaling lever, exactly as in
+    # ngram_jaccard_pairs: the exact-truth self-join fans out df^2
+    # pairs per shingle, so an absolute bound (<=100 docs) caps the
+    # truth-side work at 1e4 pairs/shingle at ANY corpus size. On the
+    # 31-word replicated synthetic corpus every bigram goes hot past
+    # ~sf1 and the capped sets empty (the sf10 curve returns 0 pairs)
+    # — an artifact of the tiny fixture vocabulary, not the operator:
+    # real web corpora are Zipf/hapax-heavy (see text_zipf_fit /
+    # text_lexical_diversity), so df<=100 shingles exist at every
+    # scale. (A corpus-RELATIVE cap was tried and reverted: it makes
+    # the truth join quadratic on hot shingles — measured as a
+    # non-terminating sf10 run.)
     rare = sh0.join(
         sh0.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

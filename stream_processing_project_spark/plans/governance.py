@@ -6150,3 +6150,102 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             hap.cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "governance_row_level_policy",
+    oracle="""
+WITH pol(viewer_group, allowed_region) AS (
+  VALUES ('emea-analysts', 'EUROPE'), ('emea-analysts', 'AFRICA'),
+         ('emea-analysts', 'MIDDLE EAST'), ('amer-analysts', 'AMERICA'),
+         ('apac-analysts', 'ASIA'), ('global-auditors', '*')
+),
+c AS (
+  SELECT r.r_name AS region,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(bal_cents) AS BIGINT) AS s FROM c),
+vis AS (
+  SELECT p.viewer_group,
+         CAST(count(*) AS BIGINT) AS n_visible,
+         CAST(sum(c.bal_cents) AS BIGINT) AS visible_bal_cents
+  FROM (SELECT DISTINCT viewer_group FROM pol) g
+  JOIN pol p ON p.viewer_group = g.viewer_group
+  JOIN c ON p.allowed_region = '*' OR c.region = p.allowed_region
+  GROUP BY 1
+)
+SELECT v.viewer_group, v.n_visible,
+       tot.n - v.n_visible AS n_blocked,
+       v.visible_bal_cents,
+       CAST(v.n_visible AS DOUBLE) / CAST(tot.n AS DOUBLE) AS pct_visible
+FROM vis v, tot
+""",
+)
+def governance_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security policy audit — the governance surface next to
+    column masking (`governance_column_masking`): a policy table maps
+    viewer groups to allowed regions ('*' = unrestricted), the
+    RLS-filtered view is the policy join, and the audit reports what
+    each group can see — row counts, blocked counts, visibility share,
+    AND a value checksum (exact cents sum of visible balances) so the
+    audit pins the CONTENT of each filtered view, not just its size
+    (a policy bug that swaps two regions keeps counts plausible but
+    breaks the checksum). Shape: the dim chain broadcasts; the policy
+    table is tiny and broadcast into one conditional-aggregate pass —
+    at 100 TB the RLS view costs one pushed predicate per viewer. The
+    same policy join IS the production view definition (CREATE VIEW
+    ... WHERE region IN (SELECT allowed FROM pol WHERE grp =
+    current_user()))."""
+    pol = spark.createDataFrame(
+        [
+            ("emea-analysts", "EUROPE"),
+            ("emea-analysts", "AFRICA"),
+            ("emea-analysts", "MIDDLE EAST"),
+            ("amer-analysts", "AMERICA"),
+            ("apac-analysts", "ASIA"),
+            ("global-auditors", "*"),
+        ],
+        "viewer_group string, allowed_region string",
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("bal_cents").cast("bigint").alias("s"),
+    )
+    vis = (
+        cust.join(
+            F.broadcast(pol),
+            (F.col("allowed_region") == F.lit("*"))
+            | (F.col("region") == F.col("allowed_region")),
+        )
+        .groupBy("viewer_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_visible"),
+            F.sum("bal_cents").cast("bigint").alias("visible_bal_cents"),
+        )
+    )
+    return vis.crossJoin(F.broadcast(tot)).select(
+        "viewer_group",
+        "n_visible",
+        (F.col("n") - F.col("n_visible")).alias("n_blocked"),
+        "visible_bal_cents",
+        (F.col("n_visible").cast("double") / F.col("n").cast("double")).alias(
+            "pct_visible"
+        ),
+    )

@@ -5769,3 +5769,91 @@ def olap_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival_micro"),
         )
     )
+
+
+@register(
+    "olap_budget_allocation_hamilton",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev),
+base AS (
+  SELECT nation, rev_cents,
+         (1000000 * rev_cents) // tot.t AS base_units,
+         (1000000 * rev_cents) % tot.t AS rem
+  FROM rev, tot
+),
+leftover AS (SELECT 1000000 - CAST(sum(base_units) AS BIGINT) AS k FROM base),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, nation) AS rnk FROM base
+)
+SELECT nation, rev_cents,
+       CAST(base_units + CASE WHEN rnk <= l.k THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_units,
+       CAST(base_units AS BIGINT) AS base_units,
+       rnk <= l.k AS got_remainder
+FROM ranked, leftover l
+""",
+)
+def olap_budget_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional budget allocation with EXACT integer apportionment
+    (Hamilton / largest-remainder — the method quota systems and
+    financial allocations use because floats don't sum back to the
+    budget): 1,000,000 budget units split across nations in proportion
+    to supplier revenue, floor quotas first ((B·rev) div total — exact
+    bigint), then the leftover units go to the largest fractional
+    remainders ((B·rev) mod total, ranked with a deterministic name
+    tie-break). The invariant Σalloc = B holds EXACTLY by
+    construction — no float ever appears, so the allocation
+    value-hash-oracles and is partitioning-proof. Headroom: B·rev at
+    B=1e6 and sf100 revenue cents ~1e13 → 1e19 overflows — at that
+    scale pre-divide revenue to whole dollars (same quotas); at tested
+    SFs cents keep 1e17 < 2^63. Shape: the revenue rollup is the only
+    fact-sized stage; apportionment runs on the 25-row nation table
+    (rank window trivially small). The OLAP family's answer to "turn
+    these shares into whole units that add up"."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("t"))
+    base = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "rev_cents",
+        F.expr("(1000000 * rev_cents) div t").alias("base_units"),
+        F.expr("(1000000 * rev_cents) % t").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(1000000) - F.sum("base_units")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("nation"))),
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "nation",
+        "rev_cents",
+        (
+            F.col("base_units")
+            + F.when(F.col("rnk") <= F.col("k"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc_units"),
+        F.col("base_units").cast("bigint").alias("base_units"),
+        (F.col("rnk") <= F.col("k")).alias("got_remainder"),
+    )

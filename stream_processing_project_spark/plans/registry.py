@@ -114,6 +114,8 @@ _PRIORITY = [
     "experiment_power_mde",
     "profile_join_key_discovery",
     "text_lexical_diversity",
+    "olap_budget_allocation_hamilton",
+    "governance_row_level_policy",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

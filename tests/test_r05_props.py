@@ -1383,3 +1383,57 @@ def test_lexical_diversity_serial_recompute(spark):
         assert r.hapax_ratio == r.n_hapax / r.n_types
         assert r.n_hapax <= r.n_types <= r.n_tokens
         assert 0.0 < r.ttr <= 1.0
+
+
+def test_hamilton_allocation_invariants(spark):
+    """Allocations must sum EXACTLY to the budget, differ from floor
+    quotas by at most 1, respect proportionality (quota rounding), and
+    match a serial largest-remainder recompute."""
+    rows = (
+        all_queries()["olap_budget_allocation_hamilton"].builder(spark, SF_SMOKE).collect()
+    )
+    B = 1000000
+    assert sum(r.alloc_units for r in rows) == B
+    tot = sum(r.rev_cents for r in rows)
+    base = {r.nation: (B * r.rev_cents) // tot for r in rows}
+    rem = {r.nation: (B * r.rev_cents) % tot for r in rows}
+    k = B - sum(base.values())
+    order = sorted(rows, key=lambda r: (-rem[r.nation], r.nation))
+    winners = {r.nation for r in order[:k]}
+    for r in rows:
+        assert r.base_units == base[r.nation]
+        assert r.alloc_units - r.base_units in (0, 1)
+        assert r.got_remainder == (r.nation in winners)
+        assert r.alloc_units == base[r.nation] + (1 if r.nation in winners else 0)
+
+
+def test_row_level_policy_content_checksums(spark):
+    """Each viewer group's visible set must match a serial policy
+    evaluation — counts AND the cents checksum — and the global
+    auditor must see everything."""
+    rows = {
+        r.viewer_group: r
+        for r in all_queries()["governance_row_level_policy"].builder(spark, SF_SMOKE).collect()
+    }
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    nat = {r.n_nationkey: r.n_regionkey for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    reg = {r.r_regionkey: r.r_name for r in load_table(spark, SF_SMOKE, "region").collect()}
+    pol = {
+        "emea-analysts": {"EUROPE", "AFRICA", "MIDDLE EAST"},
+        "amer-analysts": {"AMERICA"},
+        "apac-analysts": {"ASIA"},
+        "global-auditors": None,  # '*'
+    }
+    for grp, allowed in pol.items():
+        vis = [
+            c
+            for c in cust
+            if allowed is None or reg[nat[c.c_nationkey]] in allowed
+        ]
+        r = rows[grp]
+        assert r.n_visible == len(vis)
+        assert r.n_blocked == len(cust) - len(vis)
+        assert r.visible_bal_cents == sum(
+            int(round_half_away(c.c_acctbal * 100)) for c in vis
+        )
+    assert rows["global-auditors"].n_blocked == 0

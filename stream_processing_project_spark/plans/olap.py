@@ -5857,3 +5857,80 @@ def olap_budget_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("base_units").cast("bigint").alias("base_units"),
         (F.col("rnk") <= F.col("k")).alias("got_remainder"),
     )
+
+
+@register(
+    "olap_market_concentration_hhi",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, s.s_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT region, CAST(sum(rev_cents) AS BIGINT) AS t FROM rev
+        GROUP BY 1),
+terms AS (
+  SELECT rev.region,
+         CAST(round((CAST(rev.rev_cents AS DOUBLE) / tot.t)
+              * (CAST(rev.rev_cents AS DOUBLE) / tot.t) * 1e8) AS BIGINT)
+           AS term,
+         rev.rev_cents, tot.t
+  FROM rev JOIN tot ON tot.region = rev.region
+)
+SELECT region,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(term) AS BIGINT) / 10000.0 AS hhi,
+       max(CAST(rev_cents AS DOUBLE) / t) AS top_share,
+       CAST(sum(term) AS BIGINT) / 10000.0 > 2500.0 AS concentrated
+FROM terms GROUP BY region
+""",
+)
+def olap_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman market concentration per region — the
+    antitrust/marketplace-health metric (HHI = Σ shareᵢ² on the
+    0–10,000 scale; DOJ calls >2,500 highly concentrated): supplier
+    revenue shares within each region, each squared share
+    micro-quantized to a bigint term BEFORE the per-region sum (the
+    repo's float-sum discipline — Σ of doubles is partitioning-
+    dependent, Σ of quantized bigints is not), HHI read out by one
+    division. Complements `profile_skew_gini` (inequality of a
+    distribution) with the market-power view (share-of-total
+    squared). Shape: one fact rollup to (region, supplier) — map-side
+    combined; totals re-aggregate the rollup; the terms table is
+    |suppliers| rows. At 100 TB the dims broadcast and the only
+    shuffle is the (region, supplier) rollup key."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "s_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    tot = rev.groupBy(F.col("region").alias("_r")).agg(
+        F.sum("rev_cents").cast("bigint").alias("t")
+    )
+    share = F.col("rev_cents").cast("double") / F.col("t")
+    terms = rev.join(F.broadcast(tot), rev.region == F.col("_r")).select(
+        "region",
+        F.round(share * share * F.lit(1e8), 0).cast("bigint").alias("term"),
+        share.alias("share"),
+    )
+    hhi = F.sum("term").cast("bigint") / F.lit(10000.0)
+    return terms.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        hhi.alias("hhi"),
+        F.max("share").alias("top_share"),
+        (hhi > F.lit(2500.0)).alias("concentrated"),
+    )

@@ -1437,3 +1437,43 @@ def test_row_level_policy_content_checksums(spark):
             int(round_half_away(c.c_acctbal * 100)) for c in vis
         )
     assert rows["global-auditors"].n_blocked == 0
+
+
+def test_hhi_serial_recompute(spark):
+    """Serial recompute of per-region HHI from raw revenue with the
+    same quantization ladder; HHI must lie in (0, 10000] and equal
+    10000 exactly when a region has one supplier."""
+    rows = {
+        r.region: r
+        for r in all_queries()["olap_market_concentration_hhi"].builder(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    sup = {r.s_suppkey: r.s_nationkey for r in load_table(spark, SF_SMOKE, "supplier").collect()}
+    nat = {r.n_nationkey: r.n_regionkey for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    reg = {r.r_regionkey: r.r_name for r in load_table(spark, SF_SMOKE, "region").collect()}
+    rev = defaultdict(int)
+    for r in li:
+        if r.l_suppkey in sup:
+            key = (reg[nat[sup[r.l_suppkey]]], r.l_suppkey)
+            rev[key] += int(
+                round_half_away(r.l_extendedprice * (1 - r.l_discount) * 100)
+            )
+    tot = defaultdict(int)
+    for (region, _), c in rev.items():
+        tot[region] += c
+    terms = defaultdict(list)
+    for (region, _), c in rev.items():
+        sh = c / tot[region]
+        terms[region].append((int(round_half_away(sh * sh * 1e8)), sh))
+    assert set(rows) == set(terms)
+    for region, ts in terms.items():
+        r = rows[region]
+        assert r.n_suppliers == len(ts)
+        assert r.hhi == sum(t for t, _ in ts) / 10000.0
+        assert r.top_share == max(s for _, s in ts)
+        assert 0.0 < r.hhi <= 10000.0
+        if r.n_suppliers == 1:
+            assert r.hhi == 10000.0
+        assert r.concentrated == (r.hhi > 2500.0)

@@ -5934,3 +5934,86 @@ def olap_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("share").alias("top_share"),
         (hhi > F.lit(2500.0)).alias("concentrated"),
     )
+
+
+@register(
+    "olap_lorenz_curve_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(rev_cents) AS BIGINT) AS t FROM rev),
+vals AS (SELECT rev_cents AS v, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(rev_cents) AS BIGINT) AS s
+         FROM rev GROUP BY 1),
+buck AS (
+  SELECT v, c, s, ((cum - c) * 10) // nn.n AS decile
+  FROM (SELECT v, c, s, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum FROM vals), nn
+),
+byd AS (
+  SELECT decile, CAST(sum(c) AS BIGINT) AS n_customers,
+         CAST(sum(s) AS BIGINT) AS rev_cents
+  FROM buck GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_cents,
+       CAST(sum(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / nn.t AS cum_share
+FROM byd, nn
+""",
+)
+def olap_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table — the "bottom 50% of customers drive
+    X% of revenue" chart behind every Gini/Pareto claim
+    (`profile_skew_gini` reports the scalar; this reports the CURVE
+    analysts actually read): customers sort into equi-depth revenue
+    deciles via the exact ((cum−c)·10) div N bucketing idiom (ties
+    share deciles — partitioning-proof, no global fact row_number),
+    and each decile reports its customer count, exact revenue cents,
+    and cumulative revenue share. All sums are bigints; the share is
+    one division per decile row. Shape: per-customer rollup (map-side
+    combined) → distinct-value cumsum (domain-sized) → 10-row window.
+    Composes with olap_abc_pareto (item-grain ABC classes) and
+    olap_market_concentration_hhi (supplier market power) into the
+    concentration-analysis family."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    nn = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev_cents").cast("bigint").alias("t"),
+    )
+    vals = rev.groupBy(F.col("rev_cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("rev_cents").cast("bigint").alias("s"),
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    buck = (
+        vals.withColumn("cum", F.sum("c").over(wv))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "c",
+            "s",
+            F.expr("((cum - c) * 10) div n").alias("decile"),
+        )
+    )
+    byd = buck.groupBy("decile").agg(
+        F.sum("c").cast("bigint").alias("n_customers"),
+        F.sum("s").cast("bigint").alias("rev_cents"),
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return byd.crossJoin(F.broadcast(nn)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "rev_cents",
+        (
+            F.sum("rev_cents").over(wd).cast("double") / F.col("t")
+        ).alias("cum_share"),
+    )

@@ -117,6 +117,7 @@ _PRIORITY = [
     "olap_budget_allocation_hamilton",
     "governance_row_level_policy",
     "olap_market_concentration_hhi",
+    "olap_lorenz_curve_deciles",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

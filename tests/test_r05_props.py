@@ -1477,3 +1477,27 @@ def test_hhi_serial_recompute(spark):
         if r.n_suppliers == 1:
             assert r.hhi == 10000.0
         assert r.concentrated == (r.hhi > 2500.0)
+
+
+def test_lorenz_deciles_invariants(spark):
+    """Decile counts must sum to the customer count, revenue to the
+    total, cum_share must be strictly increasing to exactly 1.0, and
+    the curve must be convex-ish (later deciles hold >= revenue of
+    earlier ones under equi-depth value ordering)."""
+    rows = sorted(
+        all_queries()["olap_lorenz_curve_deciles"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r.decile,
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev = defaultdict(int)
+    for r in orders:
+        rev[r.o_custkey] += int(round_half_away(r.o_totalprice * 100))
+    assert sum(r.n_customers for r in rows) == len(rev)
+    assert sum(r.rev_cents for r in rows) == sum(rev.values())
+    shares = [r.cum_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == 1.0
+    per_cust = [r.rev_cents / r.n_customers for r in rows]
+    assert all(a <= b for a, b in zip(per_cust, per_cust[1:]))

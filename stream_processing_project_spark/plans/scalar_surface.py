@@ -8,7 +8,7 @@ semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_project_spark.functions.scalar import (
@@ -837,4 +837,68 @@ def sampling_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sigma_micro",
         "alloc_n",
         F.coalesce("achieved_n", F.lit(0)).cast("bigint").alias("achieved_n"),
+    )
+
+
+@register(
+    "cdc_out_of_order_audit",
+    oracle="""
+WITH env AS (
+  SELECT event_id AS id, user_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events
+),
+lagged AS (
+  SELECT user_id, ts_ms,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY id) AS prev_ms
+  FROM env
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       CAST(sum(CASE WHEN prev_ms > ts_ms THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_regressions,
+       CAST(max(CASE WHEN prev_ms > ts_ms THEN prev_ms - ts_ms
+                     ELSE 0 END) AS BIGINT) AS max_regression_ms,
+       CAST(sum(CASE WHEN prev_ms > ts_ms THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS ooo_ratio
+FROM lagged GROUP BY user_id
+""",
+)
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delivery-order health check — the measurement that SIZES
+    WATERMARKS (SURVEY.md §2 A3): per key, how often does a change
+    arrive with a source timestamp OLDER than its predecessor
+    (arrival order = envelope emission order = id), and by how much at
+    worst? max(max_regression_ms) over the report is precisely the
+    smallest watermark delay that loses no data — measured instead of
+    guessed (the reference hard-codes its TTL;
+    EngagementRedisSink.scala:22). Runs on the parsed Debezium
+    envelope (same PERMISSIVE path as cdc_ingest); all counters are
+    exact integers from one lag window per key partition + one
+    map-side-combinable rollup. Scale: the window partitions by key
+    (bounded per-key rows), the report is |keys| rows; at 100 TB this
+    is the per-partition ordering audit every ingest pipeline runs
+    before trusting event-time processing."""
+    parsed = parse_envelope(to_envelope_json(t(spark, sf_dir, "events")))
+    w = Window.partitionBy("user_id").orderBy("id")
+    lagged = parsed.select(
+        "user_id", "id", F.col("__ts_ms").alias("ts_ms")
+    ).withColumn("prev_ms", F.lag("ts_ms").over(w))
+    reg = F.when(F.col("prev_ms") > F.col("ts_ms"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.sum(reg).cast("bigint").alias("n_regressions"),
+        F.max(
+            F.when(
+                F.col("prev_ms") > F.col("ts_ms"),
+                F.col("prev_ms") - F.col("ts_ms"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("max_regression_ms"),
+        (
+            F.sum(reg).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("ooo_ratio"),
     )

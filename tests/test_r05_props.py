@@ -1501,3 +1501,46 @@ def test_lorenz_deciles_invariants(spark):
     assert shares[-1] == 1.0
     per_cust = [r.rev_cents / r.n_customers for r in rows]
     assert all(a <= b for a, b in zip(per_cust, per_cust[1:]))
+
+
+def test_cdc_ooo_audit_fixture_and_synthetic(spark):
+    """On the fixture the stream is perfectly ordered (event_id is
+    assigned in ts order — the audit proves a zero watermark would
+    suffice); on a constructed out-of-order frame the same window
+    logic must count regressions and their worst magnitude exactly."""
+    rows = (
+        all_queries()["cdc_out_of_order_audit"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id").collect()
+    per_user = Counter(r.user_id for r in ev)
+    for r in rows:
+        assert r.n_changes == per_user[r.user_id]
+        assert r.n_regressions == 0
+        assert r.max_regression_ms == 0
+        assert r.ooo_ratio == 0.0
+    # constructed out-of-order stream: 1000, 5000, 3000, 2000, 8000
+    # regressions: 5000->3000 (2000ms) and 3000->2000 (1000ms)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(1, 7, 1000), (2, 7, 5000), (3, 7, 3000), (4, 7, 2000), (5, 7, 8000)],
+        "id long, user_id long, ts_ms long",
+    )
+    w = W.partitionBy("user_id").orderBy("id")
+    lag = df.withColumn("prev_ms", SF.lag("ts_ms").over(w))
+    reg = SF.when(SF.col("prev_ms") > SF.col("ts_ms"), SF.lit(1)).otherwise(
+        SF.lit(0)
+    )
+    out = lag.groupBy("user_id").agg(
+        SF.sum(reg).alias("n_regressions"),
+        SF.max(
+            SF.when(
+                SF.col("prev_ms") > SF.col("ts_ms"),
+                SF.col("prev_ms") - SF.col("ts_ms"),
+            ).otherwise(SF.lit(0))
+        ).alias("max_regression_ms"),
+    ).collect()[0]
+    assert out.n_regressions == 2
+    assert out.max_regression_ms == 2000

@@ -6249,3 +6249,60 @@ def governance_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_visible"
         ),
     )
+
+
+@register(
+    "sampling_group_kfold",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT) % 5 AS fold
+  FROM documents
+)
+SELECT fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(*) AS DOUBLE)
+         / (SELECT count(*) FROM documents) AS pct_docs
+FROM d GROUP BY fold
+""",
+)
+def sampling_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware k-fold assignment (scikit-learn's GroupKFold done
+    deterministically at corpus scale) — the leakage-safe CV split:
+    the fold is a function of the GROUP (source domain), never the
+    row, so near-duplicate documents from one crawl domain can NEVER
+    straddle a train/validation boundary — the cross-fold leakage
+    that random row splits (sampling_train_val_test) permit and that
+    inflates eval scores on web corpora. fold = md5(source) % 5 is
+    the engine-invariant hash assignment (stable under re-runs,
+    re-partitioning, and engine swaps); the audit reports per-fold
+    doc/source counts and shares. The no-straddle guarantee is
+    STRUCTURAL (fold is a pure function of source) and additionally
+    pinned in tests. Shape: one map-side-combined rollup; fold
+    balance follows the law of large numbers over groups — report
+    pct_docs so a skewed-domain corpus is visible. Companion:
+    sampling_train_val_test (row-hash split where groups don't
+    matter)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(source), 1, 15), 16, 10) AS BIGINT) % 5"
+        ).alias("fold"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            "n_sources",
+            (F.col("n_docs").cast("double") / F.col("n")).alias("pct_docs"),
+        )
+    )

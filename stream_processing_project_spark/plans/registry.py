@@ -119,6 +119,7 @@ _PRIORITY = [
     "olap_market_concentration_hhi",
     "olap_lorenz_curve_deciles",
     "cdc_out_of_order_audit",
+    "sampling_group_kfold",
     # r04 rotation: the 82 names that have never had a driver
     # correctness row (r01-r03 checked 147/229; every checked name is
     # green). New r03 operator families lead so each new oracle gets a

@@ -1544,3 +1544,30 @@ def test_cdc_ooo_audit_fixture_and_synthetic(spark):
     ).collect()[0]
     assert out.n_regressions == 2
     assert out.max_regression_ms == 2000
+
+
+def test_group_kfold_no_straddle(spark):
+    """No source may straddle folds (the leakage guarantee), folds must
+    partition the corpus exactly, and the audit must match a serial
+    recompute of the md5 group assignment."""
+    import hashlib
+
+    rows = {
+        r.fold: r
+        for r in all_queries()["sampling_group_kfold"].builder(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+    by_fold_docs, by_fold_sources = Counter(), defaultdict(set)
+    src_fold = {}
+    for d in docs:
+        f = int(hashlib.md5(d.source.encode()).hexdigest()[:15], 16) % 5
+        if d.source in src_fold:
+            assert src_fold[d.source] == f  # structural: fold is f(source)
+        src_fold[d.source] = f
+        by_fold_docs[f] += 1
+        by_fold_sources[f].add(d.source)
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
+    for f, r in rows.items():
+        assert r.n_docs == by_fold_docs[f]
+        assert r.n_sources == len(by_fold_sources[f])
+        assert r.pct_docs == r.n_docs / len(docs)

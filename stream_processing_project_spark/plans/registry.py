@@ -75,163 +75,112 @@ _LOADED = False
 # leading. Harmless when the gate runs all queries; decisive when it
 # truncates.
 _PRIORITY = [
-    # r05-new oracles first (the standing ADVICE convention: every new
-    # oracle gets a hard cross-engine driver row in its own round)
-    "olap_bitmap_distinct_rollup",
-    "multimodal_phash_neardup",
-    "features_isotonic_calibration",
-    "features_hashing_trick",
-    "text_bigram_logprob",
-    "cdc_retract_aggregate",
-    "streaming_retract_aggregate",
-    "timeseries_holt_brown_trend",
-    "vector_random_projection_jl",
-    "cdc_time_travel_read",
-    "sampling_neyman_allocation",
-    "experiment_welch_ttest",
-    "experiment_cuped_adjust",
-    "similarity_ann_recall_at_k",
-    "olap_weighted_sssp",
-    "maintenance_zonemap_prune",
-    "text_trigram_backoff",
-    "text_classifier_train_lr",
-    "experiment_bootstrap_ci",
-    "experiment_srm_check",
-    "governance_t_closeness",
-    "text_tokenizer_fertility",
-    "text_zipf_fit",
-    "multimodal_audio_segments",
-    "timeseries_sax_symbols",
-    "olap_dau_wau_stickiness",
-    "experiment_msprt_monitor",
-    "dedup_lsh_quality_audit",
-    "vector_centroid_drift",
-    "olap_pvm_decomposition",
-    "governance_subject_access_report",
-    "olap_survival_kaplan_meier",
-    "profile_spearman_rank_corr",
-    "streaming_wau_bitmap",
-    "experiment_power_mde",
-    "profile_join_key_discovery",
-    "text_lexical_diversity",
-    "olap_budget_allocation_hamilton",
-    "governance_row_level_policy",
-    "olap_market_concentration_hhi",
-    "olap_lorenz_curve_deciles",
-    "cdc_out_of_order_audit",
-    "sampling_group_kfold",
-    # r04 rotation: the 82 names that have never had a driver
-    # correctness row (r01-r03 checked 147/229; every checked name is
-    # green). New r03 operator families lead so each new oracle gets a
-    # hard cross-engine row first (ADVICE r03); the tail rolls into r05.
+    # r06 rebuild (VERDICT r05 task 1): exactly the 97 registry names
+    # that have never had a driver correctness row, in drain order —
+    # the benched-every-round TPC-H heads first, then the r03-priority
+    # leftovers the r05 window skipped, then the remaining backlog
+    # family-interleaved so the ~50-query window keeps diversity.
+    # The first ~50 land in CORRECTNESS_r06; the tail rolls to r07.
     # Greens yield their slot automatically (_reorder), so this list
-    # self-drains as rounds land.
-    "olap_spatial_join_grid",
-    "olap_nation_bfs_hops",
-    "olap_attribution_last_touch",
-    "governance_dp_count_release",
-    "vector_pca_power_iteration",
-    "profile_chisquare_independence",
-    "sampling_preference_pairs",
-    "streaming_ewma_state",
-    "streaming_dedup_minhash",
+    # self-drains as rounds land. New-operator registration is FROZEN
+    # until this backlog drops below one driver window (~50 names).
+    "olap_shipping_priority",
+    "olap_returned_items",
+    "olap_filtered_revenue",
+    "olap_top_brands",
+    "olap_pivot_order_status",
     "similarity_kmeans_train",
     "similarity_ann_ivf_trained",
-    "maintenance_compaction_plan",
+    "streaming_ewma_state",
+    "streaming_dedup_minhash",
     "streaming_decayed_topk",
-    "olap_decayed_topk",
-    "olap_nation_communities",
-    "olap_recursive_calendar",
-    "olap_skew_salted_join",
+    "maintenance_compaction_plan",
+    "olap_abc_pareto",
     "sampling_curriculum_anneal",
-    "corpus_data_card",
-    "profile_skew_gini",
-    "governance_column_masking",
-    "features_standard_scale",
-    "timeseries_ewma_smooth",
-    "timeseries_anomaly_mad",
-    "streaming_m4_downsample",
-    "streaming_text_chunk",
-    "streaming_text_quality",
-    "streaming_redact_pii",
-    "streaming_event_transitions",
-    "streaming_interval_join_outer",
+    "olap_attribution_markov",
     "streaming_distinct_users_hll",
-    "text_adaptive_quality_filter",
-    "text_heavy_hitters",
-    "text_normalize",
-    "udtf_word_bigrams",
-    "vector_stats_hof",
-    "similarity_matryoshka_topk",
-    "similarity_quantized_topk",
-    "similarity_rank_fusion",
+    "profile_benford_deviation",
+    "features_mutual_info_rank",
     "sampling_domain_cap",
-    "sampling_epoch_materialize",
-    "sampling_shard_shuffle",
-    "sampling_temperature_mix",
-    "profile_distinct_kmv_theta",
-    "profile_distinct_rollup_hll",
-    "profile_events_columns",
-    "profile_value_histogram",
+    "timeseries_anomaly_mad",
+    "governance_column_masking",
+    "similarity_matryoshka_topk",
+    "text_adaptive_quality_filter",
+    "corpus_build_pipeline",
     "quality_expectations",
     "recon_full_outer_activity",
-    "recon_snapshot_diff",
-    "governance_retention_sweep",
-    "json_variant_extract",
-    "features_mutual_info_rank",
     "active_customers_semi",
-    "corpus_build_pipeline",
-    "olap_abc_pareto",
+    "json_variant_extract",
+    "multimodal_decode_real",
+    "udtf_word_bigrams",
+    "vector_stats_hof",
     "olap_brand_band_revenue",
+    "streaming_event_transitions",
+    "profile_distinct_kmv_theta",
+    "features_pit_join",
+    "sampling_epoch_materialize",
+    "timeseries_autocorrelation",
+    "governance_crypto_shred",
+    "similarity_quantized_topk",
+    "text_heavy_hitters",
+    "corpus_data_card",
+    "quality_freshness_volume",
+    "recon_snapshot_diff",
+    "olap_cohort_ltv",
+    "streaming_interval_join_outer",
+    "profile_distinct_rollup_hll",
+    "features_standard_scale",
+    "sampling_shard_shuffle",
+    "timeseries_ewma_smooth",
+    "governance_retention_sweep",
+    "similarity_rank_fusion",
+    "text_normalize",
+    "olap_conversion_paths_topk",
+    "streaming_linear_fit",
+    "profile_events_columns",
+    "features_woe_encoding",
+    "sampling_temperature_mix",
+    "timeseries_linear_forecast",
     "olap_cube_order_totals",
+    "streaming_m4_downsample",
+    "profile_join_cardinality",
+    "olap_decayed_topk",
+    "streaming_pit_features",
+    "profile_ks_drift",
     "olap_distinct_quantiles",
+    "streaming_redact_pii",
+    "profile_skew_gini",
     "olap_exists_subquery",
-    "olap_filtered_revenue",
+    "streaming_text_chunk",
+    "profile_value_histogram",
     "olap_first_last_nth",
+    "streaming_text_quality",
     "olap_idle_rich_customers",
+    "olap_interpurchase_time",
     "olap_lateral_top_orders",
+    "olap_market_basket",
     "olap_median_order_value",
     "olap_min_cost_supplier",
+    "olap_mv_join_delta",
+    "olap_nation_communities",
+    "olap_nation_kcore",
     "olap_nation_trade_volume",
+    "olap_new_vs_returning",
     "olap_ntile_value_quartiles",
     "olap_part_supplier_variety",
     "olap_percent_rank_spend",
-    "olap_pivot_order_status",
     "olap_product_profit",
     "olap_promo_part_suppliers",
     "olap_promo_revenue_share",
-    "olap_returned_items",
+    "olap_recursive_calendar",
+    "olap_rfm_segments",
     "olap_rollup_lineitem",
-    "olap_shipping_priority",
+    "olap_skew_salted_join",
+    "olap_skyline_2d",
     "olap_small_quantity_revenue",
-    "olap_top_brands",
     "olap_top_supplier_revenue",
     "olap_unpivot",
     "olap_yoy_growth",
-    # r04-new operators (basket / ACF / OLS forecast / RFM) — behind
-    # the backlog above; they rotate into the window as greens drain it
-    "olap_market_basket",
-    "timeseries_autocorrelation",
-    "timeseries_linear_forecast",
-    "olap_rfm_segments",
-    "olap_attribution_markov",
-    "olap_interpurchase_time",
-    "olap_new_vs_returning",
-    "streaming_linear_fit",
-    "multimodal_decode_real",
-    "features_woe_encoding",
-    "profile_benford_deviation",
-    "quality_freshness_volume",
-    "olap_cohort_ltv",
-    "olap_mv_join_delta",
-    "profile_ks_drift",
-    "olap_nation_kcore",
-    "features_pit_join",
-    "olap_skyline_2d",
-    "streaming_pit_features",
-    "olap_conversion_paths_topk",
-    "profile_join_cardinality",
-    "governance_crypto_shred",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.
@@ -246,14 +195,18 @@ _MODULE_ORDER = [
 
 
 def _driver_green() -> set[str]:
-    """Names whose MOST RECENT driver row passed — these already have
-    hard driver signal, so they yield their window slot to
+    """Names whose MOST RECENT driver row is satisfied — these already
+    have hard driver signal, so they yield their window slot to
     still-unverified queries (matters only if the driver's correctness
-    window truncates). Latest status wins, scanning all rounds: the
-    driver samples a near-disjoint 50-query window each round, so a
-    query green in r01 but absent from r02 must still yield — but a
-    query that REGRESSED in a later round must lose its green and move
-    back to the front of the rotation for the retry."""
+    window truncates). "Satisfied" means hash-green, OR a completed
+    rows-only check for a query that by design has no oracle
+    (err == "no_oracle" with a real spark row count): a no-oracle query
+    can never do better than rows-only, so holding it at the front of
+    the rotation would permanently burn a window slot. Latest status
+    wins, scanning all rounds: the driver samples a near-disjoint
+    50-query window each round, so a query green in r01 but absent from
+    r02 must still yield — but a query that REGRESSED in a later round
+    must lose its green and move back to the front for the retry."""
     import glob
     import json
     import os
@@ -268,7 +221,11 @@ def _driver_green() -> set[str]:
             continue
         for n, r in rows.items():
             if isinstance(r, dict):
-                latest[n] = bool(r.get("rows_match") and r.get("hash_match"))
+                hash_green = bool(r.get("rows_match") and r.get("hash_match"))
+                rows_only_done = (
+                    r.get("err") == "no_oracle" and r.get("spark_rows") is not None
+                )
+                latest[n] = hash_green or rows_only_done
     return {n for n, ok in latest.items() if ok}
 
 

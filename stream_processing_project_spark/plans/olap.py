@@ -5397,11 +5397,13 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ties share symbols and the whole alphabet assignment is
     partitioning-proof. Word assembly is a struct-sort fold (no
     ordered string_agg dependence on shuffle order). Shape: hourly
-    rollup is the only fact-sized stage; the value-rank window runs
-    over |distinct seg values| rows; words re-aggregate |users| rows.
-    At 100 TB the distinct-value table is still sketch-sized (cents
-    collide heavily); if not, swap the rank for the count-of-counts
-    range-partitioned variant."""
+    rollup is the only fact-sized stage; words re-aggregate |users|
+    rows. The breakpoint cumsum over the distinct-segment-value table
+    is range-partitioned (bucketed_running_sum — no single-partition
+    window): segment cents are SUMS of near-unique revenue values, so
+    the distinct table approaches |users|·8 rows at scale, exactly the
+    class the abc_pareto idiom exists for (r05 verdict, What's wrong
+    #1)."""
     ev = t(spark, sf_dir, "events")
     origin = 1704067200000000
     hours = (
@@ -5441,9 +5443,9 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = grid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     vals = grid.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum, bcol = bucketed_running_sum(vals, "c", "v", out_col="cum")
     buck = (
-        vals.withColumn("cum", F.sum("c").over(wv))
+        cum.drop(bcol)
         .crossJoin(F.broadcast(nn))
         .select(
             "v",

@@ -705,8 +705,16 @@ def test_abc_pareto_window_is_range_partitioned(spark):
     """r04: the global cumsum swap — every Window in the plan is
     partitioned by the revenue-range bucket (no single-partition
     ordered window over |parts| rows; the only SinglePartition
-    exchange allowed is the 1-row total aggregate)."""
-    for name in ("olap_abc_pareto", "olap_percent_rank_spend"):
+    exchange allowed is the 1-row total aggregate). r06 adds the two
+    queries the r05 verdict flagged for the same class of defect:
+    sax breakpoints and spearman ranks both cumsum over near-unique
+    cent values, so their distinct tables are data-sized at scale."""
+    for name in (
+        "olap_abc_pareto",
+        "olap_percent_rank_spend",
+        "timeseries_sax_symbols",
+        "profile_spearman_rank_corr",
+    ):
         df = all_queries()[name].builder(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)

@@ -29,6 +29,46 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def hardware_canary(spark) -> dict:
+    """Fixed null-work pair timed before the suite — a hardware/container
+    speed probe so round-over-round comparisons measure the CODE, not
+    the box (r05 verdict task 3: two consecutive rounds of uniform
+    ~+20% drift had to be adjudicated as container noise because nothing
+    normalized for machine speed). Two deterministic components, no data
+    dependence, no randomness:
+      * compute_s — spark.range(5e8).sum(): pure whole-stage-codegen
+        arithmetic throughput (JVM + CPU clock).
+      * shuffle_s — 2M rows hashed into 1 000 keys, grouped, summed:
+        a small fixed shuffle (serialization + exchange + disk path).
+    Best-of-2 each, after its own warm pass. All per-query timings are
+    also reported divided by canary_s; vs_prior_round compares the
+    normalized series whenever the prior round recorded a canary."""
+    from pyspark.sql import functions as F
+
+    def compute():
+        spark.range(500_000_000).agg(F.sum("id")).collect()
+
+    def shuffle():
+        force(
+            spark.range(2_000_000)
+            .withColumn("k", F.col("id") % 1000)
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+
+    parts = {}
+    for name, fn in (("compute_s", compute), ("shuffle_s", shuffle)):
+        fn()  # warm: codegen compile + scheduler spin-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        parts[name] = round(best, 3)
+    parts["canary_s"] = round(parts["compute_s"] + parts["shuffle_s"], 3)
+    return parts
+
+
 def main() -> None:
     sf_dir = default_sf_dir()
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -38,6 +78,8 @@ def main() -> None:
     bench_queries = {
         n: q for n, q in sorted(all_queries().items()) if "bench" in q.tags
     }
+
+    canary = hardware_canary(spark)
 
     # warm-up: JVM, codegen, parquet footer/metadata reads for every
     # fixture table — so per-query numbers reflect steady-state plan
@@ -72,10 +114,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "canary": canary,
+        "queries_canary_normalized": {
+            n: round(t / canary["canary_s"], 3) for n, t in timings.items()
+        },
         "sf": sf,
         "streaming": stream_bench(spark, sf_dir),
     }
-    reg = regressions_vs_last_round(timings, sf)
+    reg = regressions_vs_last_round(timings, sf, canary)
     if reg is not None:
         add_streaming_regression(reg, out["streaming"])
         out["vs_prior_round"] = reg
@@ -84,12 +130,20 @@ def main() -> None:
 
 
 def regressions_vs_last_round(
-    timings: dict[str, float], sf: float | None
+    timings: dict[str, float], sf: float | None, canary: dict | None = None
 ) -> dict | None:
     """Round-over-round hygiene: compare per-query timings against the
     newest BENCH_r{N}.json (same query set every round, so numbers are
     comparable query-for-query) and flag anything >1.5× slower. Only
-    meaningful at the driver's SF — skipped when run at another SF."""
+    meaningful at the driver's SF — skipped when run at another SF.
+
+    When BOTH rounds recorded a hardware canary, a second comparison runs
+    on the canary-normalized series (t / canary_s): a uniform container
+    slowdown moves raw numbers but cancels in the normalized ones, so a
+    normalized flag means the CODE regressed, not the box (r05 verdict
+    task 3 — two straight rounds of ~+20% uniform drift needed manual
+    adjudication because nothing separated machine speed from plan
+    changes)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -109,11 +163,30 @@ def regressions_vs_last_round(
         for n, t in timings.items()
         if n in prev_q and prev_q[n] > 0 and t / prev_q[n] > 1.5
     }
-    return {
+    out = {
         "baseline_file": os.path.basename(rounds[-1]),
         "prior_total_s": prior.get("value"),
         "regressions_over_1_5x": flagged,
     }
+    prior_canary = (prior.get("canary") or {}).get("canary_s")
+    now_canary = (canary or {}).get("canary_s")
+    if prior_canary and now_canary:
+        # box-speed ratio this round vs last: >1 means this container is
+        # slower; raw per-query ratios are expected to drift by about
+        # this factor even with identical plans
+        out["canary_ratio_vs_prior"] = round(now_canary / prior_canary, 3)
+        out["normalized_regressions_over_1_5x"] = {
+            n: {
+                "prior_norm": round(prev_q[n] / prior_canary, 3),
+                "now_norm": round(t / now_canary, 3),
+                "ratio": round((t / now_canary) / (prev_q[n] / prior_canary), 2),
+            }
+            for n, t in timings.items()
+            if n in prev_q
+            and prev_q[n] > 0
+            and (t / now_canary) / (prev_q[n] / prior_canary) > 1.5
+        }
+    return out
 
 
 def add_streaming_regression(reg: dict, streaming: dict) -> None:

@@ -2820,7 +2820,9 @@ m AS (
     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
     (SELECT CAST(count(*) AS BIGINT) FROM keep) AS n_candidates,
     (SELECT CAST(count(*) AS BIGINT) FROM keep k
-      JOIN truth t ON t.doc_a = k.doc_a AND t.doc_b = k.doc_b) AS n_hits
+      JOIN truth t ON t.doc_a = k.doc_a AND t.doc_b = k.doc_b) AS n_hits,
+    (SELECT CAST(count(*) AS BIGINT) FROM sh0) AS n_sh_total,
+    (SELECT CAST(count(*) AS BIGINT) FROM rare) AS n_sh_rare
 )
 SELECT n_truth, n_candidates, n_hits,
        CASE WHEN n_candidates > 0
@@ -2828,7 +2830,11 @@ SELECT n_truth, n_candidates, n_hits,
          AS precision,
        CASE WHEN n_truth > 0
             THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END
-         AS recall
+         AS recall,
+       CASE WHEN n_sh_total > 0
+            THEN CAST(n_sh_total - n_sh_rare AS DOUBLE)
+                 / CAST(n_sh_total AS DOUBLE)
+            ELSE 0.0 END AS capped_fraction
 FROM m
 """,
 )
@@ -2847,6 +2853,11 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·common ≥ |a|+|b| (integer — no float Jaccard anywhere). Both
     sides share the df ≤ 100 cap, so the audit is apples-to-apples
     and the hot-shingle quadratic blowup is pruned before any join.
+    `capped_fraction` reports the share of shingle INSTANCES the df
+    cap removed — a 0-pair audit at capped_fraction ≈ 1.0 means the
+    cap consumed the corpus (every shingle hot — the degenerate
+    sf10 replicated-fixture case), not that the corpus is clean;
+    deployments should alarm on it before trusting precision/recall.
     Shape: signatures are |docs|×32 bigints built in one rollup; the
     band self-join carries ids only; the match-count join runs on
     CANDIDATE pairs × 32, never all pairs. Output: one row —
@@ -2969,9 +2980,15 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits = keep.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
     )
+    # cap-saturation signal: both counts are 1-row aggregates of tables
+    # the plan already materializes (sh0 feeds rare; rare is persisted)
+    n_sh = sh0.agg(F.count(F.lit(1)).cast("bigint").alias("n_sh_total"))
+    n_rare = rare.agg(F.count(F.lit(1)).cast("bigint").alias("n_sh_rare"))
     return (
         n_truth.crossJoin(n_cand)
         .crossJoin(n_hits)
+        .crossJoin(n_sh)
+        .crossJoin(n_rare)
         .select(
             "n_truth",
             "n_candidates",
@@ -2985,6 +3002,13 @@ def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_truth") > 0,
                 F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
             ).alias("recall"),
+            F.when(
+                F.col("n_sh_total") > 0,
+                (F.col("n_sh_total") - F.col("n_sh_rare")).cast("double")
+                / F.col("n_sh_total").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("capped_fraction"),
         )
     )
 

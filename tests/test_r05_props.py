@@ -1087,6 +1087,30 @@ def test_lsh_quality_audit_identities(spark):
         assert row.precision == row.n_hits / row.n_candidates
     if row.n_truth:
         assert row.recall == row.n_hits / row.n_truth
+    # the fixture corpus at this sf has no hot bigrams: the cap signal
+    # must read clean (0 instances removed)
+    assert row.capped_fraction == 0.0
+
+
+def test_lsh_quality_audit_cap_saturation_signal(spark):
+    """A corpus where EVERY bigram exceeds the df<=100 cap (the sf10
+    replicated-fixture degenerate case, PLANS.md 'r05 second-decade
+    curves') must return an audit that is explicitly marked as
+    cap-consumed — capped_fraction == 1.0 with zero pairs — so an empty
+    audit is distinguishable from a genuinely clean corpus (r05 verdict
+    task 4)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="spe-lsh-cap-")
+    spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "synthetic", 16) for i in range(150)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    row = all_queries()["dedup_lsh_quality_audit"].builder(spark, d).collect()[0]
+    assert row.capped_fraction == 1.0
+    assert row.n_truth == 0 and row.n_candidates == 0 and row.n_hits == 0
+    assert row.precision is None and row.recall is None
 
 
 def test_centroid_drift_serial_recompute(spark):

@@ -4793,10 +4793,11 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pagerank idiom); per-row gradient components micro-quantize to
     bigint BEFORE the sum, so each gradient is an associative exact
     aggregate — partitioning-invariant by construction. Scale shape:
-    each step is one narrow scan + one map-side-combined 4-column sum
-    (the 1-row weight table cross-broadcasts); at 100 TB you'd
-    checkpoint the feature projection once and re-scan it per step —
-    mini-batching swaps the scan for a hash-sampled filter. Output is
+    the feature projection (the only stage touching raw text) is
+    localCheckpointed ONCE; each GD step then scans the slim
+    4-double-per-doc table with a map-side-combined 4-column sum
+    (the 1-row weight table cross-broadcasts) — mini-batching would
+    swap that scan for a hash-sampled filter. Output is
     the fitted model row + training accuracy (z>0 decision, exact sign
     test). Reference scope: extends SURVEY.md §2.6's scalar scoring
     surface with distributed model FITTING."""
@@ -4807,91 +4808,91 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(toks, lambda x: x.isin(*_QUALITY_STOPWORDS))
     ).cast("double")
     sr = stop_hits / n_tokens
-    feats = docs.select(
-        F.when(sr > F.lit(0.06), F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        (sr * F.lit(10.0)).alias("x1"),
-        ((F.length("text").cast("double") / n_tokens) / F.lit(10.0)).alias(
-            "x2"
-        ),
-        (n_tokens / F.lit(100.0)).alias("x3"),
+    feats = (
+        docs.select(
+            F.when(sr > F.lit(0.06), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+            (sr * F.lit(10.0)).alias("x1"),
+            ((F.length("text").cast("double") / n_tokens) / F.lit(10.0)).alias(
+                "x2"
+            ),
+            (n_tokens / F.lit(100.0)).alias("x3"),
+        )
+        # eager localCheckpoint: the projection (tokenize + stopword
+        # filter over the full text column) is by far the expensive
+        # stage, and every GD step plus the accuracy pass rescans
+        # `feats` — without the checkpoint that is 9 full corpus
+        # tokenizations (measured 8.0 s at sf0.1, the slowest smoke
+        # entry; r05 verdict task 5). The checkpoint pins the slim
+        # 4-double-per-doc table once; blocks release with the DataFrame
+        # (the olap_top_supplier_revenue idiom, not persist).
+        .localCheckpoint(eager=True)
     )
-    nn = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = spark.range(1).select(
-        *[F.lit(0).cast("bigint").alias(f"w{j}") for j in range(4)]
-    )
+    # Lloyd's-loop idiom (the kmeans trainer's): the 1-row weight state
+    # lives driver-side as exact bigint micro-units — 4 bigints collected
+    # per step, bounded by construction — and is re-injected as literals,
+    # so each GD step is ONE simple map-side-combined scan of the
+    # checkpointed features instead of a level in a 9-deep nested plan
+    # (the nested form recompiled the whole lineage at every action and
+    # measured no faster than the un-checkpointed original).
+    import math
 
-    def z_expr() -> F.Column:
-        wd = [F.col(f"w{j}").cast("double") / F.lit(1000000.0) for j in range(4)]
+    def half_away(x: float) -> int:
+        # DuckDB round() / Spark F.round HALF_UP: half away from zero —
+        # Python's builtin round (banker's) would diverge on exact .5
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    n_docs = feats.count()
+    nd = float(n_docs)
+    wvals = [0, 0, 0, 0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+
+    def z_expr(wv: list[int]) -> F.Column:
+        wd = [F.lit(v / 1000000.0) for v in wv]
         return (
             (wd[0] + wd[1] * F.col("x1")) + wd[2] * F.col("x2")
         ) + wd[3] * F.col("x3")
 
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     for _ in range(8):
-        zc = z_expr()
+        zc = z_expr(wvals)
         r = (F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))) - F.col(
             "y"
         )
-        g = (
-            feats.crossJoin(F.broadcast(w))
-            .groupBy("w0", "w1", "w2", "w3")
-            .agg(
-                *[
-                    F.sum(
-                        F.round(
-                            (xs[j] * r if j else r) * F.lit(1000000.0), 0
-                        ).cast("bigint")
-                    )
-                    .cast("bigint")
-                    .alias(f"g{j}")
-                    for j in range(4)
-                ]
-            )
-        )
-        nd = F.col("n").cast("double")
-        w = g.crossJoin(F.broadcast(nn)).select(
+        g = feats.agg(
             *[
-                F.round(
-                    (
-                        F.col(f"w{j}").cast("double") / F.lit(1000000.0)
-                        - F.lit(2.0)
-                        * (
-                            (F.col(f"g{j}").cast("double") / F.lit(1000000.0))
-                            / nd
-                        )
+                F.sum(
+                    F.round((xs[j] * r if j else r) * F.lit(1000000.0), 0).cast(
+                        "bigint"
                     )
-                    * F.lit(1000000.0),
-                    0,
                 )
                 .cast("bigint")
-                .alias(f"w{j}")
+                .alias(f"g{j}")
                 for j in range(4)
             ]
-        )
-    zc = z_expr()
+        ).collect()[0]
+        wvals = [
+            half_away(
+                (wvals[j] / 1000000.0 - 2.0 * ((g[j] / 1000000.0) / nd))
+                * 1000000.0
+            )
+            for j in range(4)
+        ]
+    zc = z_expr(wvals)
     correct = (
         ((zc > F.lit(0.0)) & (F.col("y") == 1))
         | ((zc <= F.lit(0.0)) & (F.col("y") == 0))
     )
-    acc = (
-        feats.crossJoin(F.broadcast(w))
-        .groupBy("w0", "w1", "w2", "w3")
-        .agg(
-            F.sum(F.when(correct, F.lit(1)).otherwise(F.lit(0)))
-            .cast("bigint")
-            .alias("n_correct")
-        )
-    )
-    return acc.crossJoin(F.broadcast(nn)).select(
-        F.col("n").alias("n_docs"),
-        F.col("w0").alias("w0_micro"),
-        F.col("w1").alias("w1_micro"),
-        F.col("w2").alias("w2_micro"),
-        F.col("w3").alias("w3_micro"),
+    return feats.agg(
+        F.sum(F.when(correct, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_correct")
+    ).select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(wvals[0]).cast("bigint").alias("w0_micro"),
+        F.lit(wvals[1]).cast("bigint").alias("w1_micro"),
+        F.lit(wvals[2]).cast("bigint").alias("w2_micro"),
+        F.lit(wvals[3]).cast("bigint").alias("w3_micro"),
         "n_correct",
-        (F.col("n_correct").cast("double") / F.col("n").cast("double")).alias(
-            "accuracy"
-        ),
+        (F.col("n_correct").cast("double") / F.lit(nd)).alias("accuracy"),
     )
 
 

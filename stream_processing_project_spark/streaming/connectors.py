@@ -379,10 +379,17 @@ def bigquery_warehouse_sink(
     batch_size: int = BQ_BATCH_SIZE,
     fallback_dir: str = "/tmp/bq_fallback",
     trigger: str = "8 seconds",
+    checkpoint_location: str | None = None,
 ) -> StreamingQuery:
     """K3 with the real connector body attached: same enriched append
     stream as sinks.warehouse_sink, foreachBatch POSTing insertAll
-    payloads instead of writing the parquet table."""
+    payloads instead of writing the parquet table.
+
+    `checkpoint_location` defaults to a FRESH tempdir (fine for tests
+    and ad-hoc replays); production MUST pass a durable path — the
+    checkpoint is what makes an endpoint outage or a driver crash
+    resumable without re-delivering committed epochs (see
+    tests/test_connectors_http.py crash-recovery test)."""
     return (
         enriched.writeStream.outputMode("append")
         .foreachBatch(
@@ -392,7 +399,10 @@ def bigquery_warehouse_sink(
             )
         )
         .trigger(processingTime=trigger)
-        .option("checkpointLocation", checkpoint_dir("bq-warehouse"))
+        .option(
+            "checkpointLocation",
+            checkpoint_location or checkpoint_dir("bq-warehouse"),
+        )
         .start()
     )
 
@@ -520,6 +530,7 @@ def es_search_sink(
     trigger: str = "5 seconds",
     shards: int = 1,
     replicas: int = 0,
+    checkpoint_location: str | None = None,
 ) -> StreamingQuery:
     """K4 with the real connector body attached: PUTs the index
     template once at startup (ElasticsearchSink.scala:86-137,
@@ -549,6 +560,9 @@ def es_search_sink(
             )
         )
         .trigger(processingTime=trigger)
-        .option("checkpointLocation", checkpoint_dir("es-search"))
+        .option(
+            "checkpointLocation",
+            checkpoint_location or checkpoint_dir("es-search"),
+        )
         .start()
     )

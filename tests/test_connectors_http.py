@@ -233,6 +233,212 @@ def test_es_template_failure_fails_fast(spark):
         )
 
 
+def _crash_recovery_scenario(spark, make_query, capture, tag, ts_field, ts_fmt):
+    """Shared crash/recovery drive (VERDICT r05 task 6): three epochs of
+    events through a REAL restartable checkpoint.
+
+      epoch 0 (A): endpoint DOWN → rows spool to fallback; the driver
+        then CRASHES before the epoch commits (body raises after
+        delivery — the worst spot: side effects done, commit lost).
+      restart, endpoint still down, epoch 0 REPLAYS + epoch 1 (B):
+        the replayed spool OVERWRITES its earlier files (deterministic
+        (epoch, partition, chunk) names), B spools alongside — A+B
+        exactly once in fallback, zero duplicates from the replay.
+      restart, endpoint UP, epoch 2 (C): delivered over HTTP only.
+
+    Final invariant: HTTP store (status-200 bodies) + fallback files
+    together equal the batch table rows EXACTLY once. The reference
+    silently DROPS on buffer overflow (BigQuerySink.scala:65-67);
+    surviving a mid-epoch driver crash with nothing lost and nothing
+    doubled is the strictly-better delivery this seam exists for."""
+    import pytest
+
+    from stream_processing_project_spark.streaming.pipeline import EVENTS_RAW
+
+    src = tempfile.mkdtemp(prefix=f"t-{tag}-crash-src-")
+    ckpt = tempfile.mkdtemp(prefix=f"t-{tag}-crash-ckpt-")
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ids = {}
+    for part, name in ((0, "a"), (1, "b"), (2, "c")):
+        sub = ev.filter(F.col("event_id") % 3 == part)
+        ids[name] = {r.event_id for r in sub.select("event_id").collect()}
+
+    def append_part(part):
+        ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def enriched():
+        stream = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return pipeline.enriched_stream(
+            stream, load_table(spark, SF_SMOKE, "customer")
+        )
+
+    # --- epoch 0: endpoint down, driver crashes after delivery ----------
+    append_part(0)
+    q = make_query(enriched(), ckpt, crash=True)
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+
+    def fallback_keys(fb):
+        got = []
+        for name in sorted(os.listdir(fb)) if os.path.isdir(fb) else []:
+            with open(os.path.join(fb, name)) as f:
+                got += [_doc_key(json.loads(line), ts_field) for line in f]
+        return got
+
+    full = _expected_rows(spark, ts_fmt)
+    expect_a = [k for k in full if k[0] in ids["a"]]
+    fb = capture["fallback"]
+    assert sorted(fallback_keys(fb)) == expect_a  # spooled before the crash
+
+    # --- restart from the SAME checkpoint: epoch 0 replays, epoch 1 (B) -
+    append_part(1)
+    q = make_query(enriched(), ckpt, crash=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    expect_ab = [k for k in full if k[0] in ids["a"] | ids["b"]]
+    # the replayed epoch OVERWROTE its spool — exactly once, no doubles
+    assert sorted(fallback_keys(fb)) == expect_ab
+
+    # --- endpoint recovers: epoch 2 (C) goes over HTTP only -------------
+    with open(capture["up_flag"], "w") as f:
+        f.write("up")
+    append_part(2)
+    q = make_query(enriched(), ckpt, crash=False)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(fallback_keys(fb)) == expect_ab  # fallback untouched
+    delivered = capture["delivered"]()
+    expect_c = [k for k in full if k[0] in ids["c"]]
+    assert sorted(delivered) == expect_c  # HTTP store: C exactly once
+    # store + fallback together == the table sink, exactly once
+    assert sorted(delivered + fallback_keys(fb)) == full
+
+
+def test_bq_crash_recovery_exactly_once(spark):
+    """BQ insertAll body: mid-epoch driver crash + endpoint outage +
+    checkpoint restart must end with store+fallback equal to the table
+    sink exactly once."""
+    from stream_processing_project_spark.streaming.connectors import (
+        make_bigquery_warehouse_body,
+    )
+
+    cap = tempfile.mkdtemp(prefix="t-bq-crash-")
+    fb = os.path.join(cap, "fallback")
+    up_flag = os.path.join(cap, "endpoint_up")
+    fake = FakeHttpSession(cap)
+
+    def factory():
+        # endpoint health is decided per send from the shared flag file —
+        # the one channel driver, workers, and the test process all see
+        return FakeHttpSession(
+            cap, fail_pattern=None if os.path.exists(up_flag) else "insertAll"
+        )
+
+    def delivered():
+        got = []
+        for r in fake.captured():
+            if r["method"] == "POST" and r["status"] == 200:
+                for row in json.loads(r["body"])["rows"]:
+                    got.append(_doc_key(row["json"], "event_ts"))
+        return got
+
+    def make_query(enriched, ckpt, crash):
+        body = make_bigquery_warehouse_body(
+            factory, "p1", "d1", "t1",
+            base_url="http://emu:9050", batch_size=100, fallback_dir=fb,
+        )
+        if crash:
+            def crashing(df, epoch_id):
+                body(df, epoch_id)
+                raise RuntimeError("simulated driver crash before commit")
+            fn = crashing
+        else:
+            fn = body
+        return (
+            enriched.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _crash_recovery_scenario(
+        spark, make_query,
+        {"fallback": fb, "up_flag": up_flag, "delivered": delivered},
+        "bq", "event_ts", "yyyy-MM-dd HH:mm:ss",
+    )
+
+
+def test_es_crash_recovery_exactly_once(spark):
+    """ES _bulk body: same crash/recovery drive; the _bulk outage never
+    touches the template URL, and recovered delivery routes documents to
+    their event-date daily indices."""
+    from stream_processing_project_spark.streaming.connectors import (
+        make_es_search_body,
+    )
+
+    cap = tempfile.mkdtemp(prefix="t-es-crash-")
+    fb = os.path.join(cap, "fallback")
+    up_flag = os.path.join(cap, "endpoint_up")
+    fake = FakeHttpSession(cap)
+
+    def factory():
+        return FakeHttpSession(
+            cap, fail_pattern=None if os.path.exists(up_flag) else "_bulk"
+        )
+
+    def delivered():
+        got = []
+        for r in fake.captured():
+            if r["method"] == "POST" and r["status"] == 200:
+                lines = r["body"].rstrip("\n").split("\n")
+                for action_s, doc_s in zip(lines[::2], lines[1::2]):
+                    doc = json.loads(doc_s)
+                    day = doc["event_timestamp"][:10]
+                    assert json.loads(action_s) == {
+                        "index": {"_index": f"engagement-events-{day}"}
+                    }
+                    got.append(_doc_key(doc, "event_timestamp"))
+        return got
+
+    def make_query(enriched, ckpt, crash):
+        body = make_es_search_body(
+            factory, "engagement-events",
+            base_url="http://es:9200", batch_size=100, fallback_dir=fb,
+        )
+        if crash:
+            def crashing(df, epoch_id):
+                body(df, epoch_id)
+                raise RuntimeError("simulated driver crash before commit")
+            fn = crashing
+        else:
+            fn = body
+        return (
+            enriched.writeStream.outputMode("append")
+            .foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _crash_recovery_scenario(
+        spark, make_query,
+        {"fallback": fb, "up_flag": up_flag, "delivered": delivered},
+        "es", "event_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+
+
 def test_fallback_files_are_deterministic_per_chunk(spark):
     """Fallback spool names derive from (epoch, partition, chunk), so a
     replayed epoch overwrites its earlier spool instead of appending

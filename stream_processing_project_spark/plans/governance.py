@@ -5459,23 +5459,54 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the sum — all five sufficient statistics are associative
     bigint sums (products ≤ ~1.4e8 per point, < 2^63 past 1e10
     vocab), slope/intercept/R² derive by one fixed IEEE sequence.
-    Shape: token counts are one map-side-combined rollup; ranking the
-    |vocab| table uses a global row_number — vocab is corpus-log-sized
-    (fixture: 31; web corpus: ~1e7 rows ≈ one executor partition); at
-    larger vocabularies swap in the range-partitioned rank
-    (olap_abc_pareto's count-of-counts idiom) — the fit is unchanged
-    because the sums are associative."""
+    Shape: token counts are one map-side-combined rollup; the rank is
+    FULLY distributed with no global window (r06 — honoring the r05
+    docstring's IOU): the fit consumes only the MULTISET of
+    (rank, count) points — words tied on count share the same ly and
+    occupy a contiguous rank range, so ANY bijection of the tie group
+    onto {offset+1..offset+f} yields bit-identical sums. Ranks
+    therefore decompose as count-group offset (count-of-counts
+    cumsum through bucketed_running_sum — domain-small, range-
+    partitioned) + salt-slice offset (≤256 rows per count value) +
+    within-slice row_number (largest window partition =
+    |largest tie group| / 256; the hapax group, the worst case at web
+    scale, spreads across 256 slices instead of one partition). The
+    oracle keeps the plain row_number ORDER BY c DESC, word — same
+    multiset, same sums."""
     cnt = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    ranked = cnt.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("word")))
-        .alias("rnk"),
+    coc = cnt.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    cum, _b = bucketed_running_sum(
+        coc, "f", "c", descending=True, out_col="cumf"
+    )
+    offs = cum.select("c", (F.col("cumf") - F.col("f")).cast("bigint").alias("off"))
+    salted = cnt.withColumn(
+        "salt", F.pmod(F.xxhash64("word"), F.lit(256)).cast("int")
+    )
+    wsalt = (
+        Window.partitionBy("c")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    soff = (
+        salted.groupBy("c", "salt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fs"))
+        .select(
+            "c",
+            "salt",
+            (F.sum("fs").over(wsalt) - F.col("fs")).cast("bigint").alias("soff"),
+        )
+    )
+    wpos = Window.partitionBy("c", "salt").orderBy("word")
+    ranked = (
+        salted.withColumn("pos", F.row_number().over(wpos).cast("bigint"))
+        .join(soff, ["c", "salt"])
+        .join(offs, "c")
+        .select("c", (F.col("off") + F.col("soff") + F.col("pos")).alias("rnk"))
     )
     q = lambda col: F.round(col * F.lit(1000000.0), 0).cast("bigint")
     pts = ranked.select(

@@ -5978,7 +5978,9 @@ def olap_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each decile reports its customer count, exact revenue cents,
     and cumulative revenue share. All sums are bigints; the share is
     one division per decile row. Shape: per-customer rollup (map-side
-    combined) → distinct-value cumsum (domain-sized) → 10-row window.
+    combined) → distinct-value cumsum (range-partitioned via
+    bucketed_running_sum — revenue cents are near-unique, so the
+    distinct table is |customers|-sized) → 10-row window.
     Composes with olap_abc_pareto (item-grain ABC classes) and
     olap_market_concentration_hhi (supplier market power) into the
     concentration-analysis family."""
@@ -5996,9 +5998,13 @@ def olap_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c"),
         F.sum("rev_cents").cast("bigint").alias("s"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # per-customer revenue cents are near-unique, so the distinct-value
+    # table is really |customers|-sized — range-partition the cumsum
+    # (the spearman/sax fix, r06; a plain global window here is the
+    # exact single-partition class the r05 verdict flagged)
+    cum_vals, _b = bucketed_running_sum(vals, "c", "v", out_col="cum")
     buck = (
-        vals.withColumn("cum", F.sum("c").over(wv))
+        cum_vals
         .crossJoin(F.broadcast(nn))
         .select(
             "c",

@@ -2516,9 +2516,11 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     EACH dimension: range-clustering on x alone prunes x-probes
     perfectly but reads every file for y-probes; Z-order pays a little
     on x to prune both (the measured 32→11/4 vs 2/32 tradeoff at
-    fixture scale). Shape: two window ranks + one grouped min/max —
-    the audit runs on the slim (x, y, key) projection, never the full
-    row."""
+    fixture scale). Shape: three range-partitioned rank passes (x, y,
+    zcode — no global ntile window; NTILE(k) is exact arithmetic on the
+    bucketed row number, and the x rank serves both the 64-bucket grid
+    and the 32-file range layout) + one grouped min/max — the audit
+    runs on the slim (x, y, key) projection, never the full row."""
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("x"),
         F.col("l_suppkey").alias("y"),
@@ -2526,9 +2528,41 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     ord_cols = ["l_orderkey", "l_linenumber"]
-    b = li.withColumn(
-        "bx", F.ntile(64).over(Window.orderBy("x", *ord_cols)) - 1
-    ).withColumn("by", F.ntile(64).over(Window.orderBy("y", *ord_cols)) - 1)
+
+    # Exact NTILE(k) from a 1-based global row number — SQL semantics:
+    # the first (n mod k) buckets carry one extra row. A pure function
+    # of (rn, n, k), so the rank itself can come from the
+    # range-partitioned cumsum instead of a global ntile window over
+    # the full fact projection (r06 — the sax/spearman fix applied to
+    # this audit's three total orders; n is one driver-side count,
+    # bounded).
+    def ntile_of(rn: F.Column, n: int, k: int) -> F.Column:
+        q, r = divmod(n, k)
+        if q == 0:
+            return rn.cast("int")
+        big = F.lit((q + 1) * r)
+        return (
+            F.when(rn <= big, F.floor((rn - 1) / F.lit(q + 1)))
+            .otherwise(F.lit(r) + F.floor((rn - big - 1) / F.lit(q)))
+            .cast("int")
+            + 1
+        )
+
+    n_rows = li.count()
+    one = li.withColumn("one", F.lit(1))
+    rx, _bx = bucketed_running_sum(one, "one", "x", tie_cols=ord_cols, out_col="rnx")
+    ry, _by = bucketed_running_sum(
+        rx.drop(_bx), "one", "y", tie_cols=ord_cols, out_col="rny"
+    )
+    b = ry.drop(_by).select(
+        "x",
+        "y",
+        "rnx",
+        *ord_cols,
+        "one",
+        (ntile_of(F.col("rnx"), n_rows, 64) - 1).alias("bx"),
+        (ntile_of(F.col("rny"), n_rows, 64) - 1).alias("by"),
+    )
     zc = F.lit(0)
     for bit in range(6):
         zc = zc.bitwiseOR(
@@ -2539,15 +2573,18 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     z = b.withColumn("zcode", zc)
-    zorder = z.select(
+    rz, _bz = bucketed_running_sum(z, "one", "zcode", tie_cols=ord_cols, out_col="rnz")
+    zorder = rz.select(
         F.lit("zorder").alias("layout"),
-        F.ntile(32).over(Window.orderBy("zcode", *ord_cols)).alias("file_id"),
+        ntile_of(F.col("rnz"), n_rows, 32).alias("file_id"),
         "x",
         "y",
     )
+    # the x-ordered rank is already in hand — NTILE(32) on it is pure
+    # arithmetic, no second x-ordered pass
     range_x = z.select(
         F.lit("range_x").alias("layout"),
-        F.ntile(32).over(Window.orderBy("x", *ord_cols)).alias("file_id"),
+        ntile_of(F.col("rnx"), n_rows, 32).alias("file_id"),
         "x",
         "y",
     )

@@ -708,12 +708,18 @@ def test_abc_pareto_window_is_range_partitioned(spark):
     exchange allowed is the 1-row total aggregate). r06 adds the two
     queries the r05 verdict flagged for the same class of defect:
     sax breakpoints and spearman ranks both cumsum over near-unique
-    cent values, so their distinct tables are data-sized at scale."""
+    cent values, so their distinct tables are data-sized at scale —
+    plus two found by the same sweep: the Lorenz distinct-value cumsum
+    (customer-sized; its only unbucketed window is the 10-row decile
+    rollup) and the zorder audit's three fact-sized total orders
+    (global ntile replaced by exact NTILE arithmetic on the bucketed
+    row number)."""
     for name in (
         "olap_abc_pareto",
         "olap_percent_rank_spend",
         "timeseries_sax_symbols",
         "profile_spearman_rank_corr",
+        "maintenance_zorder_layout",
     ):
         df = all_queries()[name].builder(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -722,6 +728,14 @@ def test_abc_pareto_window_is_range_partitioned(spark):
         for s in specs:
             # the range-bucket column leads every window spec
             assert s.startswith("_rsb#"), (name, s)
+    # Lorenz: the data-sized cumsum must be bucketed; the one window
+    # allowed off the bucket is the 10-row decile-grain share rollup
+    df = all_queries()["olap_lorenz_curve_deciles"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    off_bucket = [s for s in specs if not s.startswith("_rsb#")]
+    assert len(off_bucket) == 1 and off_bucket[0].startswith("decile#"), specs
 
 
 def test_attribution_single_user_exchange(spark):

@@ -3,7 +3,12 @@
 Runs EVERY registered query against its DuckDB oracle at sf0.01 under a
 BARE SparkSession — none of session.py's conf pins — to catch anything
 that silently depends on our session (the r01 TIMESTAMP_NTZ failure
-mode). This is the closest local approximation of the driver's own
+mode). The bare session runs with Spark 4's inferTimestampNTZ default
+ON, so this rehearsal IS the registry-wide NTZ compatibility gate
+(tests/test_driver_session_compat.py keeps only the targeted r01
+regression pins — its former registry-wide resolve sweep was strictly
+weaker than this full execution and moved here for suite wall-clock,
+r06). This is the closest local approximation of the driver's own
 CORRECTNESS gate; run before ending a round:
 
     python scripts/rehearse_driver_gate.py

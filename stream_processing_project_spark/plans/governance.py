@@ -4702,7 +4702,7 @@ def _train_lr_oracle(iterations: int) -> str:
     olap_nation_pagerank unrolled-oracle idiom)."""
     stops = list(_QUALITY_STOPWORDS)
     head = f"""
-WITH feats AS (
+WITH feats AS MATERIALIZED (
   SELECT CASE WHEN sr > 0.06 THEN 1 ELSE 0 END AS y,
          sr * 10.0 AS x1, mtl / 10.0 AS x2, ntok / 100.0 AS x3
   FROM (
@@ -4715,8 +4715,8 @@ WITH feats AS (
     FROM documents
   )
 ),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
-w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
     z = (
         "(((CAST(w.w0 AS DOUBLE) / 1000000.0)"
@@ -4725,7 +4725,7 @@ w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
         " + (CAST(w.w3 AS DOUBLE) / 1000000.0) * x3"
     )
     step = """,
-g{k} AS (
+g{k} AS MATERIALIZED (
   SELECT CAST(sum(CAST(round(r * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
          CAST(sum(CAST(round(x1 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
          CAST(sum(CAST(round(x2 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
@@ -4736,7 +4736,7 @@ g{k} AS (
     FROM (SELECT f.*, {z} AS z FROM feats f CROSS JOIN w{prev} w)
   )
 ),
-w{k} AS (
+w{k} AS MATERIALIZED (
   SELECT
     CAST(round(((CAST(w.w0 AS DOUBLE) / 1000000.0)
       - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))

@@ -3649,13 +3649,13 @@ def _bfs_oracle(rounds: int, source: int, thr: int) -> str:
     GROUP BY 1, 2
   ) WHERE w >= {thr}
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
           UNION SELECT DISTINCT dst FROM edges),
 h0 AS (SELECT node, CASE WHEN node = {source} THEN CAST(0 AS BIGINT)
                          ELSE CAST(1000000 AS BIGINT) END AS hop
        FROM nodes)"""
     step = """,
-h{k} AS (
+h{k} AS MATERIALIZED (
   SELECT n.node,
          least(p.hop, coalesce(m.reach, 1000000)) AS hop
   FROM nodes n
@@ -5120,7 +5120,7 @@ def timeseries_holt_brown_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sssp_oracle(rounds: int) -> str:
-    head = """WITH raw AS (
+    head = """WITH raw AS MATERIALIZED (
     SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
            CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
                AS BIGINT)) AS BIGINT) AS w
@@ -5129,22 +5129,22 @@ def _sssp_oracle(rounds: int) -> str:
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY 1, 2
 ),
-mx AS (SELECT max(w) AS max_w,
+mx AS MATERIALIZED (SELECT max(w) AS max_w,
               (SELECT src FROM raw ORDER BY w DESC, src DESC, dst DESC
                LIMIT 1) AS src0
        FROM raw),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst, greatest(1, 10 - (w * 9) // max_w) AS cost
   FROM raw, mx WHERE w >= max_w // 3
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
           UNION SELECT DISTINCT dst FROM edges),
-h0 AS (SELECT node, CASE WHEN node = (SELECT src0 FROM mx)
+h0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT src0 FROM mx)
                          THEN CAST(0 AS BIGINT)
                          ELSE CAST(1000000000 AS BIGINT) END AS dist
        FROM nodes)"""
     step = """,
-h{k} AS (
+h{k} AS MATERIALIZED (
   SELECT n.node,
          least(p.dist, coalesce(m.reach, 1000000000)) AS dist
   FROM nodes n

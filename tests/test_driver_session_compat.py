@@ -69,18 +69,10 @@ def test_ntz_exposed_queries_run_under_driver_session(ntz_session, name):
         assert dt != "timestamp_ntz", f"{name} leaks TIMESTAMP_NTZ in its output"
 
 
-def test_all_registered_queries_resolve_under_ntz_session(ntz_session):
-    """Every registered batch query must at least RESOLVE (analysis pass)
-    under the driver's NTZ session — catches any future unix_* /
-    timestampdiff call site added without loader protection."""
-    from stream_processing_project_spark.plans.registry import all_queries
-
-    failures = []
-    for name, q in all_queries().items():
-        if "streaming" in q.tags:
-            continue  # streaming twins run real writeStreams; covered elsewhere
-        try:
-            q.builder(ntz_session, SF_SMOKE).schema  # forces analysis
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, str(e).splitlines()[0]))
-    assert not failures, f"queries failing analysis under NTZ session: {failures}"
+# NOTE (r06, suite wall-clock): the former registry-wide "resolve under
+# NTZ" sweep lived here and cost ~150 s per run — it was strictly weaker
+# than scripts/rehearse_driver_gate.py, whose BARE SparkSession runs
+# with Spark 4's inferTimestampNTZ default ON and EXECUTES every
+# registered query against its oracle (analysis included). Registry-wide
+# NTZ coverage therefore lives in the per-round rehearsal; this module
+# keeps the targeted regression pins for the original r01 failure set.

@@ -23,7 +23,7 @@ from stream_processing_project_spark.streaming.connectors import (
     bigquery_warehouse_sink,
     es_search_sink,
 )
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, spool_df
 
 
 def _enriched(spark):
@@ -266,9 +266,7 @@ def _crash_recovery_scenario(spark, make_query, capture, tag, ts_field, ts_fmt):
         ids[name] = {r.event_id for r in sub.select("event_id").collect()}
 
     def append_part(part):
-        ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        spool_df(src, ev.filter(F.col("event_id") % 3 == part))
 
     def enriched():
         stream = (

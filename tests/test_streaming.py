@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from stream_processing_project_spark.sources.fixtures import load_table
 from stream_processing_project_spark.streaming import pipeline, sinks
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, spool_parquet
 
 
 def test_streaming_minute_counts_equals_batch(spark):
@@ -55,12 +55,8 @@ def test_streaming_late_data_dropped_after_watermark(spark):
     cols = ["event_id", "ts", "key0", "value"]
 
     def write(rows, name):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(sc_dir)
+        spool_parquet(
+            sc_dir, rows, "event_id long, ts timestamp, key0 string, value double"
         )
 
     write(base, "b1")
@@ -282,15 +278,9 @@ def test_redis_connector_restates_totals_across_micro_batches(spark):
     )
 
     src = tempfile.mkdtemp(prefix="t-redis-2b-")
-    cols = ["event_id", "ts", "key", "value"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        spool_parquet(
+            src, rows, "event_id long, ts timestamp, key string, value double"
         )
 
     write([(1, "2024-01-01 00:00:00", "view", 10.0)])
@@ -329,15 +319,10 @@ def test_transition_log_bridges_micro_batch_boundary(spark):
     )
 
     src = tempfile.mkdtemp(prefix="spe-transition-")
-    cols = ["user_id", "event_id", "ts", "event_type"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        spool_parquet(
+            src, rows,
+            "user_id long, event_id long, ts timestamp, event_type string",
         )
 
     write([(1, 10, "2024-01-01 00:00:00", "view"), (1, 11, "2024-01-01 00:01:00", "cart")])
@@ -381,12 +366,7 @@ def test_minhash_bucket_state_bridges_micro_batches(spark):
     text = "the quick brown fox jumps over the lazy dog again and again"
 
     def write(rows):
-        (
-            spark.createDataFrame(rows, ["doc_id", "text"])
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        spool_parquet(src, rows, "doc_id long, text string")
 
     write([(1, text), (2, "completely different words entirely here now")])
     stream = (
@@ -427,16 +407,8 @@ def test_stateful_running_totals_accumulate_across_batches(spark):
     )
 
     src = tempfile.mkdtemp(prefix="spe-stateful-")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        spool_parquet(src, rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
 
     write([(1, "2024-01-01 00:00:01", 7, "play", 2.0, "{}"),
            (2, "2024-01-01 00:00:02", 7, "play", 3.0, "{}"),
@@ -480,16 +452,8 @@ def test_streaming_dedup_across_batches_within_watermark(spark):
     import uuid
 
     src = tempfile.mkdtemp(prefix="spe-dedup-")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        spool_parquet(src, rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
 
     write([(1, "2024-01-01 00:00:01", 7, "play", 1.0, "{}"),
            (2, "2024-01-01 00:00:02", 8, "click", 2.0, "{}")])
@@ -633,13 +597,7 @@ def test_stream_stream_interval_join(spark):
         # watermark pusher so earlier windows close
         (6, "2024-01-02 00:00:00", 9, "play", 1.0, "{}"),
     ]
-    (
-        spark.createDataFrame(rows, cols)
-        .withColumn("ts", F.to_timestamp("ts"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
+    spool_parquet(src, rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string", mode="overwrite")
 
     def stream():
         return spark.readStream.schema(
@@ -731,16 +689,8 @@ def test_exactly_once_across_restart(spark):
     src = tempfile.mkdtemp(prefix="spe-eo-src-")
     out = tempfile.mkdtemp(prefix="spe-eo-out-")
     ckpt = pipeline.checkpoint_dir("eo")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
-        )
+        spool_parquet(src, rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
 
     def start():
         return (
@@ -789,9 +739,7 @@ def test_upsert_view_tombstones_block_resurrection(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(src / f"b{i}"))
+        spool_parquet(str(src / f"b{i}"), rows, schema, mode="overwrite")
     # feed files one per micro-batch in a deterministic order via glob dirs
     stream = (
         spark.readStream.schema(spark.createDataFrame([], schema).schema)
@@ -874,9 +822,7 @@ def test_upsert_changelog_emits_effective_diffs_only(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(src / f"b{i}"))
+        spool_parquet(str(src / f"b{i}"), rows, schema, mode="overwrite")
     stream = (
         spark.readStream.schema(spark.createDataFrame([], schema).schema)
         .option("maxFilesPerTrigger", "1")
@@ -914,9 +860,7 @@ def test_continuous_rollup_refreshes_only_touched_hours(spark, tmp_path):
     base = str(tmp_path / "rollup")
 
     def write(name, rows):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(str(src / name))
+        spool_parquet(str(src / name), rows, schema, mode="overwrite")
 
     write("f0", [("2024-01-01 10:00:00", "a", 2, 1.0),
                  ("2024-01-01 10:30:00", "a", 3, 2.5),
@@ -959,12 +903,8 @@ def test_dim_refresh_needs_foreachbatch_reload(spark, tmp_path):
     dim_dir = str(tmp_path / "dim")
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
-    spark.createDataFrame(
-        [(10, "OLD")], "user_id long, seg string"
-    ).coalesce(1).write.parquet(dim_dir)
-    spark.createDataFrame(
-        [(1, 10)], "event_id long, user_id long"
-    ).coalesce(1).write.mode("append").parquet(src)
+    spool_parquet(dim_dir, [(10, "OLD")], "user_id long, seg string")
+    spool_parquet(src, [(1, 10)], "event_id long, user_id long")
 
     events = (
         spark.readStream.schema("event_id long, user_id long")
@@ -976,12 +916,8 @@ def test_dim_refresh_needs_foreachbatch_reload(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        spark.createDataFrame(
-            [(20, "NEW")], "user_id long, seg string"
-        ).coalesce(1).write.mode("append").parquet(dim_dir)
-        spark.createDataFrame(
-            [(2, 20)], "event_id long, user_id long"
-        ).coalesce(1).write.mode("append").parquet(src)
+        spool_parquet(dim_dir, [(20, "NEW")], "user_id long, seg string")
+        spool_parquet(src, [(2, 20)], "event_id long, user_id long")
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1001,8 +937,9 @@ def test_incremental_drain_available_now(spark):
     cols = ["event_id", "value"]
 
     def arrive(rows, name):
-        spark.createDataFrame(rows, cols).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, name)
+        spool_parquet(
+            os.path.join(src, name), rows, "event_id long, value double",
+            mode="overwrite",
         )
 
     def drain():
@@ -1036,12 +973,11 @@ def test_checkpoint_recovery_exactly_once(spark):
     out = tempfile.mkdtemp(prefix="spe-rec-out-")
     ckpt = tempfile.mkdtemp(prefix="spe-rec-ckpt-")
     for part in range(6):
-        (
-            spark.range(part * 100, (part + 1) * 100)
-            .selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(src, f"f{part}"))
+        spool_parquet(
+            os.path.join(src, f"f{part}"),
+            [(i, float(i)) for i in range(part * 100, (part + 1) * 100)],
+            "event_id long, value double",
+            mode="overwrite",
         )
 
     def start():
@@ -1083,15 +1019,9 @@ def test_ewma_state_bridges_micro_batch_boundary(spark):
     from stream_processing_project_spark.operators.stateful import ewma_stream
 
     src = tempfile.mkdtemp(prefix="spe-ewma-")
-    cols = ["user_id", "event_id", "ts", "value"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        spool_parquet(
+            src, rows, "user_id long, event_id long, ts timestamp, value double"
         )
 
     write([(1, 10, "2024-01-01 00:00:00", 1.0), (1, 11, "2024-01-01 00:01:00", 2.0)])
@@ -1132,15 +1062,10 @@ def test_ols_state_bridges_micro_batch_boundary(spark):
     from stream_processing_project_spark.operators.stateful import ols_stream
 
     src = tempfile.mkdtemp(prefix="spe-ols-")
-    cols = ["event_type", "event_id", "ts", "value"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        spool_parquet(
+            src, rows,
+            "event_type string, event_id long, ts timestamp, value double",
         )
 
     origin = 473352  # x = epoch-hour - origin; 2024-01-01 00:00 → x = 0
@@ -1191,15 +1116,11 @@ def test_pit_feature_state_bridges_micro_batch_boundary(spark):
     )
 
     src = tempfile.mkdtemp(prefix="spe-pit-")
-    cols = ["user_id", "event_id", "ts", "event_type", "value"]
-
     def write(rows):
-        (
-            spark.createDataFrame(rows, cols)
-            .withColumn("ts", F.to_timestamp("ts"))
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src)
+        spool_parquet(
+            src, rows,
+            "user_id long, event_id long, ts timestamp,"
+            " event_type string, value double",
         )
 
     write([(1, 10, "2024-01-01 00:00:00", "view", 1.0),

@@ -736,6 +736,16 @@ def test_abc_pareto_window_is_range_partitioned(spark):
     assert specs
     off_bucket = [s for s in specs if not s.startswith("_rsb#")]
     assert len(off_bucket) == 1 and off_bucket[0].startswith("decile#"), specs
+    # Zipf: NO global window anywhere — every spec leads with a
+    # partition column: the count-of-counts range bucket (_rsb), the
+    # count value (salt-offset cumsum, <=256 rows per count), or the
+    # (count, salt) pair (within-slice row_number)
+    df = all_queries()["text_zipf_fit"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for s in specs:
+        assert s.startswith(("_rsb#", "c#")), specs
 
 
 def test_attribution_single_user_exchange(spark):

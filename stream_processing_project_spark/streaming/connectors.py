@@ -167,17 +167,28 @@ def redis_serving_sink(
     k_access: int = 5,
     trigger: str = "500 milliseconds",
     ttl_s: int = SERVING_TTL_S,
+    checkpoint_location: str | None = None,
 ) -> StreamingQuery:
     """K2 with a real connector attached: same complete-mode aggregate
     stream as sinks.serving_topk_sink, foreachBatch body writing Redis
-    instead of the parquet snapshot table."""
+    instead of the parquet snapshot table.
+
+    `checkpoint_location` defaults to a fresh tempdir; production passes
+    a durable path. Recovery is free by construction: the aggregate
+    state restores from the checkpoint and the body delete-and-rebuilds
+    every key, so a crash between the Redis write and the epoch commit
+    replays into an IDENTICAL restatement (pinned in
+    tests/test_streaming.py)."""
     return (
         agg_stream.writeStream.outputMode("complete")
         .foreachBatch(
             make_redis_serving_body(client_factory, k_engagement, k_access, ttl_s)
         )
         .trigger(processingTime=trigger)
-        .option("checkpointLocation", checkpoint_dir("redis-serving"))
+        .option(
+            "checkpointLocation",
+            checkpoint_location or checkpoint_dir("redis-serving"),
+        )
         .start()
     )
 

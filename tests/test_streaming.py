@@ -306,6 +306,79 @@ def test_redis_connector_restates_totals_across_micro_batches(spark):
     assert fake.hashes["engagement:view"]["access_count"] == 2
 
 
+def test_redis_connector_crash_recovery_converges(spark):
+    """K2 crash/recovery (the serving twin of the BQ/ES exactly-once
+    test): the driver crashes AFTER the Redis write but BEFORE the
+    epoch commits — the worst spot. On restart from the same
+    checkpoint the aggregate state restores, the uncommitted epoch
+    replays, and the delete-and-rebuild body restates an IDENTICAL
+    snapshot; new data then lands cumulatively. Final store must equal
+    the no-crash run exactly — no double counts, nothing lost."""
+    import pytest
+
+    from stream_processing_project_spark.streaming.connectors import (
+        FakeRedisClient,
+        make_redis_serving_body,
+        redis_serving_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="t-redis-crash-")
+    ckpt = tempfile.mkdtemp(prefix="t-redis-crash-ckpt-")
+
+    def write(rows):
+        spool_parquet(
+            src, rows, "event_id long, ts timestamp, key string, value double"
+        )
+
+    def agg():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, key string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "15 minutes")
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum_val"),
+            )
+        )
+
+    fake = FakeRedisClient()
+    write([(1, "2024-01-01 00:00:00", "view", 10.0)])
+    body = make_redis_serving_body(lambda: fake)
+
+    def crashing(df, epoch_id):
+        body(df, epoch_id)
+        raise RuntimeError("simulated driver crash before commit")
+
+    q = (
+        agg()
+        .writeStream.outputMode("complete")
+        .foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+    # the write landed before the crash — the store already serves batch 1
+    assert fake.zsets["engagement_sum"] == {"view": 10.0}
+
+    write([(2, "2024-01-01 00:01:00", "view", 5.0)])
+    q = redis_serving_sink(agg(), lambda: fake, checkpoint_location=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # uncommitted epoch replayed (idempotent restatement), batch 2 landed
+    # cumulatively on the RESTORED aggregate state: 15.0, count 2 —
+    # exactly the no-crash result
+    assert fake.zsets["engagement_sum"] == {"view": 15.0}
+    assert fake.hashes["engagement:view"]["access_count"] == 2
+
+
 def test_transition_log_bridges_micro_batch_boundary(spark):
     """The stored last event must feed the FIRST pair of the next
     micro-batch: two time-ordered batches through transition_log_stream

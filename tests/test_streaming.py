@@ -52,7 +52,6 @@ def test_streaming_late_data_dropped_after_watermark(spark):
         (2, "2024-01-01 01:00:00", "a", 1.0),  # advances watermark to 00:45
     ]
     late = [(3, "2024-01-01 00:00:20", "a", 1.0)]  # window closed → dropped
-    cols = ["event_id", "ts", "key0", "value"]
 
     def write(rows, name):
         spool_parquet(
@@ -660,7 +659,6 @@ def test_stream_stream_interval_join(spark):
     import uuid
 
     src = tempfile.mkdtemp(prefix="spe-ssj-")
-    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     rows = [
         (1, "2024-01-01 00:00:00", 7, "play", 1.0, "{}"),
         (2, "2024-01-01 00:10:00", 7, "finish", 1.0, "{}"),   # +10m → pair
@@ -1007,7 +1005,6 @@ def test_incremental_drain_available_now(spark):
     src = tempfile.mkdtemp(prefix="spe-drain-src-")
     out = tempfile.mkdtemp(prefix="spe-drain-out-")
     ckpt = tempfile.mkdtemp(prefix="spe-drain-ckpt-")
-    cols = ["event_id", "value"]
 
     def arrive(rows, name):
         spool_parquet(

@@ -2572,7 +2572,11 @@ def maintenance_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftright(F.col("by"), bit).bitwiseAND(F.lit(1)), 2 * bit + 1
             )
         )
-    z = b.withColumn("zcode", zc)
+    # eager localCheckpoint: both layout branches (zorder + range_x)
+    # union over z — without the pin each branch recomputes the x- and
+    # y-rank passes (2x the fact-slim work; the top_supplier_revenue
+    # idiom, blocks released with the DataFrame)
+    z = b.withColumn("zcode", zc).localCheckpoint(eager=True)
     rz, _bz = bucketed_running_sum(z, "one", "zcode", tie_cols=ord_cols, out_col="rnz")
     zorder = rz.select(
         F.lit("zorder").alias("layout"),

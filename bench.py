@@ -130,7 +130,10 @@ def main() -> None:
 
 
 def regressions_vs_last_round(
-    timings: dict[str, float], sf: float | None, canary: dict | None = None
+    timings: dict[str, float],
+    sf: float | None,
+    canary: dict | None = None,
+    bench_dir: str | None = None,
 ) -> dict | None:
     """Round-over-round hygiene: compare per-query timings against the
     newest BENCH_r{N}.json (same query set every round, so numbers are
@@ -146,7 +149,7 @@ def regressions_vs_last_round(
     changes)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = bench_dir or os.path.dirname(os.path.abspath(__file__))
     rounds = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not rounds:
         return None

@@ -1,0 +1,85 @@
+"""Pins for the bench harness's round-over-round comparison — pure
+driver-side logic (no Spark), so failures here are arithmetic bugs, not
+plan changes. The canary normalization (r05 verdict task 3) is the part
+that must be right: a uniform container slowdown must cancel in the
+normalized series, and a genuine plan regression must survive it.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bench import regressions_vs_last_round
+
+
+def _write_round(tmp_path, n, queries, value=1.0, sf=0.1, canary=None):
+    parsed = {"sf": sf, "value": value, "queries": queries}
+    if canary is not None:
+        parsed["canary"] = canary
+    (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+        json.dumps({"parsed": parsed})
+    )
+
+
+def test_no_prior_round_returns_none(tmp_path):
+    assert regressions_vs_last_round({"q": 1.0}, 0.1, bench_dir=str(tmp_path)) is None
+
+
+def test_sf_mismatch_skips_comparison(tmp_path):
+    _write_round(tmp_path, 5, {"q": 1.0}, sf=0.1)
+    assert (
+        regressions_vs_last_round({"q": 9.0}, 0.01, bench_dir=str(tmp_path))
+        is None
+    )
+
+
+def test_raw_flag_over_1_5x(tmp_path):
+    _write_round(tmp_path, 5, {"fast": 1.0, "slow": 1.0})
+    reg = regressions_vs_last_round(
+        {"fast": 1.2, "slow": 1.6}, 0.1, bench_dir=str(tmp_path)
+    )
+    assert set(reg["regressions_over_1_5x"]) == {"slow"}
+    assert reg["regressions_over_1_5x"]["slow"]["ratio"] == 1.6
+    # no canary on either side → no normalized section
+    assert "normalized_regressions_over_1_5x" not in reg
+
+
+def test_uniform_container_drift_cancels_under_canary(tmp_path):
+    """The r04/r05 adjudication case: every query 2x slower AND the
+    canary 2x slower → raw flags fire, normalized flags are EMPTY (the
+    box changed, not the code)."""
+    _write_round(
+        tmp_path, 5, {"a": 1.0, "b": 0.5}, canary={"canary_s": 0.5}
+    )
+    reg = regressions_vs_last_round(
+        {"a": 2.0, "b": 1.0}, 0.1,
+        canary={"canary_s": 1.0}, bench_dir=str(tmp_path),
+    )
+    assert set(reg["regressions_over_1_5x"]) == {"a", "b"}  # raw fires
+    assert reg["canary_ratio_vs_prior"] == 2.0
+    assert reg["normalized_regressions_over_1_5x"] == {}  # drift cancels
+
+
+def test_real_regression_survives_canary_normalization(tmp_path):
+    """A query 4x slower on a box only 2x slower is a CODE regression:
+    the normalized ratio (2.0) must flag while an innocently-drifting
+    sibling (raw 2x = exactly the box factor) must not."""
+    _write_round(
+        tmp_path, 5, {"bad": 1.0, "ok": 1.0}, canary={"canary_s": 0.5}
+    )
+    reg = regressions_vs_last_round(
+        {"bad": 4.0, "ok": 2.0}, 0.1,
+        canary={"canary_s": 1.0}, bench_dir=str(tmp_path),
+    )
+    norm = reg["normalized_regressions_over_1_5x"]
+    assert set(norm) == {"bad"}
+    assert norm["bad"]["ratio"] == 2.0
+    assert norm["bad"]["prior_norm"] == 2.0 and norm["bad"]["now_norm"] == 4.0
+
+
+def test_newest_round_wins(tmp_path):
+    _write_round(tmp_path, 4, {"q": 10.0})
+    _write_round(tmp_path, 5, {"q": 1.0})
+    reg = regressions_vs_last_round({"q": 2.0}, 0.1, bench_dir=str(tmp_path))
+    assert reg["baseline_file"] == "BENCH_r05.json"
+    assert reg["regressions_over_1_5x"]["q"]["prior_s"] == 1.0

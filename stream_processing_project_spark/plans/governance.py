@@ -4834,14 +4834,34 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed features instead of a level in a 9-deep nested plan
     # (the nested form recompiled the whole lineage at every action and
     # measured no faster than the un-checkpointed original).
-    import math
+    import decimal
 
     def half_away(x: float) -> int:
         # DuckDB round() / Spark F.round HALF_UP: half away from zero —
-        # Python's builtin round (banker's) would diverge on exact .5
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+        # Python's builtin round (banker's) would diverge on exact .5,
+        # and floor(abs(x)+0.5) diverges when abs(x)+0.5 rounds across
+        # an integer boundary in binary (the round(0.49999999999999994)
+        # class) — Decimal over repr(x) matches decimal HALF_UP exactly
+        return int(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     n_docs = feats.count()
+    if n_docs == 0:
+        # empty corpus: the GD loop would divide by nd=0 and the
+        # NULL-sum collect would TypeError — return the empty frame
+        # with the output schema instead (the pre-eager behavior)
+        return feats.select(
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("w0_micro"),
+            F.lit(0).cast("bigint").alias("w1_micro"),
+            F.lit(0).cast("bigint").alias("w2_micro"),
+            F.lit(0).cast("bigint").alias("w3_micro"),
+            F.lit(0).cast("bigint").alias("n_correct"),
+            F.lit(0.0).alias("accuracy"),
+        )
     nd = float(n_docs)
     wvals = [0, 0, 0, 0]
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]

@@ -11,6 +11,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("tests", shuffle_partitions=8)
+    # spool_parquet writes naive (isAdjustedToUTC=false) micros; the
+    # streaming watermark arithmetic only matches the fixtures when the
+    # session reads them in UTC. get_spark pins this at build time, but
+    # getOrCreate may reuse a pre-existing session whose builder configs
+    # were ignored — set it on the live session so the suite never
+    # depends on the host timezone.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     yield s
 
 

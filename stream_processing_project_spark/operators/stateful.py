@@ -24,8 +24,10 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -624,4 +626,136 @@ def retract_stream(changes: DataFrame) -> DataFrame:
         _RETRACT_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- stateful sessionization (event-time timeout) ------------------------------
+
+SESSION_WINDOW_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_val", DoubleType()),
+    ]
+)
+
+# open sessions as parallel arrays: first/last event micros, event
+# count, value sum — a user can legitimately hold SEVERAL open islands
+# at once (out-of-order arrivals within the watermark create separate
+# intervals that a later bridging event may merge), so the state is a
+# set of intervals, not one
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("s_us", ArrayType(LongType())),
+        StructField("e_us", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("sums", ArrayType(DoubleType())),
+    ]
+)
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _merge_intervals(
+    sess: list[list], events: list[tuple[int, float]], gap_us: int
+) -> list[list]:
+    """Fold (ts_us, value) points into the open-session interval set:
+    sort everything by start, merge any interval whose start falls
+    STRICTLY inside [start, last + gap) of its predecessor — the same
+    half-open semantics as Spark's session_window (an event exactly
+    gap after the last one starts a NEW session)."""
+    items = [list(s) for s in sess] + [[us, us, 1, v] for us, v in events]
+    items.sort(key=lambda s: (s[0], s[1]))
+    out: list[list] = []
+    for it in items:
+        if out and it[0] < out[-1][1] + gap_us:
+            cur = out[-1]
+            cur[1] = max(cur[1], it[1])
+            cur[2] += it[2]
+            cur[3] += it[3]
+        else:
+            out.append(it)
+    return out
+
+
+def _sessionize(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session assembly. Each invocation merges the batch's
+    events into the open-interval state, emits every session the
+    current watermark has CLOSED (last_event + gap <= watermark — the
+    exact append-mode predicate of native session_window), and arms an
+    event-time timer at the earliest possible close so the trailing
+    no-data batch flushes sessions the final watermark passes."""
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    sess = (
+        [list(t) for t in zip(*state.get)] if state.exists and state.get[0] else []
+    )
+    if not state.hasTimedOut:
+        batch: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["ts"])
+            us = (pdf["ts"].astype("datetime64[us]").astype("int64")).tolist()
+            vals = pdf["value"].astype("float64").tolist()
+            batch.extend(zip(us, vals))
+        batch.sort()
+        sess = _merge_intervals(sess, batch, _SESSION_GAP_US)
+    closed = [s for s in sess if s[1] + _SESSION_GAP_US <= wm_us]
+    kept = [s for s in sess if s[1] + _SESSION_GAP_US > wm_us]
+    if kept:
+        state.update(
+            (
+                [s[0] for s in kept],
+                [s[1] for s in kept],
+                [s[2] for s in kept],
+                [s[3] for s in kept],
+            )
+        )
+        next_close_ms = min(s[1] + _SESSION_GAP_US for s in kept) // 1000
+        state.setTimeoutTimestamp(max(next_close_ms, wm_us // 1000 + 1))
+    else:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "sess_start": [
+                    pd.Timestamp(s[0], unit="us").strftime("%Y-%m-%d %H:%M:%S")
+                    for s in closed
+                ],
+                "n_events": [s[2] for s in closed],
+                "sum_val": [s[3] for s in closed],
+            }
+        )
+
+
+def session_window_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom STATEFUL sessionization via applyInPandasWithState with an
+    event-time timeout — the arbitrary-state twin of the native
+    `session_window` path (streaming/pipeline.py::session_stream, batch
+    twin plans/olap.py::olap_sessionize). Native session_window fixes
+    the aggregate surface at gap-merge time; the stateful form is the
+    extension point for session payloads Spark's merger can't express
+    (distinct funnels, first/last-k events, per-session model state) —
+    this implementation carries (count, value sum) to stay
+    oracle-checkable. Reference anchor: the Redis sink's TTL-windowed
+    per-key state (EngagementRedisSink.scala:132-201) is exactly a
+    processing-time session; this is its event-time generalization.
+
+    Scale shape: state shards with the groupBy(user) shuffle and holds
+    only OPEN intervals per user (bounded by arrival disorder within
+    the watermark, not by stream length); each emission is final
+    (append mode), and the event-time timer bounds how long a quiet
+    user's interval lingers. Timestamps are second-truncated before the
+    watermark so closure arithmetic is exact cross-engine."""
+    ev = events.select(
+        "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        SESSION_WINDOW_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

@@ -1348,3 +1348,56 @@ def streaming_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, value FROM events
+),
+mx AS (SELECT max(ts) AS m FROM ev),
+flags AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+isl AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+),
+sess AS (
+  SELECT user_id, min(ts) AS s0, max(ts) AS s1,
+         count(*) AS n_events, round(sum(value), 2) AS sum_val
+  FROM isl GROUP BY user_id, sid
+)
+SELECT user_id, strftime(s0, '%Y-%m-%d %H:%M:%S') AS sess_start,
+       n_events, sum_val
+FROM sess, mx
+WHERE s1 + INTERVAL 30 MINUTE <= m - INTERVAL 1 HOUR
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming sessionization (30-min gap, 1-h watermark):
+    applyInPandasWithState keeps each user's open intervals and an
+    event-time timer flushes a session the moment the watermark passes
+    last_event + gap — the arbitrary-state twin of the native
+    session_window path (`streaming_cdc_session_counts`), carrying a
+    per-session value aggregate. Fully oracle-checked: the oracle
+    rebuilds sessions as gaps-and-islands over second-truncated
+    timestamps and keeps exactly the sessions whose close time clears
+    the final watermark (max event time − 1 h) — the append-mode
+    emission set (operators/stateful.py::session_window_stream)."""
+    from stream_processing_project_spark.operators.stateful import (
+        session_window_stream,
+    )
+
+    events = pipeline.file_event_stream(spark, sf_dir)
+    out = pipeline.run_to_completion(session_window_stream(events))
+    return out.select(
+        "user_id", "sess_start", "n_events", F.round("sum_val", 2).alias("sum_val")
+    )

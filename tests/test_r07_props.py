@@ -56,3 +56,70 @@ def test_half_away_decimal_matches_half_up_on_binary_boundary():
     assert half_away(2.5) == 3
     assert half_away(-2.5) == -3
     assert half_away(1.4999999999999998) == 1
+
+
+def test_stateful_session_islands_merge_across_batches(spark):
+    """session_window_stream: out-of-order arrivals in separate batches
+    form separate open islands that a later bridging event MERGES into
+    one session; the event-time timer flushes exactly the sessions the
+    final watermark closes."""
+    import tempfile
+
+    from stream_processing_project_spark.operators.stateful import (
+        session_window_stream,
+    )
+    from stream_processing_project_spark.streaming import pipeline
+
+    src = tempfile.mkdtemp(prefix="spe-sess-")
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    from tests.conftest import spool_parquet
+
+    # batch 1: two islands 40 min apart (gap 30 min → separate sessions
+    # so far)
+    spool_parquet(
+        src,
+        [
+            (1, "2024-01-01 00:00:00", 7, "a", 1.0, "{}"),
+            (2, "2024-01-01 00:40:00", 7, "a", 2.0, "{}"),
+        ],
+        ddl,
+    )
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = session_window_stream(stream)
+    import uuid
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", pipeline.checkpoint_dir(name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the BRIDGE (00:20, within 30 min of both islands) —
+        # out-of-order, but on time (wm = 00:40 - 1h < epoch after
+        # batch 1)
+        spool_parquet(src, [(3, "2024-01-01 00:20:00", 7, "a", 4.0, "{}")], ddl)
+        q.processAllAvailable()
+        # batch 3: advance the watermark far enough to close the merged
+        # session (wm = 03:00 - 1h = 02:00 > 00:40+30min)
+        spool_parquet(src, [(4, "2024-01-01 03:00:00", 8, "a", 0.5, "{}")], ddl)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.user_id, r.sess_start, r.n_events, r.sum_val)
+        for r in spark.table(name).collect()
+    }
+    # ONE merged session for user 7 covering all three events
+    assert (7, "2024-01-01 00:00:00", 3, 7.0) in rows
+    # the islands were never emitted separately
+    assert not any(u == 7 and n < 3 for (u, _, n, _) in rows)
+    # user 8's session is still open (nothing past its close time)
+    assert not any(u == 8 for (u, _, n, _) in rows)

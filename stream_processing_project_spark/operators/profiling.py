@@ -263,3 +263,66 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# --- mergeable rank sketch (bottom-k by deterministic hash) --------------------
+
+RANK_SKETCH_P = 2147483647  # the KMV LCG modulus (profile_distinct_kmv_theta)
+RANK_SKETCH_K = 1024
+
+
+def rank_sketch(
+    df: DataFrame, value_col, key_col, k: int = RANK_SKETCH_K
+) -> DataFrame:
+    """Bottom-k-by-hash rank sketch: the k rows whose deterministic LCG
+    hash of a row-unique key is smallest — a fixed-size uniform sample
+    WITHOUT replacement of the rows (an injective key makes the hash a
+    pseudo-random permutation; the KLL/t-digest role with the repo's
+    determinism contract). Properties the fixed-width histogram
+    (`histogram_quantiles`) lacks:
+
+    - no value-range assumption: works on unbounded/skewed domains
+      where a fixed bucket width is wrong by construction;
+    - proven distribution-free rank error: by DKW over k uniform
+      samples, sup_v |F̂(v) − F(v)| ≤ sqrt(ln(2/δ)/(2k)) w.p. ≥ 1−δ
+      (k=1024 → ±2.7 % rank at δ=0.01);
+    - MERGEABLE: bottom-k of a union is the bottom-k of the shards'
+      bottom-k's, so per-shard sketches combine losslessly by
+      union → re-take (pinned in tests);
+    - deterministic: hash, tie-breaks, and rank picks are exact
+      integer decisions → the sketch itself value-hash-oracles,
+      unlike approx_percentile's implementation-defined digest.
+
+    Scale shape: orderBy(h).limit(k) compiles to TakeOrderedAndProject
+    — per-partition top-k heaps merged k-at-a-time, never a global
+    sort; the sketch is O(k) regardless of n."""
+    h = (
+        (key_col % F.lit(RANK_SKETCH_P)) * F.lit(1103515245) + F.lit(12345)
+    ) % F.lit(RANK_SKETCH_P)
+    return (
+        df.select(h.alias("h"), F.col(value_col).alias("v"))
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def rank_sketch_quantiles(
+    sketch: DataFrame, q_pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 90, 99)
+) -> DataFrame:
+    """Quantile estimates from a rank sketch: the sample value at rank
+    ceil(q·m/100) — pure integer arithmetic ((q·m + 99) div 100), so
+    the pick reproduces cross-engine. The windows run over the k-row
+    sketch only (bounded by construction)."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    ranked = sketch.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("m"),
+    )
+    qs = spark.createDataFrame([(q,) for q in q_pcts], "q_pct int")
+    return ranked.join(
+        F.broadcast(qs),
+        F.col("r") == F.expr("(q_pct * m + 99) div 100"),
+    ).select("q_pct", F.col("v").alias("est_value"), F.col("m").alias("sample_k"))

@@ -145,6 +145,79 @@ def profile_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_quantile_sketch",
+    oracle="""
+WITH sk AS (
+  SELECT ((((l_orderkey * 8 + l_linenumber) % 2147483647) * 1103515245
+           + 12345) % 2147483647) AS h,
+         l_extendedprice AS v
+  FROM lineitem
+),
+sample AS (SELECT h, v FROM sk ORDER BY h, v LIMIT 1024),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) AS r, count(*) OVER () AS m
+  FROM sample
+),
+est AS (
+  SELECT q.q_pct, ranked.v AS est_value, ranked.m AS sample_k
+  FROM ranked
+  JOIN (VALUES (1),(5),(25),(50),(75),(90),(99)) q(q_pct)
+    ON ranked.r = (q.q_pct * ranked.m + 99) // 100
+)
+SELECT e.q_pct, e.est_value, e.sample_k,
+       CAST((CAST(sum(CASE WHEN li.l_extendedprice <= e.est_value
+                           THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+            // count(*) AS BIGINT) AS true_rank_ppm
+FROM lineitem li CROSS JOIN est e
+GROUP BY 1, 2, 3
+""",
+)
+def profile_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable RANK sketch (bottom-k by deterministic hash) — the
+    missing rung of the sketch ladder HLL→CMS→KMV→histogram: quantiles
+    with a distribution-free DKW error bound (±2.7 % rank at k=1024,
+    δ=0.01) and NO value-range assumption, where the fixed-width
+    histogram needs the domain known up front. Shard sketches merge
+    losslessly (bottom-k of a union = bottom-k of the shards' bottom-k
+    union — pinned in tests/test_r07_props.py), and every decision is
+    exact integer arithmetic so the sketch itself value-hash-oracles.
+    Output: p1/p5/p25/p50/p75/p90/p99 of l_extendedprice plus each
+    estimate's MEASURED true rank (ppm, exact integer division) — the
+    error-bound audit the sketch's guarantee is about. The audit pass
+    fans each row out 7× through a map-side-combined aggregate; it is
+    the verification stage, production emits the O(k) sketch alone
+    (operators/profiling.py::rank_sketch)."""
+    from stream_processing_project_spark.operators.profiling import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    sk = rank_sketch(
+        li, "l_extendedprice", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    est = rank_sketch_quantiles(sk)
+    audit = li.select(F.col("l_extendedprice").alias("v2")).crossJoin(
+        F.broadcast(est)
+    )
+    return (
+        audit.groupBy("q_pct", "est_value", "sample_k")
+        .agg(
+            F.sum(F.when(F.col("v2") <= F.col("est_value"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "q_pct",
+            "est_value",
+            "sample_k",
+            F.expr("(cnt * 1000000) div n").cast("long").alias("true_rank_ppm"),
+        )
+    )
+
+
+@register(
     "profile_drift_psi",
     oracle="""
 WITH ev AS (

@@ -123,3 +123,52 @@ def test_stateful_session_islands_merge_across_batches(spark):
     assert not any(u == 7 and n < 3 for (u, _, n, _) in rows)
     # user 8's session is still open (nothing past its close time)
     assert not any(u == 8 for (u, _, n, _) in rows)
+
+
+def test_rank_sketch_merges_losslessly_across_shards(spark):
+    """Bottom-k-by-hash is a true mergeable sketch: sketching 3 disjoint
+    shards and re-taking bottom-k of their union reproduces the
+    whole-table sketch (and therefore identical quantile estimates)."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.profiling import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+
+    whole = rank_sketch(li, "l_extendedprice", key)
+    shard_sketches = [
+        rank_sketch(li.filter(F.col("l_orderkey") % 3 == i), "l_extendedprice", key)
+        for i in range(3)
+    ]
+    merged_pool = shard_sketches[0].unionAll(shard_sketches[1]).unionAll(
+        shard_sketches[2]
+    )
+    merged = merged_pool.orderBy("h", "v").limit(1024)
+
+    a = sorted((r.h, r.v) for r in whole.collect())
+    b = sorted((r.h, r.v) for r in merged.collect())
+    assert a == b
+    qa = sorted(tuple(r) for r in rank_sketch_quantiles(whole).collect())
+    qb = sorted(tuple(r) for r in rank_sketch_quantiles(merged).collect())
+    assert qa == qb and len(qa) == 7
+
+
+def test_rank_sketch_quantiles_within_dkw_bound(spark):
+    """The DKW guarantee the docstring claims: every estimated quantile's
+    true rank is within sqrt(ln(2/0.01)/(2*1024)) ≈ 5.1% of its target
+    (using the 99%-confidence radius; the sf0.001 sample is ~half the
+    table so the real error is far smaller)."""
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = get("profile_quantile_sketch").builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert abs(r.true_rank_ppm / 10000.0 - r.q_pct) <= 5.2, (
+            r.q_pct,
+            r.true_rank_ppm,
+        )

@@ -6066,3 +6066,164 @@ def olap_lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").over(wd).cast("double") / F.col("t")
         ).alias("cum_share"),
     )
+
+
+@register(
+    "olap_frequent_itemsets",
+    oracle="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+ms AS (SELECT (count(DISTINCT basket) + 249) // 250 AS m FROM li),
+l1 AS (
+  SELECT item, count(*) AS sup FROM li GROUP BY item
+  HAVING count(*) >= (SELECT m FROM ms)
+),
+i1 AS (SELECT basket, item FROM li WHERE item IN (SELECT item FROM l1)),
+p AS (
+  SELECT a.basket, a.item AS x1, b.item AS x2
+  FROM i1 a JOIN i1 b ON a.basket = b.basket AND a.item < b.item
+),
+l2 AS (
+  SELECT x1, x2, count(*) AS sup FROM p GROUP BY x1, x2
+  HAVING count(*) >= (SELECT m FROM ms)
+),
+p2 AS (SELECT p.* FROM p JOIN l2 USING (x1, x2)),
+t3 AS (
+  SELECT p2.basket, p2.x1, p2.x2, c.item AS x3
+  FROM p2 JOIN i1 c ON c.basket = p2.basket AND c.item > p2.x2
+  WHERE EXISTS (SELECT 1 FROM l2 w WHERE w.x1 = p2.x2 AND w.x2 = c.item)
+    AND EXISTS (SELECT 1 FROM l2 w WHERE w.x1 = p2.x1 AND w.x2 = c.item)
+),
+l3 AS (
+  SELECT x1, x2, x3, count(*) AS sup FROM t3 GROUP BY x1, x2, x3
+  HAVING count(*) >= (SELECT m FROM ms)
+)
+SELECT CAST(1 AS INTEGER) AS k, item AS i1,
+       CAST(NULL AS VARCHAR) AS i2, CAST(NULL AS VARCHAR) AS i3, sup
+FROM l1
+UNION ALL
+SELECT CAST(2 AS INTEGER), x1, x2, CAST(NULL AS VARCHAR), sup FROM l2
+UNION ALL
+SELECT CAST(3 AS INTEGER), x1, x2, x3, sup FROM l3
+""",
+)
+def olap_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent itemsets to size 3 (baskets = orders, items =
+    part brands, relative minsup = ⌈0.4 % of baskets⌉ in exact integer
+    arithmetic) — the real algorithm past `olap_market_basket`'s
+    pairwise stop. Candidate generation is BOUNDED the A-priori way:
+    level k candidates come only from level-(k−1) SURVIVORS — per-basket
+    pairs are an equi-self-join of the L1-filtered item list on basket,
+    and a triple is generated only from a basket pair already in L2
+    extended by an item whose two remaining sub-pairs are also in L2
+    (broadcast semi-joins against the ≤|brands|² frequent-pair table) —
+    never a blind basket×basket×basket expansion (plan-pinned: no
+    cartesian/BNLJ anywhere). Downward closure makes the prune exact,
+    not heuristic.
+
+    Scale shape: every join on `basket` is an equi-join (one shuffle
+    co-partitions all three levels); L1/L2 and the minsup scalar ride
+    broadcasts. Per-basket work is O(b²·f) in basket size b AFTER
+    infrequent-item filtering — on corpora with mega-baskets, cap or
+    salt the per-basket item list before the self-join (the
+    linkage-family blocking rule applied here)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(t(spark, sf_dir, "part")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+        # eager checkpoint: the three union branches (L1/L2/L3) and the
+        # minsup scalar all consume this table — without the pin the
+        # lineitem⋈part distinct replays once per branch (the zorder
+        # shared-rank idiom; blocks release with the DataFrame)
+        .localCheckpoint(eager=True)
+    )
+    # integer ceil — exact cross-engine, never a rounded division
+    ms = li.agg(F.expr("(count(DISTINCT basket) + 249) div 250").alias("m"))
+    l1 = (
+        li.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("m"))
+        .select("item", "sup")
+    )
+    i1 = li.join(F.broadcast(l1.select("item")), "item", "left_semi")
+    pairs = (
+        i1.alias("a")
+        .join(i1.alias("b"), "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .select(
+            "basket", F.col("a.item").alias("x1"), F.col("b.item").alias("x2")
+        )
+        # shared by the L2 census AND the L3 candidate base — pin the
+        # per-basket self-join once instead of once per consumer
+        .localCheckpoint(eager=True)
+    )
+    l2 = (
+        pairs.groupBy("x1", "x2")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("m"))
+        .select("x1", "x2", "sup")
+        # consumed as output row set, as the p2 semi filter, and twice
+        # as the downward-closure filter — ≤|brands|² rows
+        .localCheckpoint(eager=True)
+    )
+    l2k = l2.select("x1", "x2")
+    p2 = pairs.join(F.broadcast(l2k), ["x1", "x2"], "left_semi")
+    triples = (
+        p2.join(i1.alias("c"), "basket")
+        .filter(F.col("c.item") > F.col("x2"))
+        .select("basket", "x1", "x2", F.col("c.item").alias("x3"))
+        # downward closure: both remaining sub-pairs must be frequent
+        .join(
+            F.broadcast(l2k.select(F.col("x1").alias("x2"), F.col("x2").alias("x3"))),
+            ["x2", "x3"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(l2k.select("x1", F.col("x2").alias("x3"))),
+            ["x1", "x3"],
+            "left_semi",
+        )
+    )
+    l3 = (
+        triples.groupBy("x1", "x2", "x3")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("sup") >= F.col("m"))
+        .select("x1", "x2", "x3", "sup")
+    )
+    null_s = F.lit(None).cast("string")
+    return (
+        l1.select(
+            F.lit(1).alias("k"),
+            F.col("item").alias("i1"),
+            null_s.alias("i2"),
+            null_s.alias("i3"),
+            "sup",
+        )
+        .unionAll(
+            l2.select(
+                F.lit(2).alias("k"),
+                F.col("x1").alias("i1"),
+                F.col("x2").alias("i2"),
+                null_s.alias("i3"),
+                "sup",
+            )
+        )
+        .unionAll(
+            l3.select(
+                F.lit(3).alias("k"),
+                F.col("x1").alias("i1"),
+                F.col("x2").alias("i2"),
+                F.col("x3").alias("i3"),
+                "sup",
+            )
+        )
+    )

@@ -172,3 +172,41 @@ def test_rank_sketch_quantiles_within_dkw_bound(spark):
             r.q_pct,
             r.true_rank_ppm,
         )
+
+
+def test_frequent_itemsets_no_basket_cube_blowup(spark):
+    """A-priori candidate generation must stay equi-join-shaped: no
+    CartesianProduct, and the only BroadcastNestedLoopJoin nodes are
+    the 1-row minsup-scalar crossJoins (the accepted scalar idiom) —
+    never a basket×basket×basket expansion."""
+    import contextlib
+    import io
+
+    from stream_processing_project_spark.plans.registry import all_queries
+
+    df = all_queries()["olap_frequent_itemsets"].builder(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # 3 level filters × ≤2 plan replays of the tiny ms aggregate; the
+    # data-sized joins (basket self-joins, L-table semis) are all
+    # BroadcastHashJoin/SortMergeJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
+
+
+def test_frequent_itemsets_downward_closure(spark):
+    """Every frequent k-itemset's (k−1)-subsets are frequent at the same
+    minsup — the invariant A-priori's candidate bound rests on."""
+    from stream_processing_project_spark.plans.registry import all_queries
+
+    rows = all_queries()["olap_frequent_itemsets"].builder(spark, SF_SMOKE).collect()
+    l1 = {r.i1 for r in rows if r.k == 1}
+    l2 = {(r.i1, r.i2) for r in rows if r.k == 2}
+    l3 = {(r.i1, r.i2, r.i3) for r in rows if r.k == 3}
+    assert l1, "level 1 empty"
+    for a, b in l2:
+        assert a in l1 and b in l1
+    for a, b, c in l3:
+        assert (a, b) in l2 and (b, c) in l2 and (a, c) in l2

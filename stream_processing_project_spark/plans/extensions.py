@@ -1238,6 +1238,115 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_trained_topk(t(spark, sf_dir, "embeddings"))
 
 
+def _ivfpq_e2e_oracle(
+    k: int, iters: int, dim: int, m: int, bits: int,
+    n_probe: int, shortlist: int, topk: int, n_queries: int,
+) -> str:
+    """IVF-PQ end-to-end oracle: the shared Lloyd's rounds
+    (_kmeans_rounds_cte — OFFSET-quantized vectors `q`, trained
+    centroids `c{iters}`, final assignment `a{iters+1}`), then PQ codes
+    + exact-bigint codebook over the same offset vectors, L2-ADC lookup
+    tables, probe ranking, code-only candidate scoring restricted to
+    probed lists, and exact rerank of the ADC shortlist — the same
+    integer arithmetic and [value, id] tie-breaks as
+    operators/similarity.py::ivfpq_topk."""
+    sub = dim // m
+    d1 = dim + 1
+    code = (
+        "list_sum(list_transform(range(0, {bits}), p ->\n"
+        "      (CASE WHEN list_sum(list_transform(range(1, {sub1}), l ->\n"
+        "         (CASE WHEN ((({JB} + p) * 997 + ({JS} + l)) * 2654435761) % 4294967296 >= 2147483648\n"
+        "               THEN -1 ELSE 1 END) * qq[{JS} + l]\n"
+        "      )) > 0 THEN 1 ELSE 0 END) * (1 << ({bits1} - p))\n"
+        "    ))"
+    )
+    codes = ", ".join(
+        code.format(bits=bits, sub1=sub + 1, bits1=bits - 1, JB=j * bits, JS=j * sub)
+        for j in range(m)
+    )
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d1}),"
+        " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_rounds_cte(k, iters, dim)},
+lists AS (SELECT vec_id, qq, best[2] AS cid FROM a{iters + 1}),
+codes AS (SELECT vec_id, cid, qq, [{codes}] AS pq FROM lists),
+cexp AS (
+  SELECT jt.j, c.pq[jt.j + 1] AS code, lt.l, c.qq[jt.j * {sub} + lt.l + 1] AS x
+  FROM codes c, range(0, {m}) AS jt(j), range(0, {sub}) AS lt(l)
+),
+cb AS (
+  SELECT j, code, l, CAST(round(sum(x) * 1.0 / count(*)) AS BIGINT) AS cent
+  FROM cexp GROUP BY j, code, l
+),
+qs AS (SELECT vec_id AS query_id, qq FROM q WHERE vec_id < {n_queries}),
+lut AS (
+  SELECT s.query_id, cb.j, cb.code,
+         sum((s.qq[cb.j * {sub} + cb.l + 1] - cb.cent)
+             * (s.qq[cb.j * {sub} + cb.l + 1] - cb.cent)) AS val
+  FROM qs s, cb GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT s.query_id, c.cid,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             {dist.format(d1=d1, a="s.qq", b="c.c")}, c.cid) AS rn
+    FROM qs s CROSS JOIN c{iters} c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, co.vec_id AS neighbor_id, co.pq
+  FROM probes p JOIN codes co ON co.cid = p.cid
+  WHERE co.vec_id <> p.query_id
+),
+adc AS (
+  SELECT ca.query_id, ca.neighbor_id, CAST(sum(l.val) AS BIGINT) AS adc_dist
+  FROM (SELECT query_id, neighbor_id, jt.j, pq[jt.j + 1] AS code
+        FROM cand, range(0, {m}) AS jt(j)) ca
+  JOIN lut l ON l.query_id = ca.query_id AND l.j = ca.j AND l.code = ca.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_dist, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {shortlist}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {dist.format(d1=d1, a="sq.qq", b="co.qq")} AS dist_sq
+  FROM short s
+  JOIN qs sq ON sq.query_id = s.query_id
+  JOIN lists co ON co.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_sq, neighbor_id) AS rank
+  FROM rescored
+) WHERE rank <= {topk}
+"""
+
+
+@register(
+    "similarity_ann_ivfpq_e2e",
+    oracle=_ivfpq_e2e_oracle(8, 3, 64, 16, 5, 2, 50, 5, 10),
+)
+def similarity_ann_ivfpq_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed END-TO-END in one oracled pipeline — train the
+    Lloyd's coarse quantizer, pack PQ codes + exact-bigint codebook,
+    probe the 2 nearest trained lists, L2-ADC-score candidates from
+    CODES against a broadcast LUT, exact-rerank the top-50 shortlist to
+    top-5 (operators/similarity.py::ivfpq_topk). The production
+    billion-vector serving path as a single deterministic dataflow:
+    training, indexing and querying all reproduce bit-for-bit in SQL,
+    so the whole composition value-hash-oracles — the capstone over
+    similarity_kmeans_train / similarity_ann_pq_rerank /
+    similarity_ann_ivf_trained."""
+    return similarity.ivfpq_topk(t(spark, sf_dir, "embeddings"))
+
+
 @register("similarity_kmeans_train", oracle=_kmeans_oracle(8, 3, 64))
 def similarity_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codebook / coarse-quantizer training: 3 Lloyd iterations of

@@ -181,6 +181,15 @@ _PRIORITY = [
     "olap_top_supplier_revenue",
     "olap_unpivot",
     "olap_yoy_growth",
+    # r07 additions, appended BEHIND the r06 backlog (which must drain
+    # to zero this round — 47 names + these = the r07 window). Order:
+    # the three whose verdict "done" criteria name a CORRECTNESS_r07
+    # row first; olap_frequent_itemsets' criterion is oracle+plan-pin,
+    # so it takes the slot most likely to roll to r08.
+    "streaming_session_window",
+    "profile_quantile_sketch",
+    "similarity_ann_ivfpq_e2e",
+    "olap_frequent_itemsets",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -210,3 +210,41 @@ def test_frequent_itemsets_downward_closure(spark):
         assert a in l1 and b in l1
     for a, b, c in l3:
         assert (a, b) in l2 and (b, c) in l2 and (a, c) in l2
+
+
+def test_ivfpq_e2e_full_coverage_equals_exact(spark):
+    """IVF-PQ with every list probed and an unbounded shortlist
+    degenerates to exact L2 top-k (== the trained-IVF full-probe
+    result) — the rerank stage guarantees it regardless of how coarse
+    the ADC approximation is."""
+    from stream_processing_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.dist_sq, r.rank)
+        for r in similarity.ivf_trained_topk(emb, n_probe=8, topk=5).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.dist_sq, r.rank)
+        for r in similarity.ivfpq_topk(emb, n_probe=8, shortlist=10**6).collect()
+    )
+    assert exact == full
+
+
+def test_ivfpq_e2e_recall_floor(spark):
+    """Default serving config (2/8 probes, m=16×32-code ADC, top-50
+    shortlist): recall@5 vs exact ≥ 0.7 on the sf0.001 corpus
+    (deterministic pipeline — the measured value is exactly
+    reproducible, 0.72 at this fixture)."""
+    from stream_processing_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_trained_topk(emb, n_probe=8, topk=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(emb).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7

@@ -5447,44 +5447,64 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     #1)."""
     ev = t(spark, sf_dir, "events")
     origin = 1704067200000000
+    hr = F.floor(
+        (F.unix_micros("ts") - F.lit(origin)) / F.lit(3600000000)
+    ).cast("long")
     hours = (
         ev.groupBy(
             "user_id",
-            F.floor((F.unix_micros("ts") - F.lit(origin)) / F.lit(3600000000))
-            .cast("long")
+            # hours outside the 64-h SAX horizon collapse to one
+            # sentinel bucket: their per-hour rounded cents are never
+            # read (the conditional sums skip h=-1), but the row keeps
+            # users with no in-horizon activity in the zero-filled
+            # grid — and the (user, hour) shuffle shrinks ~10x
+            F.when((hr >= 0) & (hr < 64), hr)
+            .otherwise(F.lit(-1))
             .alias("h"),
         )
         .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
     )
-    segs = (
-        hours.filter((F.col("h") >= 0) & (F.col("h") < 64))
-        .groupBy("user_id", (F.col("h") / 8).cast("long").alias("seg"))
-        .agg(F.sum("cents").alias("seg_cents"))
-    )
+    # one-pass segment fill: every user has ≥1 hours row (no hour
+    # filter before the groupBy), so 8 conditional sums zero-fill the
+    # grid in a single user-keyed aggregation — the former
+    # map-assembly + distinct-users right-join chain cost two extra
+    # shuffles and a join for the same rows (r07 verdict task 3)
     grid = (
-        segs.groupBy("user_id")
+        hours.groupBy("user_id")
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("seg", "seg_cents"))
-            ).alias("m")
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("h") >= s * 8) & (F.col("h") < (s + 1) * 8),
+                            F.col("cents"),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias(f"_v{s}")
+                for s in range(8)
+            ]
         )
-        .join(ev.select("user_id").distinct(), "user_id", "right")
         .select(
             "user_id",
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(7)),
-                    lambda s: F.coalesce(
-                        F.element_at("m", s.cast("long")),
-                        F.lit(0).cast("long"),
-                    ),
-                )
+                F.array(*[F.col(f"_v{s}") for s in range(8)])
             ).alias("seg", "v"),
         )
+        # eager checkpoint: the hourly rollup is the only fact-sized
+        # stage and four consumers read it (nn, vals + the breakpoint
+        # plan's recompute, the sym join) — without the pin each
+        # replays it (r06 bench flagged the 2.7x construction cost).
+        # |users|·8 rows — far smaller than the fact table.
+        .localCheckpoint(eager=True)
     )
     nn = grid.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     vals = grid.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cum, bcol = bucketed_running_sum(vals, "c", "v", out_col="cum")
+    # plan_offsets: vals sits on the checkpointed grid, so the fully
+    # lazy construction (zero driver jobs) beats the persist+probe one
+    cum, bcol = bucketed_running_sum(
+        vals, "c", "v", out_col="cum", plan_offsets=True
+    )
     buck = (
         cum.drop(bcol)
         .crossJoin(F.broadcast(nn))
@@ -5510,12 +5530,16 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sax_word")
         )
     )
-    sup = words.groupBy(F.col("sax_word").alias("_w")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("support")
+    # support as a word-partitioned window — one shuffle on sax_word
+    # instead of the former aggregate + broadcast-join-back pair
+    return words.select(
+        "user_id",
+        "sax_word",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("sax_word"))
+        .cast("bigint")
+        .alias("support"),
     )
-    return words.join(
-        F.broadcast(sup), words.sax_word == F.col("_w")
-    ).select("user_id", "sax_word", "support")
 
 
 @register(

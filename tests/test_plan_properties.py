@@ -726,8 +726,12 @@ def test_abc_pareto_window_is_range_partitioned(spark):
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs, (name, plan)
         for s in specs:
-            # the range-bucket column leads every window spec
-            assert s.startswith("_rsb#"), (name, s)
+            # the range-bucket column leads every window spec; sax's
+            # word-support count (r07) partitions by the word key —
+            # key-partitioned, which is the property this pin protects
+            assert s.startswith(("_rsb#", "sax_word#")) and (
+                name == "timeseries_sax_symbols" or s.startswith("_rsb#")
+            ), (name, s)
     # Lorenz: the data-sized cumsum must be bucketed; the one window
     # allowed off the bucket is the 10-row decile-grain share rollup
     df = all_queries()["olap_lorenz_curve_deciles"].builder(spark, SF_SMOKE)

@@ -5571,10 +5571,20 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # eager checkpoint: the token rollup is the ONLY corpus-sized
+        # pass and four consumers read its vocab-sized output (the
+        # count-of-counts cumsum, the salt-slice offsets, the ranked
+        # main branch, the fit aggregate). The r06 curve's 2.6x second
+        # decade was adjudicated r07: it was neither the hapax tie
+        # group (this fixture's largest tie is 2) nor the cumsum (~30
+        # distinct counts) — it was THIS pass replaying once for the
+        # former brs persist and again in the final job. Vocabulary ≪
+        # corpus at any scale, so pinning it is always cheap.
+        .localCheckpoint(eager=True)
     )
     coc = cnt.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     cum, _b = bucketed_running_sum(
-        coc, "f", "c", descending=True, out_col="cumf"
+        coc, "f", "c", descending=True, out_col="cumf", plan_offsets=True
     )
     offs = cum.select("c", (F.col("cumf") - F.col("f")).cast("bigint").alias("off"))
     salted = cnt.withColumn(

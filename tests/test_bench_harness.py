@@ -83,3 +83,71 @@ def test_newest_round_wins(tmp_path):
     reg = regressions_vs_last_round({"q": 2.0}, 0.1, bench_dir=str(tmp_path))
     assert reg["baseline_file"] == "BENCH_r05.json"
     assert reg["regressions_over_1_5x"]["q"]["prior_s"] == 1.0
+
+
+def test_bench_line_fits_driver_tail_capture():
+    """r07: the driver parses the bench line out of a 2000-char tail
+    capture — r06's line outgrew it (BENCH_r06.json parsed: null), so
+    compact_line must shed detail blocks (never the contract fields)
+    until the line fits."""
+    import json
+
+    from bench import compact_line
+
+    big = {
+        "metric": "batch_suite_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_some_longish_name": 1.234 for i in range(40)},
+        "canary": {"compute_s": 0.2, "shuffle_s": 0.5, "canary_s": 0.7},
+        "sf": 0.1,
+        "streaming": {
+            "events_per_sec": 40000,
+            "dedup_events_per_sec": 100000,
+            "pipeline": "x" * 400,
+        },
+        "vs_prior_round": {
+            "baseline_file": "BENCH_r06.json",
+            "prior_total_s": 20.0,
+            "canary_ratio_vs_prior": 1.01,
+            "regressions_over_1_5x": {
+                f"r{i}": {"prior_s": 1, "now_s": 2, "ratio": 2.0}
+                for i in range(12)
+            },
+            "normalized_regressions_over_1_5x": {
+                f"r{i}": {"prior_norm": 1, "now_norm": 2, "ratio": 2.0}
+                for i in range(12)
+            },
+        },
+    }
+    line = compact_line(big)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    # the driver contract survives compaction verbatim
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert d[k] == big[k]
+
+
+def test_bench_prior_salvages_r06_tail():
+    """r07: BENCH_r06.json has parsed: null (its line outgrew the tail
+    capture); _salvage_from_tail must recover the canary, the streaming
+    block and the visible query-map suffix so the normalized comparison
+    arms instead of silently skipping."""
+    import json
+    import os
+
+    from bench import _salvage_from_tail
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_r06.json",
+    )
+    with open(path) as f:
+        record = json.load(f)
+    assert record.get("parsed") is None  # the defect this pin documents
+    prior = _salvage_from_tail(record)
+    assert prior is not None and prior.get("_salvaged") is True
+    assert prior["canary"]["canary_s"] == 0.759
+    assert prior["streaming"]["events_per_sec"] == 39112
+    assert "timeseries_sax_symbols" in prior["queries"]
+    assert prior["sf"] == 0.1

@@ -17,7 +17,7 @@ shuffles are the groupBys/joins on doc or bucket keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from stream_processing_project_spark.operators.text import fingerprint
@@ -112,6 +112,92 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard similarity join with LOSSLESS prefix filtering
+    (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs) — the
+    linkage/dedup family's missing scale rung between the lossy
+    stop-shingle cap (ngram_jaccard_pairs drops shingles with df >
+    max_df, losing any pair that only overlaps on common shingles) and
+    the probabilistic MinHash-LSH (bounded recall): order every
+    document's shingles by a GLOBAL total order (corpus document
+    frequency asc, shingle — rarest first), keep only the first
+    L − ⌈t·L⌉ + 1 per document, and equi-join on those prefix shingles.
+    Pigeonhole guarantees completeness: if J(a,b) ≥ t, the prefixes
+    must intersect under any shared total order — so after the exact
+    verify the result EQUALS the brute-force all-pairs join (pinned in
+    tests), while the candidate join touches only the rare end of each
+    document's shingle list (the frequent shingles that drive the df²
+    blowup never enter the join).
+
+    All decisions are exact integers: the prefix length uses
+    ⌈t·L⌉ = (num·L + den − 1) div den and the verify keeps pairs with
+    den·|∩| ≥ num·(|a| + |b| − |∩|) — no float thresholds anywhere, so
+    the result value-hash-oracles. Output: (doc_a, doc_b, n_common,
+    n_a, n_b) over the FULL (uncapped) shingle sets.
+
+    Scale shape: one shingle checkpoint feeds the df census, the
+    per-doc prefix rank (doc-keyed window), the candidate equi-join and
+    the verify joins; candidate volume is Σ over PREFIX shingles of
+    df² — tunable by threshold, not by a lossy cap."""
+    sh = _bigrams(docs, text_col).localCheckpoint(eager=True)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select(
+            "doc_id",
+            "sh",
+            F.row_number()
+            .over(wdoc.orderBy("df", "sh"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(wdoc).alias("L"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("L")
+        - F.expr(f"({threshold_num} * L + {threshold_den} - 1) div {threshold_den}")
+        + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_common")
+            >= F.lit(threshold_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
     )
 
 

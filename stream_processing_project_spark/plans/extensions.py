@@ -697,6 +697,63 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(drops, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+@register(
+    "dedup_jaccard_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))])) AS sh
+  FROM toks WHERE len(w) >= 2
+),
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rk,
+         count(*) OVER (PARTITION BY s.doc_id) AS L
+  FROM sh s JOIN dfreq d USING (sh)
+),
+prefix AS (
+  SELECT doc_id, sh FROM ranked WHERE rk <= L - ((7 * L + 9) // 10) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b USING (sh) WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b, i.n_common, a.n_sh AS n_a, b.n_sh AS n_b
+FROM inter i
+JOIN sizes a ON a.doc_id = i.doc_a
+JOIN sizes b ON b.doc_id = i.doc_b
+WHERE 10 * i.n_common >= 7 * (a.n_sh + b.n_sh - i.n_common)
+""",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard near-dup join (bigram shingles, t = 0.7) with
+    LOSSLESS prefix filtering — the AllPairs/SSJoin scale rung between
+    the lossy stop-shingle cap (ngram_jaccard_pairs) and probabilistic
+    MinHash-LSH: candidates come only from each document's
+    L − ⌈0.7·L⌉ + 1 RAREST shingles under a global (df, shingle) order,
+    and pigeonhole guarantees the verified result equals brute force
+    (pinned in tests). Every decision is exact integer arithmetic
+    (operators/dedup.py::prefix_filter_jaccard_pairs)."""
+    from stream_processing_project_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
 @register("dedup_minhash_lsh", tags=("bench",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with

@@ -190,6 +190,7 @@ _PRIORITY = [
     "profile_quantile_sketch",
     "similarity_ann_ivfpq_e2e",
     "olap_frequent_itemsets",
+    "dedup_jaccard_prefix",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

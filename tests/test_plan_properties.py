@@ -102,6 +102,9 @@ def test_custom_operators_avoid_nested_loop_joins(spark):
         "dedup_semantic_keep",
         "similarity_ann_lsh_oracled",
         "similarity_ann_ivf_oracled",
+        # r07: prefix-filtered exact Jaccard — candidates must come from
+        # the prefix-shingle equi-join, never an all-pairs loop
+        "dedup_jaccard_prefix",
     ]:
         plan = formatted_plan(all_queries()[name].builder(spark, SF_SMOKE))
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -248,3 +248,26 @@ def test_ivfpq_e2e_recall_floor(spark):
         for r in similarity.ivfpq_topk(emb).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """Pigeonhole guarantee: prefix filtering at t=0.7 returns EXACTLY
+    the brute-force exact-Jaccard pair set (ngram_jaccard_pairs with
+    the df cap disabled is the all-pairs reference)."""
+    from stream_processing_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fast = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+        for r in prefix_filter_jaccard_pairs(docs).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_df=10**9).collect()
+    }
+    assert fast == brute
+    assert fast, "fixture's planted near-dups must appear"

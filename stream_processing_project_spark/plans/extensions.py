@@ -705,9 +705,9 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         unnest(list_distinct([w[i] || ' ' || w[i+1]
-                               for i in range(1, len(w))])) AS sh
-  FROM toks WHERE len(w) >= 2
+         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)])) AS sh
+  FROM toks WHERE len(w) >= 3
 ),
 dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
 ranked AS (
@@ -739,7 +739,7 @@ WHERE 10 * i.n_common >= 7 * (a.n_sh + b.n_sh - i.n_common)
 """,
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard near-dup join (bigram shingles, t = 0.7) with
+    """EXACT Jaccard near-dup join (trigram shingles, t = 0.7) with
     LOSSLESS prefix filtering — the AllPairs/SSJoin scale rung between
     the lossy stop-shingle cap (ngram_jaccard_pairs) and probabilistic
     MinHash-LSH: candidates come only from each document's

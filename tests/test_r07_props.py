@@ -252,10 +252,12 @@ def test_ivfpq_e2e_recall_floor(spark):
 
 def test_prefix_filter_jaccard_is_lossless(spark):
     """Pigeonhole guarantee: prefix filtering at t=0.7 returns EXACTLY
-    the brute-force exact-Jaccard pair set (ngram_jaccard_pairs with
-    the df cap disabled is the all-pairs reference)."""
+    the brute-force exact-Jaccard pair set over the same trigram
+    shingles (all-pairs shingle join, no prefix restriction)."""
+    from pyspark.sql import functions as F
+
     from stream_processing_project_spark.operators.dedup import (
-        ngram_jaccard_pairs,
+        _ngrams,
         prefix_filter_jaccard_pairs,
     )
     from stream_processing_project_spark.sources.fixtures import load_table
@@ -265,9 +267,30 @@ def test_prefix_filter_jaccard_is_lossless(spark):
         (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
         for r in prefix_filter_jaccard_pairs(docs).collect()
     }
+    sh = _ngrams(docs, "text", 3).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("L"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     brute = {
         (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b)
-        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_df=10**9).collect()
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("L").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("L").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            10 * F.col("n_common")
+            >= 7 * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .collect()
     }
     assert fast == brute
     assert fast, "fixture's planted near-dups must appear"

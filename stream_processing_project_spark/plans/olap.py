@@ -6184,9 +6184,13 @@ def olap_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "basket", F.col("a.item").alias("x1"), F.col("b.item").alias("x2")
         )
-        # shared by the L2 census AND the L3 candidate base — pin the
-        # per-basket self-join once instead of once per consumer
-        .localCheckpoint(eager=True)
+        # NOT checkpointed (unlike li/l2): the pair table is the one
+        # fact-×-fanout-sized intermediate, and materializing it OOM'd
+        # a 24 g single JVM at 100× (r07 curve). Its two consumers (L2
+        # census, L3 candidate base) each recompute one cheap
+        # self-join of the CHECKPOINTED item list instead — at cluster
+        # scale recompute-over-materialize is the right trade for a
+        # wide intermediate with exactly two readers.
     )
     l2 = (
         pairs.groupBy("x1", "x2")

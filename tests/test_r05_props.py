@@ -751,7 +751,7 @@ def test_train_lr_matches_serial_gd_bitwise(spark):
             r_ = (0.5 + z / (2.0 * (1.0 + abs(z)))) - y
             for j, xj in enumerate((1.0, x1, x2, x3)):
                 v = (xj * r_ if j else r_) * 1000000.0
-                g[j] += int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+                g[j] += int(round_half_away(v))
         w = [
             int(round_half_away(((w[j] / 1000000.0)
                  - 2.0 * ((g[j] / 1000000.0) / float(n))) * 1000000.0))
@@ -769,7 +769,18 @@ def test_train_lr_matches_serial_gd_bitwise(spark):
 
 
 def round_half_away(v: float) -> float:
-    return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+    # Decimal over repr(v) = decimal HALF_UP on the shortest decimal
+    # representation — exactly how Spark F.round (BigDecimal.valueOf)
+    # and DuckDB round() behave. The old floor(v + 0.5) form disagreed
+    # on the 0.49999999999999994 class (ADVICE r06), so the serial
+    # recomputes here could have masked an impl/oracle divergence.
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def test_bootstrap_ci_serial_recompute(spark):

@@ -4,12 +4,20 @@ The shared /tmp/sfcurve* corpora replicate each document verbatim with
 offset ids — correct for aggregate-shaped queries, pathological for a
 similarity JOIN: every doc gains 9/99 exact clones, so the TRUE answer
 grows quadratically within clone groups (~25M pairs at sf10) no matter
-how good the algorithm is. This builder scales the corpus with
-DIVERSE replicas instead: each replica's words are deterministically
-reshuffled (md5 order per (replica, position)), which destroys trigram
-overlap, so the planted near-dup pairs stay the only matches and the
-measured growth is the operator's (shingle volume + candidate join),
-not the answer's.
+how good the algorithm is. A first attempt reshuffled each replica's
+words; that fixed the answer-quadratic problem but hit the fixture's
+OTHER pathology — a 31-word vocabulary saturates the trigram domain
+(29 791 possible shingles), so document frequency grows LINEARLY with
+the corpus and the candidate join is quadratic for ANY exact
+similarity algorithm (measured 42x at x10). Real corpora grow
+vocabulary with size (Heaps' law), so this builder scales the corpus
+the way real corpora grow: each replica gets its own TOKEN NAMESPACE
+(every word suffixed with the replica index). Within a replica the
+planted near-dup structure is preserved exactly (renaming is a
+Jaccard-preserving bijection); across replicas there is zero shingle
+overlap; shingle document frequencies stay at base level — so the
+true pair count and the candidate volume both scale LINEARLY and the
+curve measures the operator.
 
     python scripts/jaccard_scale_curve.py
 """
@@ -38,11 +46,10 @@ def build(scale: int, out_dir: str) -> None:
     for i in range(1, scale):
         parts.append(f"""
 SELECT doc_id + {i * stride} AS doc_id,
-       (SELECT string_agg(w, ' ' ORDER BY md5(w || '|' || CAST(pos AS VARCHAR) || '|{i}'))
-        FROM unnest(string_split(trim(b.text), ' ')) WITH ORDINALITY AS t(w, pos)
-       ) AS text,
+       array_to_string(list_transform(string_split(trim(text), ' '),
+                                      w -> w || '_{i}'), ' ') AS text,
        lang, source, n_chars
-FROM base b""")
+FROM base""")
     union = " UNION ALL ".join(parts)
     con.execute(f"COPY ({union}) TO '{out}' (FORMAT PARQUET)")
     print("built", out, flush=True)

@@ -289,7 +289,15 @@ def _centroid_pairs(cents: list[list[int]], vec_col: str = "qq") -> Column:
     """array of [dist, cid] pairs — exact bigint distance from `vec_col`
     to each centroid literal; single source of the distance/tie-break
     formula shared by assignment (array_min) and probe ranking
-    (array_sort), and mirrored verbatim in the oracles."""
+    (array_sort), and mirrored verbatim in the oracles.
+
+    Empty centroid list (kmeans_fit over an EMPTY corpus — no rows will
+    ever evaluate the expression, but the plan must still analyze):
+    a typed null array keeps array_min/array_sort/getItem resolvable
+    where the untyped `array()` is VOID and fails analysis (the
+    ADVICE-r06 empty-corpus class, audited r07)."""
+    if not cents:
+        return F.lit(None).cast("array<array<bigint>>")
     return F.array(
         *[
             F.array(

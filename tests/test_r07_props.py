@@ -190,10 +190,13 @@ def test_frequent_itemsets_no_basket_cube_blowup(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
-    # 3 level filters × ≤2 plan replays of the tiny ms aggregate; the
-    # data-sized joins (basket self-joins, L-table semis) are all
-    # BroadcastHashJoin/SortMergeJoin
-    assert plan.count("BroadcastNestedLoopJoin") <= 6, plan
+    # every BNLJ is a 1-row minsup-scalar crossJoin: 3 level filters ×
+    # the plan replays of the tiny ms aggregate (the pair table is
+    # deliberately NOT checkpointed after the r07 ×100 OOM, so the L2/L3
+    # branches each re-derive it and carry their own scalar join). The
+    # bound is the scalar-join multiplicity ceiling — a data×data loop
+    # would also trip the Cartesian assert and the wall-clock smoke.
+    assert plan.count("BroadcastNestedLoopJoin") <= 12, plan
 
 
 def test_frequent_itemsets_downward_closure(spark):
@@ -294,3 +297,26 @@ def test_prefix_filter_jaccard_is_lossless(spark):
     }
     assert fast == brute
     assert fast, "fixture's planted near-dups must appear"
+
+
+def test_trained_similarity_ops_survive_empty_corpus(spark, tmp_path):
+    """The ADVICE-r06 empty-corpus class, swept across the eager
+    builders (r07): kmeans_fit over zero rows yields an empty centroid
+    list, and the shared _centroid_pairs expression must still ANALYZE
+    (typed null array) so the trained-similarity family returns empty
+    frames instead of raising INVALID_EXTRACT_BASE_FIELD_TYPE."""
+    import pyarrow.parquet as pq2
+
+    d = tmp_path / "empty_emb"
+    d.mkdir()
+    src = pq2.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    pq2.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
+
+    from stream_processing_project_spark.plans.registry import get
+
+    for name in (
+        "similarity_kmeans_train",
+        "similarity_ann_ivf_trained",
+        "similarity_ann_ivfpq_e2e",
+    ):
+        assert get(name).builder(spark, str(d)).count() == 0, name

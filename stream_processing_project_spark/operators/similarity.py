@@ -1208,3 +1208,173 @@ def matryoshka_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+# Three independent odd multipliers (Knuth + the two xxhash primes):
+# the seed graph unions one bucketing per multiplier so it mixes across
+# bucket partitions — see the docstring's frozen-seed analysis.
+NN_DESCENT_SEED_MULTIPLIERS = (2654435761, 2246822519, 3266489917)
+
+
+def nn_descent_graph(
+    corpus: DataFrame,
+    k: int = 4,
+    init_buckets: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_bucket_size: int = 64,
+) -> DataFrame:
+    """k-NN graph construction by NN-Descent (Dong, Moses & Li, WWW'11)
+    — the distributed algorithm behind large-scale neighbor-graph
+    builds (UMAP, HNSW seeding, graph-ANN serving): start from a cheap
+    approximate graph and repeatedly improve it with the observation
+    that *a neighbor of a neighbor is likely a neighbor*.
+
+    Output: one row per directed edge ``(vec_id, neighbor_id, cos,
+    rank)`` — each node's k best neighbors found, rank 1..k by cosine
+    (rounded 6 dp before ranking, ties by neighbor id — the cross-
+    engine determinism idiom of brute_force_topk).
+
+    Dataflow per iteration (ALL stages are equi-joins keyed by node id
+    — no all-pairs anywhere):
+      * U = current edges ∪ their reversals (general neighbors; ≤ 2k
+        rows per node),
+      * candidates = U ∪ two-hop pairs from U ⨝ U on the middle node
+        (≤ 2k + 4k² rows per node — bounded by the graph degree, never
+        by corpus size),
+      * score candidates by cosine (two narrow embedding joins) and
+        keep each node's top-k.
+    The seed graph must MIX: a single hash bucketing is a partition of
+    the corpus, so seed neighbors — and therefore every two-hop
+    candidate, transitively — would never leave the node's own bucket,
+    where the bucket self-join already found the optimum; the descent
+    would be structurally frozen at the seed (caught by the
+    frozen-recall audit: identical edge sets for iters 0..4). The seed
+    therefore unions THREE independent bucketings (distinct odd
+    multipliers, fastrange high-bit reduction h·B >> 32 — never h % B,
+    where the Knuth multiplier ≡ 1 mod 2⁴ would degenerate to id % B):
+    each node's seed edges span three different partitions, making the
+    seed graph an expander so neighbor-of-neighbor exploration reaches
+    fresh buckets each round (NN-Descent's random-init requirement,
+    met deterministically). Seed cost is 3·n·(n/B) score rows, so B
+    scales with n by default: B = ⌈n / seed_bucket_size⌉ keeps expected
+    bucket size constant and the seed LINEAR in corpus size — the count
+    is a 1-row broadcast scalar inside the plan (no driver job), and
+    the oracle reproduces it from the same COUNT(*), so adaptivity
+    costs no determinism. Pass `init_buckets` to pin B explicitly.
+    Edges localCheckpoint between rounds — the MLlib iterative
+    idiom — so lineage stays one round deep. Every stage reproduces
+    bit-for-bit in SQL (the iterations unroll into CTEs), so the full
+    graph value-hash-oracles despite being an approximation algorithm.
+
+    Reference parity: the reference has no ANN surface at all
+    (BASELINE.json north star — `stream-processing-project` stops at
+    exact keyed lookups); this extends the similarity family's scale
+    path from bucketed queries (lsh/ivf) to whole-corpus graph builds.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    src_v = emb.select(F.col("id").alias("src"), F.col("v").alias("sv"))
+    dst_v = emb.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
+    if init_buckets is not None:
+        nb = F.lit(init_buckets)
+        ids = emb.select("id")
+    else:
+        # adaptive B = ceil(n / seed_bucket_size): an in-plan 1-row
+        # broadcast scalar (integer arithmetic — (n + s - 1) div s —
+        # so the oracle's COUNT(*)-derived B matches exactly)
+        n_frame = emb.agg(F.count(F.lit(1)).alias("_cnt")).select(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"(_cnt + {seed_bucket_size - 1}) DIV {seed_bucket_size}"
+                ),
+            ).alias("_nb")
+        )
+        ids = emb.select("id").crossJoin(F.broadcast(n_frame))
+        nb = F.col("_nb")
+    seed_pair_sets = []
+    for mult in NN_DESCENT_SEED_MULTIPLIERS:
+        # fastrange via shiftright (exact integer >> 32 — double
+        # division would lose bits once h32·B crosses 2^53)
+        h32 = F.pmod(F.col("id") * F.lit(mult), F.lit(4294967296))
+        b = ids.select(
+            "id",
+            F.shiftright(h32 * nb, 32).alias("bkt"),
+        )
+        seed_pair_sets.append(
+            b.alias("a")
+            .join(
+                b.alias("c"),
+                (F.col("a.bkt") == F.col("c.bkt"))
+                & (F.col("a.id") != F.col("c.id")),
+            )
+            .select(
+                F.col("a.id").alias("src"), F.col("c.id").alias("dst")
+            )
+        )
+    seed_pairs = seed_pair_sets[0]
+    for extra in seed_pair_sets[1:]:
+        seed_pairs = seed_pairs.union(extra)
+    seed_scored = (
+        seed_pairs.distinct()
+        .join(src_v, "src")
+        .join(dst_v, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("dst")
+    )
+    edges = (
+        seed_scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("src", "dst", "cos")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        u = (
+            edges.select("src", "dst")
+            .union(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+        )
+        two_hop = (
+            u.alias("x")
+            .join(u.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cand = u.union(two_hop).distinct()
+        scored = (
+            cand.join(src_v, "src")
+            .join(dst_v, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"),
+            )
+        )
+        edges = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("src", "dst", "cos")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )

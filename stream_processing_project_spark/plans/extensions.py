@@ -3300,3 +3300,184 @@ def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cos"),
     )
+
+
+def _nn_descent_cte(k: int, bucket_size: int, iters: int) -> str:
+    """Unrolled NN-Descent as DuckDB CTEs; the final edge table is named
+    e{iters}. Mirrors operators/similarity.py::nn_descent_graph stage
+    for stage — adaptive B = ceil(n/bucket_size) (1-row scalar),
+    seed = union of three hash-bucketings' top-k, then `iters` rounds
+    of (reverse ∪ two-hop) candidate scoring. Every CTE is MATERIALIZED:
+    each round references the previous one several times, and inlining
+    would re-expand the whole prefix exponentially (measured: the
+    4-round graph query runs in ~2 s materialized and did not finish in
+    10+ min inlined)."""
+    from stream_processing_project_spark.operators.similarity import (
+        NN_DESCENT_SEED_MULTIPLIERS,
+    )
+
+    seed_unions = "\n    UNION\n".join(
+        f"""    SELECT a.id AS src, c.id AS dst
+    FROM (SELECT id, ((id * {m}) % 4294967296 * b) >> 32
+                 AS bkt FROM emb, nb) a
+    JOIN (SELECT id, ((id * {m}) % 4294967296 * b) >> 32
+                 AS bkt FROM emb, nb) c
+    ON a.bkt = c.bkt AND a.id <> c.id"""
+        for m in NN_DESCENT_SEED_MULTIPLIERS
+    )
+    parts = [
+        f"""
+emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+nb AS MATERIALIZED (
+  SELECT greatest(1, (count(*) + {bucket_size - 1}) // {bucket_size}) AS b
+  FROM emb
+),
+seedp AS MATERIALIZED (
+{seed_unions}
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst, cos FROM (
+    SELECT s.src, s.dst,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
+           row_number() OVER (
+             PARTITION BY s.src
+             ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, s.dst
+           ) AS rn
+    FROM seedp s
+    JOIN emb ea ON ea.id = s.src
+    JOIN emb eb ON eb.id = s.dst
+  ) WHERE rn <= {k}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+u{i} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i})
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM u{i}
+    UNION ALL
+    SELECT x.src, y.dst FROM u{i} x JOIN u{i} y
+    ON x.dst = y.src AND x.src <> y.dst)
+),
+e{i + 1} AS MATERIALIZED (
+  SELECT src, dst, cos FROM (
+    SELECT c.src, c.dst,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
+           row_number() OVER (
+             PARTITION BY c.src
+             ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, c.dst
+           ) AS rn
+    FROM c{i + 1} c
+    JOIN emb ea ON ea.id = c.src
+    JOIN emb eb ON eb.id = c.dst
+  ) WHERE rn <= {k}
+)"""
+        )
+    return ",".join(parts)
+
+
+# k=8 / 4 rounds: measured on the isotropic-random fixture (the
+# hardest case for NN-Descent — no cluster structure to exploit),
+# panel recall@8 climbs round over round to ~0.7+; k=4 converges to
+# ~0.34 because the degree bounds the candidate pool (2k + 4k² per
+# node). Real embedding corpora have manifold structure and converge
+# faster (Dong et al. §5). Seed bucket size 64 (B = ⌈n/64⌉ adapts
+# with the corpus, keeping the seed linear).
+_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS = 8, 64, 4
+
+
+@register(
+    "similarity_nn_descent_graph",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS)}
+SELECT src AS vec_id, dst AS neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT src, dst, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+  FROM e{_NN_DESCENT_ITERS}
+)
+""",
+)
+def similarity_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus k-NN graph by NN-Descent (Dong et al., WWW'11):
+    deterministic hash-bucket seed graph, then 2 rounds of
+    neighbor-of-neighbor candidate scoring, k=4. Every stage is an
+    equi-join keyed by node id — candidate volume per node is bounded
+    by the graph degree (2k + 4k²), never by corpus size, which is
+    what makes this THE scale path for graph-ANN index builds where
+    bucketed query-time ANN (similarity_ann_lsh/ivf) doesn't apply.
+    Fully deterministic, so the approximate graph itself
+    value-hash-oracles against the unrolled-CTE SQL replay
+    (operators/similarity.py::nn_descent_graph)."""
+    return similarity.nn_descent_graph(
+        t(spark, sf_dir, "embeddings"),
+        k=_NN_DESCENT_K,
+        seed_bucket_size=_NN_DESCENT_BSIZE,
+        iters=_NN_DESCENT_ITERS,
+    )
+
+
+@register(
+    "similarity_nn_descent_recall",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS)},
+panel AS (SELECT id, v FROM emb WHERE id % 20 = 0),
+exact AS (
+  SELECT src, dst FROM (
+    SELECT p.id AS src, c.id AS dst,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY round(list_cosine_similarity(p.v, c.v), 6) DESC, c.id
+           ) AS rn
+    FROM panel p JOIN emb c ON p.id <> c.id
+  ) WHERE rn <= {_NN_DESCENT_K}
+),
+hits AS (
+  SELECT count(*) AS n_hits FROM exact x
+  JOIN e{_NN_DESCENT_ITERS} g ON g.src = x.src AND g.dst = x.dst
+),
+np AS (SELECT count(*) AS n_panel FROM panel)
+SELECT CAST(n_panel AS BIGINT) AS n_panel,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       n_hits / (n_panel * {_NN_DESCENT_K}.0) AS recall
+FROM np, hits
+""",
+)
+def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the NN-Descent graph against exact neighbors on a
+    deterministic 5% node panel (id % 20) — the measured-quality row
+    for the graph build, same pattern as similarity_ann_recall_at_k.
+    The exact side broadcasts only the panel against the corpus (the
+    brute_force_topk shape: corpus never shuffles), so the audit stays
+    runnable at any corpus size; the division is RAW (identical
+    integer operands → identical IEEE double in any engine)."""
+    graph = similarity.nn_descent_graph(
+        t(spark, sf_dir, "embeddings"),
+        k=_NN_DESCENT_K,
+        seed_bucket_size=_NN_DESCENT_BSIZE,
+        iters=_NN_DESCENT_ITERS,
+    ).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = similarity.brute_force_topk(emb, panel, k=_NN_DESCENT_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    hits = exact.join(graph, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    np_ = panel.agg(F.count(F.lit(1)).alias("n_panel"))
+    return np_.crossJoin(F.broadcast(hits)).select(
+        F.col("n_panel").cast("bigint").alias("n_panel"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (
+            F.col("n_hits")
+            / (F.col("n_panel") * F.lit(float(_NN_DESCENT_K)))
+        ).alias("recall"),
+    )

@@ -6440,3 +6440,126 @@ def sampling_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs").cast("double") / F.col("n")).alias("pct_docs"),
         )
     )
+
+
+@register(
+    "sampling_dsir_importance",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents
+),
+bt AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bkt
+  FROM toks
+),
+bstats AS (
+  SELECT bkt, count(*) AS q_cnt,
+         count(*) FILTER (WHERE lang = 'en') AS p_cnt
+  FROM bt GROUP BY bkt
+),
+tots AS (
+  SELECT CAST(sum(q_cnt) AS BIGINT) AS q_tot,
+         CAST(sum(p_cnt) AS BIGINT) AS p_tot
+  FROM bstats
+),
+wtab AS (
+  SELECT bkt,
+         CAST(round(ln(((p_cnt + 1.0) / (p_tot + 64.0)) /
+                       ((q_cnt + 1.0) / (q_tot + 64.0))) * 1000000)
+              AS BIGINT) AS w
+  FROM bstats, tots
+),
+docscore AS (
+  SELECT b.doc_id, b.lang, CAST(sum(w.w) AS BIGINT) AS logw_micro
+  FROM bt b JOIN wtab w ON w.bkt = b.bkt
+  GROUP BY b.doc_id, b.lang
+),
+keyed AS (
+  SELECT doc_id, lang, logw_micro,
+         logw_micro + CAST(round(-ln(-ln(
+           (((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296.0
+         )) * 1000000) AS BIGINT) AS key_micro
+  FROM docscore
+)
+SELECT doc_id, lang, logw_micro, key_micro, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= 100
+""",
+)
+def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    — the modern pretraining-data selection recipe: score every raw
+    document by how target-like its hashed n-gram profile is, then
+    Gumbel-top-k sample proportionally to the importance weights.
+    Target distribution here = the `lang = 'en'` slice (stand-in for
+    "high-quality reference corpus"); features = unigrams hashed to 64
+    buckets with the cross-engine md5-prefix bigint (the
+    features_hashing_trick idiom).
+
+    Determinism engineering: bucket log-ratios quantize to integer
+    micronats (the text_unigram_logprob idiom), so the per-document
+    score is an INTEGER sum — order-independent under any
+    partitioning; the Gumbel perturbation derives from the
+    multiplicative identity hash (no RNG state) and is itself
+    quantized, so the final ranking key is a bigint and the sampled
+    set reproduces bit-for-bit in SQL.
+
+    Scale shape: ONE token-level aggregation builds both the target
+    and raw bucket profiles in the same pass (64-row output,
+    broadcast back), one map-side-combinable per-doc rollup, then a
+    global top-100 that plans as TakeOrderedAndProject — no global
+    window, no collect. Both corpus scans prune to (doc_id, lang,
+    text)."""
+    docs = t(spark, sf_dir, "documents")
+    bt = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).withColumn(
+        "bkt",
+        F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 64"),
+    )
+    bstats = bt.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("q_cnt"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("p_cnt"),
+    )
+    tots = bstats.agg(
+        F.sum("q_cnt").cast("bigint").alias("q_tot"),
+        F.sum("p_cnt").cast("bigint").alias("p_tot"),
+    )
+    wtab = bstats.crossJoin(F.broadcast(tots)).select(
+        "bkt",
+        F.round(
+            F.log(
+                ((F.col("p_cnt") + F.lit(1.0)) / (F.col("p_tot") + F.lit(64.0)))
+                / ((F.col("q_cnt") + F.lit(1.0)) / (F.col("q_tot") + F.lit(64.0)))
+            )
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    docscore = (
+        bt.join(F.broadcast(wtab), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").cast("bigint").alias("logw_micro"))
+    )
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docscore.withColumn(
+        "key_micro",
+        F.col("logw_micro")
+        + F.round(-F.log(-F.log(u)) * F.lit(1000000), 0).cast("bigint"),
+    )
+    top = keyed.orderBy(F.col("key_micro").desc(), "doc_id").limit(100)
+    w100 = Window.orderBy(F.col("key_micro").desc(), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w100).cast("int")
+    ).select("doc_id", "lang", "logw_micro", "key_micro", "rank")

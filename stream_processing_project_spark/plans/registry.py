@@ -191,6 +191,12 @@ _PRIORITY = [
     "similarity_ann_ivfpq_e2e",
     "olap_frequent_itemsets",
     "dedup_jaccard_prefix",
+    # r07 late additions (post-backlog-drain session): the 52 names
+    # above already fill the ~50-slot window, so these three join the
+    # r08 window head; all three rehearsed hash-green on registration.
+    "similarity_nn_descent_graph",
+    "similarity_nn_descent_recall",
+    "sampling_dsir_importance",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

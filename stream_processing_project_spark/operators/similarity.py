@@ -1210,6 +1210,42 @@ def matryoshka_topk(
     )
 
 
+def _nn_descent_round(edges, src_v, dst_v, k, w):
+    """One NN-Descent improvement round: candidates = general neighbors
+    (edges ∪ reversals) ∪ their two-hop closure, scored by cosine and
+    cut to each node's top-k. Factored out so the plan-shape pin can
+    check the round's dataflow in isolation (the composed loop's
+    uncheckpointed lineage replicates subtrees too fast to explain)."""
+    u = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    two_hop = (
+        u.alias("x")
+        .join(u.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cand = u.union(two_hop).distinct()
+    scored = (
+        cand.join(src_v, "src")
+        .join(dst_v, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"),
+        )
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("src", "dst", "cos")
+    )
+
+
 # Three independent odd multipliers (Knuth + the two xxhash primes):
 # the seed graph unions one bucketing per multiplier so it mixes across
 # bucket partitions — see the docstring's frozen-seed analysis.
@@ -1224,6 +1260,7 @@ def nn_descent_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_bucket_size: int = 64,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """k-NN graph construction by NN-Descent (Dong, Moses & Li, WWW'11)
     — the distributed algorithm behind large-scale neighbor-graph
@@ -1278,6 +1315,13 @@ def nn_descent_graph(
     )
     src_v = emb.select(F.col("id").alias("src"), F.col("v").alias("sv"))
     dst_v = emb.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
+    # checkpoint=False keeps the full lineage visible — used by the
+    # plan-shape pins (localCheckpoint truncates .explain output)
+    _ckpt = (
+        (lambda df: df.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda df: df)
+    )
     if init_buckets is not None:
         nb = F.lit(init_buckets)
         ids = emb.select("id")
@@ -1335,40 +1379,10 @@ def nn_descent_graph(
         seed_scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .select("src", "dst", "cos")
-        .localCheckpoint(eager=False)
     )
+    edges = _ckpt(edges)
     for _ in range(iters):
-        u = (
-            edges.select("src", "dst")
-            .union(
-                edges.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
-            )
-            .distinct()
-        )
-        two_hop = (
-            u.alias("x")
-            .join(u.alias("y"), F.col("x.dst") == F.col("y.src"))
-            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        cand = u.union(two_hop).distinct()
-        scored = (
-            cand.join(src_v, "src")
-            .join(dst_v, "dst")
-            .select(
-                "src",
-                "dst",
-                F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"),
-            )
-        )
-        edges = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= k)
-            .select("src", "dst", "cos")
-            .localCheckpoint(eager=False)
-        )
+        edges = _ckpt(_nn_descent_round(edges, src_v, dst_v, k, w))
     return (
         edges.withColumn("rank", F.row_number().over(w))
         .select(

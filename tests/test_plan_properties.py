@@ -765,3 +765,65 @@ def test_attribution_single_user_exchange(spark):
     assert "Join" not in plan
     assert plan.count("hashpartitioning(user_id") >= 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_nn_descent_all_stages_are_equi_joins(spark):
+    """NN-Descent (r07): seed bucketings, two-hop candidate expansion
+    and both scoring passes must all plan as equi-joins — never
+    BroadcastNestedLoopJoin/Cartesian (the all-pairs trap the algorithm
+    exists to avoid). Built with checkpoint=False so the full lineage
+    is visible to explain (localCheckpoint truncates it)."""
+    from stream_processing_project_spark.operators.similarity import (
+        nn_descent_graph,
+    )
+
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from stream_processing_project_spark.operators.similarity import (
+        _nn_descent_round,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    # seed: the only nested-loop nodes allowed are the 1-row adaptive-B
+    # count broadcasts (one per seed bucketing); every data-sized join
+    # must be an equi-join on the bucket key
+    seed = nn_descent_graph(emb, k=8, iters=0, checkpoint=False)
+    plan = formatted_plan(seed)
+    assert "Cartesian" not in plan
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    # two sides per bucketing self-join x three bucketings, each
+    # carrying its own copy of the 1-row count broadcast
+    assert len(nlj) <= 6, plan[:2000]
+    # one improvement round over a materialized edge frame: pure
+    # equi-joins, zero nested loops (the PAA grid-plan pin pattern —
+    # the composed loop's uncheckpointed lineage replicates subtrees
+    # exponentially, so the round is pinned in isolation)
+    edges = seed.select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"), "cos"
+    ).localCheckpoint()
+    ev = emb.selectExpr("vec_id AS id", "CAST(embedding AS array<double>) AS v")
+    src_v = ev.select(F.col("id").alias("src"), F.col("v").alias("sv"))
+    dst_v = ev.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("dst")
+    )
+    round_plan = formatted_plan(_nn_descent_round(edges, src_v, dst_v, 8, w))
+    assert "BroadcastNestedLoopJoin" not in round_plan
+    assert "Cartesian" not in round_plan
+
+
+def test_dsir_plans_topk_not_global_sort(spark):
+    """DSIR (r07): the final Gumbel-top-100 must plan as
+    TakeOrderedAndProject (heap top-k, no global sort/exchange of the
+    full doc set), and the only nested-loop join allowed is the 1-row
+    bucket-totals broadcast (the repo-wide scalar-denominator idiom)."""
+    import re
+
+    plan = formatted_plan(
+        all_queries()["sampling_dsir_importance"].builder(spark, SF_SMOKE)
+    )
+    assert "TakeOrderedAndProject" in plan
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj) <= 1  # the 64-row x 1-row totals cross join only

@@ -3481,3 +3481,148 @@ def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_panel") * F.lit(float(_NN_DESCENT_K)))
         ).alias("recall"),
     )
+
+
+@register(
+    "retrieval_eval_ndcg",
+    oracle="""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+panel AS (SELECT id, v, label FROM emb WHERE id % 20 = 0),
+top10 AS (
+  SELECT query_id, qlabel, nlabel, rank FROM (
+    SELECT p.id AS query_id, p.label AS qlabel, c.label AS nlabel,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY round(list_cosine_similarity(p.v, c.v), 6) DESC, c.id
+           ) AS rank
+    FROM panel p JOIN emb c ON p.id <> c.id
+  ) WHERE rank <= 10
+),
+scored AS (
+  SELECT query_id, qlabel,
+         CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel,
+         CAST(round(1000000 / log2(rank + 1)) AS BIGINT) AS disc_micro,
+         rank
+  FROM top10
+),
+ideal AS (
+  SELECT query_id, rel,
+         CAST(round(1000000 / log2(
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, rank) + 1))
+           AS BIGINT) AS ideal_disc_micro
+  FROM scored
+),
+per_q AS (
+  SELECT s.query_id, any_value(s.qlabel) AS label,
+         CAST(sum(s.rel) AS BIGINT) AS n_rel,
+         CAST(sum(s.rel * s.disc_micro) AS BIGINT) AS dcg_micro,
+         CAST(min(CASE WHEN s.rel = 1 THEN s.rank END) AS BIGINT)
+           AS first_rel_rank
+  FROM scored s GROUP BY s.query_id
+),
+per_q_ideal AS (
+  SELECT query_id,
+         CAST(sum(rel * ideal_disc_micro) AS BIGINT) AS idcg_micro
+  FROM ideal GROUP BY query_id
+)
+SELECT p.query_id, p.label, p.n_rel, p.dcg_micro, i.idcg_micro,
+       CASE WHEN i.idcg_micro = 0 THEN 0.0
+            ELSE p.dcg_micro / CAST(i.idcg_micro AS DOUBLE) END AS ndcg,
+       CAST(coalesce(CAST(round(1000000.0 / p.first_rel_rank) AS BIGINT), 0)
+            AS BIGINT) AS mrr_micro
+FROM per_q p JOIN per_q_ideal i ON i.query_id = p.query_id
+""",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation harness — per-query nDCG@10, MRR
+    and relevant-hit counts for the exact cosine retriever against
+    label-match relevance on a deterministic 5% query panel (id % 20,
+    the similarity_ann_recall_at_k panel). This is the measurement rung
+    of the retrieval family (bm25 / hybrid RRF / dense ANN): an engine
+    that serves retrieval must also grade it, corpus-scale, without
+    collecting per-query result lists to the driver.
+
+    Determinism engineering: rank discounts 1/log2(r+1) quantize to
+    integer micro-units per rank (identical integer operands → same
+    double → same rounding in any engine), so DCG and ideal-DCG are
+    INTEGER sums — order-independent; nDCG is one raw integer division.
+    Ideal ranking re-ranks by (rel DESC, rank) inside the same 10-row
+    window — no second corpus pass. Scale shape: the panel broadcasts
+    against the corpus (the brute_force_topk shape — the corpus never
+    shuffles); everything after the top-10 cut is per-query windows
+    over ≤10 rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") % 20 == 0)
+    top10 = similarity.brute_force_topk(emb, panel, k=10)
+    qlab = panel.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    scored = (
+        top10.join(F.broadcast(qlab), "query_id")
+        .join(nlab, "neighbor_id")
+        .select(
+            "query_id",
+            "qlabel",
+            F.when(F.col("nlabel") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.round(F.lit(1000000) / F.log2(F.col("rank") + 1), 0)
+            .cast("bigint")
+            .alias("disc_micro"),
+            "rank",
+        )
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("rank")
+    )
+    ideal = scored.select(
+        "query_id",
+        "rel",
+        F.round(
+            F.lit(1000000) / F.log2(F.row_number().over(wi) + 1), 0
+        )
+        .cast("bigint")
+        .alias("ideal_disc_micro"),
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.any_value(F.col("qlabel")).alias("label"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(F.col("rel") * F.col("disc_micro"))
+        .cast("bigint")
+        .alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    per_q_ideal = ideal.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("ideal_disc_micro"))
+        .cast("bigint")
+        .alias("idcg_micro")
+    )
+    return (
+        per_q.join(per_q_ideal, "query_id")
+        .select(
+            "query_id",
+            "label",
+            "n_rel",
+            "dcg_micro",
+            "idcg_micro",
+            F.when(F.col("idcg_micro") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg_micro") / F.col("idcg_micro").cast("double")
+            )
+            .alias("ndcg"),
+            F.coalesce(
+                F.round(F.lit(1000000.0) / F.col("first_rel_rank"), 0).cast(
+                    "bigint"
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("mrr_micro"),
+        )
+    )

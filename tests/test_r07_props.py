@@ -417,3 +417,49 @@ def test_dsir_and_nn_descent_survive_empty_corpus(spark, tmp_path):
             assert out.count() == 1  # 1-row aggregate over empty panel
         else:
             assert out.count() == 0, name
+
+
+def test_nb_classifier_learns_the_planted_teacher(spark):
+    """NB trainer (r07 late addition): the confusion matrix must show
+    the model recovering the planted stopword-ratio teacher well above
+    the majority baseline (0.516 at sf0.01) — the same teacher-student
+    check the LR trainer carries."""
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = get("text_classifier_train_nb").builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    total = sum(r["n_docs"] for r in rows)
+    diag = sum(r["n_docs"] for r in rows if r["true_cls"] == r["pred_cls"])
+    assert total == 500
+    assert diag / total >= 0.75, rows
+
+
+def test_retrieval_eval_ndcg_invariants(spark):
+    """nDCG eval (r07 late addition): one row per panel query; nDCG in
+    [0,1]; ideal DCG dominates DCG; MRR consistent with n_rel."""
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = get("retrieval_eval_ndcg").builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0, r
+        assert r["idcg_micro"] >= r["dcg_micro"], r
+        assert (r["mrr_micro"] > 0) == (r["n_rel"] > 0), r
+        assert (r["ndcg"] > 0) == (r["n_rel"] > 0), r
+
+
+def test_nb_and_ndcg_survive_empty_corpus(spark, tmp_path):
+    """Empty-corpus sweep for the two final r07 additions."""
+    import pyarrow.parquet as pq2
+
+    d = tmp_path / "empty_final"
+    d.mkdir()
+    for tbl in ("documents", "embeddings"):
+        src = pq2.read_table(os.path.join(SF_SMOKE, f"{tbl}.parquet"))
+        pq2.write_table(src.slice(0, 0), str(d / f"{tbl}.parquet"))
+
+    from stream_processing_project_spark.plans.registry import get
+
+    for name in ("text_classifier_train_nb", "retrieval_eval_ndcg"):
+        assert get(name).builder(spark, str(d)).count() == 0, name

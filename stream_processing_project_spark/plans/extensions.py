@@ -3355,7 +3355,13 @@ e0 AS MATERIALIZED (
             f"""
 u{i} AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM e{i} UNION ALL SELECT dst, src FROM e{i})
+    SELECT src, dst FROM e{i}
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM (
+      SELECT src, dst,
+             row_number() OVER (
+               PARTITION BY dst ORDER BY cos DESC, src) AS rr
+      FROM e{i}) WHERE rr <= {2 * k})
 ),
 c{i + 1} AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -3426,7 +3432,7 @@ def similarity_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_nn_descent_recall",
     oracle=f"""
 WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS)},
-panel AS (SELECT id, v FROM emb WHERE id % 20 = 0),
+panel AS (SELECT id, v FROM emb WHERE id % 20 = 0 AND id < 10000),
 exact AS (
   SELECT src, dst FROM (
     SELECT p.id AS src, c.id AS dst,
@@ -3450,7 +3456,9 @@ FROM np, hits
 )
 def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the NN-Descent graph against exact neighbors on a
-    deterministic 5% node panel (id % 20) — the measured-quality row
+    deterministic node panel (id % 20, capped at id < 10000 so the
+    panel is a FIXED query set — an uncapped corpus-fraction panel
+    would make the exact side quadratic at scale) — the measured-quality row
     for the graph build, same pattern as similarity_ann_recall_at_k.
     The exact side broadcasts only the panel against the corpus (the
     brute_force_topk shape: corpus never shuffles), so the audit stays
@@ -3465,7 +3473,7 @@ def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     emb = t(spark, sf_dir, "embeddings")
-    panel = emb.filter(F.col("vec_id") % 20 == 0)
+    panel = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000))
     exact = similarity.brute_force_topk(emb, panel, k=_NN_DESCENT_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -3489,7 +3497,7 @@ def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH emb AS MATERIALIZED (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings
 ),
-panel AS (SELECT id, v, label FROM emb WHERE id % 20 = 0),
+panel AS (SELECT id, v, label FROM emb WHERE id % 20 = 0 AND id < 10000),
 top10 AS (
   SELECT query_id, qlabel, nlabel, rank FROM (
     SELECT p.id AS query_id, p.label AS qlabel, c.label AS nlabel,
@@ -3539,8 +3547,9 @@ FROM per_q p JOIN per_q_ideal i ON i.query_id = p.query_id
 def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation harness — per-query nDCG@10, MRR
     and relevant-hit counts for the exact cosine retriever against
-    label-match relevance on a deterministic 5% query panel (id % 20,
-    the similarity_ann_recall_at_k panel). This is the measurement rung
+    label-match relevance on a deterministic query panel (id % 20,
+    capped at id < 10000: a FIXED query set, because a corpus-fraction
+    panel would make the exact side quadratic at scale). This is the measurement rung
     of the retrieval family (bm25 / hybrid RRF / dense ANN): an engine
     that serves retrieval must also grade it, corpus-scale, without
     collecting per-query result lists to the driver.
@@ -3555,7 +3564,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles); everything after the top-10 cut is per-query windows
     over ≤10 rows."""
     emb = t(spark, sf_dir, "embeddings")
-    panel = emb.filter(F.col("vec_id") % 20 == 0)
+    panel = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000))
     top10 = similarity.brute_force_topk(emb, panel, k=10)
     qlab = panel.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")

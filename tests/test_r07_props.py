@@ -335,7 +335,10 @@ def test_nn_descent_graph_properties(spark):
 
     emb = spark.read.parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
     n = emb.count()
-    graph = nn_descent_graph(emb, k=4, init_buckets=16, iters=2)
+    # one round keeps the test cheap; every property here is
+    # iteration-count-independent (the 4-round point is covered by the
+    # registered recall query's floor test)
+    graph = nn_descent_graph(emb, k=4, init_buckets=16, iters=1)
     per_node = graph.groupBy("vec_id").count().collect()
     assert all(r["count"] == 4 for r in per_node)
     assert len(per_node) == n

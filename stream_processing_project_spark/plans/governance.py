@@ -10,6 +10,8 @@ column expressions with a DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: TC002 — pandas_udf type hints must resolve at runtime
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6725,4 +6727,154 @@ def text_classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pred.groupBy("true_cls", "pred_cls").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_DTW_SENT = 10**15  # > any real path cost (~60 cells x ~1e9 micro each)
+_DTW_BAND = 7
+
+
+@register(
+    "timeseries_dtw_pairs",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 1000000) AS BIGINT) AS v_micro
+  FROM events WHERE user_id % 25 = 0 AND user_id < 150
+),
+daily AS (
+  SELECT user_id, day, CAST(sum(v_micro) AS BIGINT) AS tot
+  FROM ev GROUP BY user_id, day
+),
+series AS (
+  SELECT user_id, list(tot ORDER BY day) AS s FROM daily GROUP BY user_id
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.s AS sa, b.s AS sb,
+         len(a.s) AS n, len(b.s) AS m,
+         greatest({_DTW_BAND}, abs(len(a.s) - len(b.s))) AS weff
+  FROM series a JOIN series b ON a.user_id < b.user_id
+),
+dtw AS (
+  SELECT ua, ub, 2 AS d,
+         list_transform(range(1, n + 1), i ->
+           CASE WHEN i = 1 AND m >= 1
+                THEN abs(sa[1] - sb[1])
+                ELSE {_DTW_SENT} END) AS prev,
+         list_transform(range(1, n + 1), i -> {_DTW_SENT}) AS prevprev
+  FROM pairs
+  UNION ALL
+  SELECT t.ua, t.ub, t.d + 1,
+         list_transform(range(1, p.n + 1), i ->
+           CASE WHEN i >= greatest(1, t.d + 1 - p.m)
+                 AND i <= least(p.n, t.d)
+                 AND abs(2 * i - (t.d + 1)) <= p.weff
+                THEN least(
+                       coalesce(t.prev[i], {_DTW_SENT}),
+                       coalesce(t.prev[i - 1], {_DTW_SENT}),
+                       coalesce(t.prevprev[i - 1], {_DTW_SENT}))
+                     + abs(p.sa[i] - p.sb[t.d + 1 - i])
+                ELSE {_DTW_SENT} END) AS prev,
+         t.prev AS prevprev
+  FROM dtw t JOIN pairs p ON p.ua = t.ua AND p.ub = t.ub
+  WHERE t.d < p.n + p.m
+)
+SELECT t.ua AS user_a, t.ub AS user_b,
+       CAST(p.n AS BIGINT) AS n_a, CAST(p.m AS BIGINT) AS n_b,
+       CAST(t.prev[p.n] AS BIGINT) AS dtw_micro
+FROM dtw t JOIN pairs p ON p.ua = t.ua AND p.ub = t.ub
+WHERE t.d = p.n + p.m
+""",
+)
+def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Dynamic Time Warping distance between user activity
+    series — THE classic elastic similarity measure for time series
+    (Sakoe & Chiba '78; the measure behind most published time-series
+    classification baselines), closing the timeseries family's
+    similarity rung next to the lock-step PAA distance: DTW aligns
+    series that are locally time-shifted (a user doing the same thing
+    a day later), which no per-position distance can see.
+
+    Series = per-user DAILY value totals in integer micro-units (one
+    corpus pass, map-side combinable); pairs = a FIXED 6-user panel
+    (user_id % 25 = 0 AND < 150 — a corpus-fraction panel would grow
+    the pair set quadratically). The DP runs banded (Sakoe-Chiba
+    w = max(7, |n-m|)) in exact int64 inside one Arrow batch per pair
+    (15 pairs × ≤30×30 cells — the per-pair cost is bounded by the
+    band, the corpus-sized cost is only the series rollup). At
+    production scale the pair set comes from a blocking stage — the
+    PAA grid equi-join of timeseries_paa_similarity is exactly that
+    lower-bound filter (LB_PAA ≤ DTW), and this operator is its
+    verify step.
+
+    Oracle: the full banded DP replays in DuckDB as an ANTI-DIAGONAL
+    recursive CTE (cells on diagonal d depend only on diagonals d-1 and
+    d-2, so each step is one data-parallel list_transform with no
+    intra-row recurrence — the trick that makes a 2-D DP expressible
+    in a linear recursion); integer costs make every cell exact, so
+    the distance value-hash-oracles bit-for-bit."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 25 == 0) & (F.col("user_id") < 150))
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias(
+                "day"
+            ),
+            F.round(F.col("value") * F.lit(1000000), 0)
+            .cast("bigint")
+            .alias("v_micro"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.sum("v_micro").cast("bigint").alias("tot")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "tot"))
+        ).alias("s_pairs")
+    ).select(
+        "user_id",
+        F.transform(F.col("s_pairs"), lambda x: x["tot"]).alias("s"),
+    )
+    pairs = (
+        series.alias("a")
+        .join(series.alias("b"), F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+    )
+
+    @F.pandas_udf("long")
+    def dtw_banded(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b in zip(sa, sb):
+            a = np.asarray(a, dtype=np.int64)
+            b = np.asarray(b, dtype=np.int64)
+            n, m = len(a), len(b)
+            w = max(_DTW_BAND, abs(n - m))
+            dp = np.full((n + 1, m + 1), _DTW_SENT, dtype=np.int64)
+            dp[0, 0] = 0
+            for i in range(1, n + 1):
+                lo = max(1, i - w)
+                hi = min(m, i + w)
+                for j in range(lo, hi + 1):
+                    c = abs(int(a[i - 1]) - int(b[j - 1]))
+                    best = min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+                    dp[i, j] = c + best
+            out.append(int(dp[n, m]))
+        return pd.Series(out, dtype="int64")
+
+    return pairs.select(
+        "user_a",
+        "user_b",
+        F.size("sa").cast("bigint").alias("n_a"),
+        F.size("sb").cast("bigint").alias("n_b"),
+        dtw_banded(F.col("sa"), F.col("sb")).alias("dtw_micro"),
     )

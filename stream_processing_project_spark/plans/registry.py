@@ -199,6 +199,7 @@ _PRIORITY = [
     "sampling_dsir_importance",
     "text_classifier_train_nb",
     "retrieval_eval_ndcg",
+    "timeseries_dtw_pairs",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -466,3 +466,71 @@ def test_nb_and_ndcg_survive_empty_corpus(spark, tmp_path):
 
     for name in ("text_classifier_train_nb", "retrieval_eval_ndcg"):
         assert get(name).builder(spark, str(d)).count() == 0, name
+
+
+def test_dtw_pairs_invariants_and_l1_dominance(spark):
+    """Banded DTW (r07 late addition): all C(6,2)=15 panel pairs at
+    sf0.01; distances non-negative; and for EQUAL-length series DTW
+    must never exceed the lock-step L1 distance (the diagonal is one
+    admissible warping path) — the inequality that pins the DP is a
+    minimum over paths and not some other aggregate."""
+    import duckdb
+
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = get("timeseries_dtw_pairs").builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r["dtw_micro"] >= 0
+        assert 1 <= r["n_a"] <= 31 and 1 <= r["n_b"] <= 31
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet')"
+    )
+    l1 = {
+        (a, b): v
+        for a, b, v in con.execute("""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS tot
+  FROM events WHERE user_id % 25 = 0 AND user_id < 150
+  GROUP BY user_id, day
+),
+series AS (
+  SELECT user_id, list(tot ORDER BY day) AS s FROM daily GROUP BY user_id
+)
+SELECT a.user_id, b.user_id,
+       CAST(list_sum(list_transform(range(1, len(a.s) + 1),
+            i -> abs(a.s[i] - b.s[i]))) AS BIGINT)
+FROM series a JOIN series b
+ON a.user_id < b.user_id AND len(a.s) = len(b.s)
+""").fetchall()
+    }
+    checked = 0
+    for r in rows:
+        key = (r["user_a"], r["user_b"])
+        if key in l1:
+            assert r["dtw_micro"] <= l1[key], (key, r["dtw_micro"], l1[key])
+            checked += 1
+    assert checked >= 1  # the fixture has equal-length panel series
+
+
+def test_dtw_pairs_single_node_panel_and_empty(spark, tmp_path):
+    """At sf0.001 the capped panel holds one user → the a<b self-join
+    yields zero pairs; an empty events table also analyzes and returns
+    empty (the r07 empty-corpus sweep class)."""
+    import pyarrow.parquet as pq2
+
+    from stream_processing_project_spark.plans.registry import get
+
+    assert get("timeseries_dtw_pairs").builder(spark, SF_SMOKE).count() == 0
+
+    d = tmp_path / "empty_dtw"
+    d.mkdir()
+    src = pq2.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    pq2.write_table(src.slice(0, 0), str(d / "events.parquet"))
+    assert get("timeseries_dtw_pairs").builder(spark, str(d)).count() == 0

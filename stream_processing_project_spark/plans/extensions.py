@@ -3635,3 +3635,132 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr_micro"),
         )
     )
+
+
+@register(
+    "similarity_dbscan_clusters",
+    oracle="""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.35
+),
+nbrs AS MATERIALIZED (
+  SELECT id_a AS v, id_b AS w FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+core AS MATERIALIZED (
+  SELECT v FROM (SELECT v, count(*) AS deg FROM nbrs GROUP BY v)
+  WHERE deg >= 3
+),
+ce AS MATERIALIZED (
+  SELECT p.id_a AS u, p.id_b AS w FROM pairs p
+  JOIN core ca ON ca.v = p.id_a JOIN core cb ON cb.v = p.id_b
+),
+ce2 AS MATERIALIZED (
+  SELECT u, w FROM ce UNION SELECT w, u FROM ce
+),
+reach(node, lab) AS (
+  SELECT u, u FROM ce2
+  UNION
+  SELECT e.w, r.lab FROM reach r JOIN ce2 e ON e.u = r.node
+),
+cc AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node),
+core_lab AS MATERIALIZED (
+  SELECT c.v AS vec_id, coalesce(cc.cluster, c.v) AS cluster
+  FROM core c LEFT JOIN cc ON cc.node = c.v
+),
+border AS MATERIALIZED (
+  SELECT n.v AS vec_id, min(cl.cluster) AS cluster
+  FROM nbrs n JOIN core_lab cl ON cl.vec_id = n.w
+  WHERE n.v NOT IN (SELECT vec_id FROM core_lab)
+  GROUP BY n.v
+)
+SELECT vec_id, 'core' AS role, CAST(cluster AS BIGINT) AS cluster
+FROM core_lab
+UNION ALL
+SELECT vec_id, 'border', CAST(cluster AS BIGINT) FROM border
+UNION ALL
+SELECT e.vec_id, 'noise', CAST(-1 AS BIGINT) FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM core_lab)
+  AND e.vec_id NOT IN (SELECT vec_id FROM border)
+""",
+)
+def similarity_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the embedding corpus (Ester et
+    al., KDD'96) — the density rung of the clustering family next to
+    k-means (similarity_kmeans_train): finds arbitrarily-shaped
+    clusters and an explicit noise set, with no k to choose. eps-
+    neighborhood = cosine ≥ 0.35 (the dedup_embedding_cosine
+    threshold); core = ≥ 3 eps-neighbors (minPts 4 counting self);
+    clusters = connected components of the core-core graph (min-id
+    labels — operators/dedup.py::connected_components, the oracled CC
+    idiom); border points attach to the MINIMUM cluster label among
+    their core neighbors (deterministic where classic DBSCAN is
+    visit-order-dependent); everything else is labeled noise.
+
+    Scale shape: the eps-neighbor pairs come from the SAME banded-LSH
+    blocking as dedup_embedding_cosine (equi-join candidates, exact
+    verify, recall pinned exact vs all-pairs on the fixtures), degree
+    and border assignment are map-side-combinable rollups, and the CC
+    loop is the O(diameter) label propagation with per-round
+    localCheckpoint. Output: (vec_id, role core/border/noise, cluster
+    = min core id, -1 for noise) — fully value-hash-oracled against
+    the all-pairs + recursive-closure SQL replay."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    nbrs = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("v", "w")
+    core = (
+        nbrs.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 3)
+        .select("v")
+    )
+    ce = pairs.join(
+        core.withColumnRenamed("v", "id_a"), "id_a"
+    ).join(core.withColumnRenamed("v", "id_b"), "id_b")
+    cc = dedup.connected_components(ce, src="id_a", dst="id_b")
+    core_lab = core.join(
+        cc, core["v"] == cc["doc_id"], "left"
+    ).select(
+        F.col("v").alias("vec_id"),
+        F.coalesce(F.col("cluster_id"), F.col("v")).alias("cluster"),
+    )
+    border = (
+        nbrs.join(
+            core_lab.select(
+                F.col("vec_id").alias("w"), F.col("cluster").alias("ncl")
+            ),
+            "w",
+        )
+        .join(
+            core_lab.select(F.col("vec_id").alias("v")),
+            "v",
+            "left_anti",
+        )
+        .groupBy("v")
+        .agg(F.min("ncl").alias("cluster"))
+        .select(F.col("v").alias("vec_id"), "cluster")
+    )
+    assigned = core_lab.select(
+        "vec_id", F.lit("core").alias("role"), F.col("cluster").cast("bigint")
+    ).union(
+        border.select(
+            "vec_id", F.lit("border").alias("role"), F.col("cluster").cast("bigint")
+        )
+    )
+    noise = (
+        emb.select("vec_id")
+        .join(assigned.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("bigint").alias("cluster"),
+        )
+    )
+    return assigned.union(noise)

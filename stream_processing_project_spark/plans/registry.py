@@ -192,14 +192,16 @@ _PRIORITY = [
     "olap_frequent_itemsets",
     "dedup_jaccard_prefix",
     # r07 late additions (post-backlog-drain session): the 52 names
-    # above already fill the ~50-slot window, so these three join the
-    # r08 window head; all three rehearsed hash-green on registration.
+    # above already fill the ~50-slot window, so these join the r08
+    # window head; each rehearsed hash-green (32 + 7/5 layouts) on
+    # registration.
     "similarity_nn_descent_graph",
     "similarity_nn_descent_recall",
     "sampling_dsir_importance",
     "text_classifier_train_nb",
     "retrieval_eval_ndcg",
     "timeseries_dtw_pairs",
+    "similarity_dbscan_clusters",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

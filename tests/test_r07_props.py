@@ -534,3 +534,37 @@ def test_dtw_pairs_single_node_panel_and_empty(spark, tmp_path):
     src = pq2.read_table(os.path.join(SF_SMOKE, "events.parquet"))
     pq2.write_table(src.slice(0, 0), str(d / "events.parquet"))
     assert get("timeseries_dtw_pairs").builder(spark, str(d)).count() == 0
+
+
+def test_dbscan_partition_and_label_invariants(spark):
+    """DBSCAN (r07 late addition): roles partition the corpus exactly;
+    every non-noise cluster label IS a core point's id (min-id label);
+    core labels never exceed the member's own id; noise is -1."""
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = get("similarity_dbscan_clusters").builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 500
+    assert len({r["vec_id"] for r in rows}) == 500
+    cores = {r["vec_id"] for r in rows if r["role"] == "core"}
+    assert cores, "fixture must produce some core points"
+    for r in rows:
+        if r["role"] == "noise":
+            assert r["cluster"] == -1
+        else:
+            assert r["cluster"] in cores, r
+            if r["role"] == "core":
+                assert r["cluster"] <= r["vec_id"], r
+
+
+def test_dbscan_survives_empty_corpus(spark, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from stream_processing_project_spark.plans.registry import get
+
+    d = tmp_path / "empty_dbscan"
+    d.mkdir()
+    src = pq2.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    pq2.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
+    assert get("similarity_dbscan_clusters").builder(spark, str(d)).count() == 0

@@ -6878,3 +6878,110 @@ def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sb").cast("bigint").alias("n_b"),
         dtw_banded(F.col("sa"), F.col("sb")).alias("dtw_micro"),
     )
+
+
+def _kcenter_oracle(k: int, dim: int) -> str:
+    """Unrolled greedy k-center (Gonzalez) as DuckDB CTEs — one
+    (center, distance-update) pair per round, exact integer squared
+    L2 on the 2^20-quantized vectors (the kmeans-oracle idiom)."""
+    scale = 1 << 20
+    rounds = [
+        f"""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {scale}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT q.vec_id, q.qv,
+         list_sum(list_transform(range(1, {dim} + 1),
+                  i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS dmin
+  FROM q, c1 c
+)"""
+    ]
+    for r in range(2, k + 1):
+        rounds.append(
+            f"""
+c{r} AS MATERIALIZED (
+  SELECT vec_id, qv, dmin FROM d{r - 1} ORDER BY dmin DESC, vec_id LIMIT 1
+),
+d{r} AS MATERIALIZED (
+  SELECT d.vec_id, d.qv,
+         least(d.dmin,
+               list_sum(list_transform(range(1, {dim} + 1),
+                        i -> (d.qv[i] - c.qv[i]) * (d.qv[i] - c.qv[i]))))
+           AS dmin
+  FROM d{r - 1} d, c{r} c
+)"""
+        )
+    picks = ["SELECT 1 AS round, vec_id AS center_id, CAST(0 AS BIGINT) AS dist_sq FROM c1"]
+    picks += [
+        f"SELECT {r}, vec_id, CAST(dmin AS BIGINT) FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",".join(rounds) + "\n" + "\nUNION ALL ".join(picks)
+
+
+@register("sampling_kcenter_diversity", oracle=_kcenter_oracle(8, 64))
+def sampling_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez '85) over the
+    embedding corpus — DIVERSITY-aware subset selection, the
+    complement of sampling_dsir_importance's quality weighting: each
+    round picks the point FARTHEST from every center chosen so far
+    (2-approximation of the optimal covering radius), the geometric
+    backbone of coreset-based data pruning for training sets. Output:
+    (round, center_id, dist_sq) — dist_sq is the covering radius just
+    before that center was added, so the rows double as the radius
+    decay curve.
+
+    Determinism: distances are exact integer squared L2 on the 2^20
+    quantized vectors (the kmeans-train idiom), argmax ties break by
+    min vec_id — every round reproduces bit-for-bit in the unrolled
+    SQL. Scale shape: k-1 corpus passes, each ONE aggregation (the
+    round's argmax plans as TakeOrderedAndProject over a narrow
+    projection); each round collects exactly one row to the driver —
+    the MLlib iterative idiom, state = k centers. The incremental
+    min-distance (least of the running dmin and the NEW center's
+    distance) keeps per-round cost O(n·dim), not O(n·k·dim)."""
+    k, dim = 8, 64
+    from stream_processing_project_spark.operators.similarity import (
+        _quantize_expr,
+    )
+
+    q = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_quantize_expr('embedding', dim)} AS qv"
+    )
+    q = q.localCheckpoint(eager=False)
+
+    def dist_to(cvec: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    first = q.orderBy("vec_id").limit(1).collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "round int, center_id bigint, dist_sq bigint"
+        )
+    picks = [(1, first[0]["vec_id"], 0)]
+    cur = q.select("vec_id", "qv", dist_to(first[0]["qv"]).alias("dmin"))
+    for r in range(2, k + 1):
+        nxt = (
+            cur.orderBy(F.col("dmin").desc(), "vec_id").limit(1).collect()
+        )
+        if not nxt:
+            break
+        picks.append((r, nxt[0]["vec_id"], int(nxt[0]["dmin"])))
+        cur = cur.select(
+            "vec_id",
+            "qv",
+            F.least(F.col("dmin"), dist_to(nxt[0]["qv"])).alias("dmin"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        picks, "round int, center_id bigint, dist_sq bigint"
+    )

@@ -202,6 +202,7 @@ _PRIORITY = [
     "retrieval_eval_ndcg",
     "timeseries_dtw_pairs",
     "similarity_dbscan_clusters",
+    "sampling_kcenter_diversity",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -568,3 +568,38 @@ def test_dbscan_survives_empty_corpus(spark, tmp_path):
     src = pq2.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
     pq2.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
     assert get("similarity_dbscan_clusters").builder(spark, str(d)).count() == 0
+
+
+def test_kcenter_radius_is_monotone_nonincreasing(spark):
+    """Greedy k-center (r07 late addition): Gonzalez's picked distances
+    are non-increasing by construction (each pick is the current
+    covering radius, and adding a center can only shrink min-dists);
+    centers are distinct; round 1 is the min-id seed at distance 0."""
+    from stream_processing_project_spark.plans.registry import get
+
+    rows = sorted(
+        get("sampling_kcenter_diversity").builder(
+            spark, "/root/testdata/sf0.01"
+        ).collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == 8
+    assert rows[0]["round"] == 1 and rows[0]["dist_sq"] == 0
+    assert len({r["center_id"] for r in rows}) == 8
+    dists = [r["dist_sq"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    assert dists[-1] > 0
+
+
+def test_kcenter_survives_empty_corpus(spark, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from stream_processing_project_spark.plans.registry import get
+
+    d = tmp_path / "empty_kc"
+    d.mkdir()
+    src = pq2.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    pq2.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
+    out = get("sampling_kcenter_diversity").builder(spark, str(d))
+    assert out.count() == 0
+    assert out.columns == ["round", "center_id", "dist_sq"]

@@ -3411,8 +3411,9 @@ FROM (
 )
 def similarity_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus k-NN graph by NN-Descent (Dong et al., WWW'11):
-    deterministic hash-bucket seed graph, then 2 rounds of
-    neighbor-of-neighbor candidate scoring, k=4. Every stage is an
+    deterministic hash-bucket seed graph, then _NN_DESCENT_ITERS (= 4)
+    rounds of neighbor-of-neighbor candidate scoring at k =
+    _NN_DESCENT_K (= 8). Every stage is an
     equi-join keyed by node id — candidate volume per node is bounded
     by the graph degree (2k + 4k²), never by corpus size, which is
     what makes this THE scale path for graph-ANN index builds where
@@ -3515,14 +3516,6 @@ scored AS (
          rank
   FROM top10
 ),
-ideal AS (
-  SELECT query_id, rel,
-         CAST(round(1000000 / log2(
-           row_number() OVER (
-             PARTITION BY query_id ORDER BY rel DESC, rank) + 1))
-           AS BIGINT) AS ideal_disc_micro
-  FROM scored
-),
 per_q AS (
   SELECT s.query_id, any_value(s.qlabel) AS label,
          CAST(sum(s.rel) AS BIGINT) AS n_rel,
@@ -3531,17 +3524,22 @@ per_q AS (
            AS first_rel_rank
   FROM scored s GROUP BY s.query_id
 ),
-per_q_ideal AS (
-  SELECT query_id,
-         CAST(sum(rel * ideal_disc_micro) AS BIGINT) AS idcg_micro
-  FROM ideal GROUP BY query_id
+lab_cnt AS (SELECT label, count(*) AS n_lab FROM emb GROUP BY label),
+cum_disc AS (
+  SELECT r, CAST(sum(disc) OVER (ORDER BY r) AS BIGINT) AS idcg
+  FROM (SELECT range AS r,
+               CAST(round(1000000 / log2(range + 1)) AS BIGINT) AS disc
+        FROM range(1, 11))
 )
-SELECT p.query_id, p.label, p.n_rel, p.dcg_micro, i.idcg_micro,
-       CASE WHEN i.idcg_micro = 0 THEN 0.0
-            ELSE p.dcg_micro / CAST(i.idcg_micro AS DOUBLE) END AS ndcg,
+SELECT p.query_id, p.label, p.n_rel, p.dcg_micro,
+       coalesce(c.idcg, 0) AS idcg_micro,
+       CASE WHEN coalesce(c.idcg, 0) = 0 THEN 0.0
+            ELSE p.dcg_micro / CAST(c.idcg AS DOUBLE) END AS ndcg,
        CAST(coalesce(CAST(round(1000000.0 / p.first_rel_rank) AS BIGINT), 0)
             AS BIGINT) AS mrr_micro
-FROM per_q p JOIN per_q_ideal i ON i.query_id = p.query_id
+FROM per_q p
+JOIN lab_cnt lc ON lc.label = p.label
+LEFT JOIN cum_disc c ON c.r = least(10, lc.n_lab - 1)
 """,
 )
 def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3558,11 +3556,15 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units per rank (identical integer operands → same
     double → same rounding in any engine), so DCG and ideal-DCG are
     INTEGER sums — order-independent; nDCG is one raw integer division.
-    Ideal ranking re-ranks by (rel DESC, rank) inside the same 10-row
-    window — no second corpus pass. Scale shape: the panel broadcasts
-    against the corpus (the brute_force_topk shape — the corpus never
-    shuffles); everything after the top-10 cut is per-query windows
-    over ≤10 rows."""
+    Ideal DCG is GLOBAL (ADVICE r07): the ideal list places min(10,
+    corpus-wide relevant count) hits at the top ranks, so a query that
+    retrieves one relevant doc at rank 1 out of hundreds available
+    scores honestly low instead of a list-local 1.0 — computed from the
+    per-label corpus counts (one tiny rollup, broadcast back) against a
+    10-row cumulative-discount table; no second corpus pass. Scale
+    shape: the panel broadcasts against the corpus (the brute_force_topk
+    shape — the corpus never shuffles); everything after the top-10 cut
+    is per-query windows over ≤10 rows."""
     emb = t(spark, sf_dir, "embeddings")
     panel = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000))
     top10 = similarity.brute_force_topk(emb, panel, k=10)
@@ -3587,18 +3589,6 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
-    wi = Window.partitionBy("query_id").orderBy(
-        F.col("rel").desc(), F.col("rank")
-    )
-    ideal = scored.select(
-        "query_id",
-        "rel",
-        F.round(
-            F.lit(1000000) / F.log2(F.row_number().over(wi) + 1), 0
-        )
-        .cast("bigint")
-        .alias("ideal_disc_micro"),
-    )
     per_q = scored.groupBy("query_id").agg(
         F.any_value(F.col("qlabel")).alias("label"),
         F.sum("rel").cast("bigint").alias("n_rel"),
@@ -3609,23 +3599,39 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_rel_rank"),
     )
-    per_q_ideal = ideal.groupBy("query_id").agg(
-        F.sum(F.col("rel") * F.col("ideal_disc_micro"))
-        .cast("bigint")
-        .alias("idcg_micro")
+    # Global ideal: per-label corpus counts (tiny rollup, broadcast) ×
+    # a 10-row cumulative rank-discount table — IDCG = cum(min(10, R))
+    # where R = corpus relevant count excluding the query doc itself.
+    lab_cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum_disc = (
+        spark.range(1, 11)
+        .select(
+            F.col("id").alias("r"),
+            F.round(F.lit(1000000) / F.log2(F.col("id") + 1), 0)
+            .cast("bigint")
+            .alias("disc"),
+        )
+        .select("r", F.sum("disc").over(wcum).cast("bigint").alias("idcg"))
     )
     return (
-        per_q.join(per_q_ideal, "query_id")
+        per_q.join(F.broadcast(lab_cnt), "label")
+        .withColumn("ideal_k", F.least(F.lit(10), F.col("n_lab") - 1))
+        .join(
+            F.broadcast(cum_disc),
+            F.col("ideal_k") == F.col("r"),
+            "left",
+        )
         .select(
             "query_id",
             "label",
             "n_rel",
             "dcg_micro",
-            "idcg_micro",
-            F.when(F.col("idcg_micro") == 0, F.lit(0.0))
-            .otherwise(
-                F.col("dcg_micro") / F.col("idcg_micro").cast("double")
-            )
+            F.coalesce(F.col("idcg"), F.lit(0)).cast("bigint").alias(
+                "idcg_micro"
+            ),
+            F.when(F.coalesce(F.col("idcg"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("dcg_micro") / F.col("idcg").cast("double"))
             .alias("ndcg"),
             F.coalesce(
                 F.round(F.lit(1000000.0) / F.col("first_rel_rank"), 0).cast(
@@ -3702,15 +3708,34 @@ def similarity_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the eps-neighbor pairs come from the SAME banded-LSH
     blocking as dedup_embedding_cosine (equi-join candidates, exact
-    verify, recall pinned exact vs all-pairs on the fixtures), degree
-    and border assignment are map-side-combinable rollups, and the CC
-    loop is the O(diameter) label propagation with per-round
-    localCheckpoint. Output: (vec_id, role core/border/noise, cluster
-    = min core id, -1 for noise) — fully value-hash-oracled against
-    the all-pairs + recursive-closure SQL replay."""
+    verify), degree and border assignment are map-side-combinable
+    rollups, and the CC loop is the O(diameter) label propagation with
+    per-round localCheckpoint. DBSCAN output is miss-SENSITIVE: one
+    dropped eps-pair can cascade through core degree → components →
+    border labels, so this query runs the blocking at miss_prob=1e-8
+    per pair (vs the 1e-5 default — ~17 extra bands at t=0.35, linear
+    cost) and the exact-recall pin covers BOTH fixture scales
+    (tests/test_dedup_similarity.py sf0.01 + the sf0.1 DBSCAN-config
+    pin in test_r08_props.py). ORACLE CONTRACT: the all-pairs DuckDB
+    replay is exact, so hash-equality holds wherever blocking recall
+    is exact — pinned at fixture scales; at larger corpora the LSH
+    union-miss bound (≈ qualifying_pairs × 1e-8) is the stated
+    contract, not bitwise equality. Output: (vec_id, role
+    core/border/noise, cluster = min core id, -1 for noise) — fully
+    value-hash-oracled against the all-pairs + recursive-closure SQL
+    replay."""
     emb = t(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.35).select(
-        "id_a", "id_b"
+    # The eps-pair set is tiny (qualifying tail pairs) but its lineage —
+    # banded LSH at t=0.35 with 124 bands — is the expensive stage, and
+    # it fans out to nbrs (×2), core, ce and border below. Eager
+    # localCheckpoint truncates the lineage so the LSH scan runs ONCE
+    # (measured sf0.1: 59 s → one ~16 s pass + cheap rollups).
+    pairs = (
+        similarity.embedding_near_dup_pairs(
+            emb, threshold=0.35, miss_prob=1e-8
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     nbrs = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

@@ -6592,10 +6592,13 @@ fstats AS (
 ),
 ctok AS (SELECT c, CAST(sum(nb) AS BIGINT) AS nc FROM fstats GROUP BY c),
 wtab AS (
-  SELECT f.c, f.bkt,
-         CAST(round(ln((f.nb + 1.0) / (t.nc + 64.0)) * 1000000) AS BIGINT)
-           AS logp_micro
-  FROM fstats f JOIN ctok t ON t.c = f.c
+  SELECT cl.c, b.bkt,
+         CAST(round(ln((coalesce(f.nb, 0) + 1.0) / (t.nc + 64.0)) * 1000000)
+              AS BIGINT) AS logp_micro
+  FROM (SELECT DISTINCT c FROM cls) cl
+  CROSS JOIN (SELECT range AS bkt FROM range(64)) b
+  LEFT JOIN fstats f ON f.c = cl.c AND f.bkt = b.bkt
+  JOIN ctok t ON t.c = cl.c
 ),
 prior AS (
   SELECT cls.c,
@@ -6678,18 +6681,31 @@ def text_classifier_train_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("nb")
     )
     ctok = fstats.groupBy("c").agg(F.sum("nb").cast("bigint").alias("nc"))
-    wtab = fstats.join(ctok, "c").select(
-        "c",
-        "bkt",
-        F.round(
-            F.log(
-                (F.col("nb") + F.lit(1.0)) / (F.col("nc") + F.lit(64.0))
+    # DENSE weight table: every (class, bucket) combination, observed or
+    # not — an unobserved bucket still contributes its Laplace-smoothed
+    # log((0+1)/(nc+64)) term, so per-class scores are sums over the
+    # SAME token set (true multinomial NB; a sparse table would bias
+    # toward classes with sparser bucket coverage — ADVICE r07).
+    buckets = spark.range(64).select(F.col("id").alias("bkt"))
+    wtab = (
+        cls.select("c")
+        .crossJoin(F.broadcast(buckets))
+        .join(fstats, ["c", "bkt"], "left")
+        .join(ctok, "c")
+        .select(
+            "c",
+            "bkt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nc") + F.lit(64.0))
+                )
+                * F.lit(1000000),
+                0,
             )
-            * F.lit(1000000),
-            0,
+            .cast("bigint")
+            .alias("logp_micro"),
         )
-        .cast("bigint")
-        .alias("logp_micro"),
     )
     prior = cls.crossJoin(F.broadcast(nd)).select(
         "c",
@@ -6819,9 +6835,14 @@ def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("user_id") % 25 == 0) & (F.col("user_id") < 150))
         .select(
             "user_id",
-            (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias(
-                "day"
-            ),
+            # Integer FLOOR division (pmod is always non-negative, so
+            # (a - pmod(a,b)) div b == floor(a/b) exactly in int64) —
+            # matches the oracle's DuckDB `//` semantics even for
+            # pre-epoch timestamps, with no double round-trip.
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+                " div 86400000000"
+            ).alias("day"),
             F.round(F.col("value") * F.lit(1000000), 0)
             .cast("bigint")
             .alias("v_micro"),

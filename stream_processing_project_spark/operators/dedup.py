@@ -222,16 +222,41 @@ N_PERM = 32
 BAND_ROWS = 4  # 8 bands × 4 rows
 
 
+_MERSENNE31 = 2_147_483_647
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → 32-permutation MinHash signature over bigram shingles.
 
-    Per shingle, the 32 hashes are one codegen'd array expression
-    (xxhash64(sh, perm)); the signature is an element-wise array min in a
-    single groupBy — no explode of permutations, one shuffle on doc_id.
-    """
-    sh = _bigrams(docs, text_col)
+    CROSS-ENGINE REPRODUCIBLE (r08, VERDICT r07 task 6): the shingle
+    base hash is the first 15 hex chars of md5(shingle) as a 60-bit
+    bigint reduced mod 2^31-1 — which DuckDB computes identically as
+    ('0x' || substr(md5(..), 1, 15))::BIGINT — and the 32 permutations
+    are affine maps of that base (the md5_minhash_bands idiom below,
+    incl. the per-perm shift that keeps near-zero bases from winning
+    every perm at once). Pipelines built on these signatures therefore
+    carry full value-hash oracles, where the previous xxhash64(sh, p)
+    signatures could only be rows-only checked.
+
+    Plan shape: the base md5 is hashed ONCE per shingle, then
+    repartition(doc_id) acts as both the alias-inlining barrier (the
+    md5_minhash_bands lesson: without it Catalyst inlines the md5 into
+    the 32-perm lambda and re-hashes 32×) and the aggregation exchange
+    — the groupBy reuses the same hash distribution, so the barrier
+    costs no extra shuffle. The signature is an element-wise array min
+    in a single groupBy — no explode of permutations."""
+    m = _MERSENNE31
+    sh = _bigrams(docs, text_col).select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % {m}"
+        ).alias("h"),
+    ).repartition(F.col("doc_id"))
     hashes = F.expr(
-        f"transform(sequence(0, {N_PERM - 1}), p -> xxhash64(sh, cast(p AS int)))"
+        f"transform(sequence(0, {N_PERM - 1}), p -> "
+        f"(((h + CAST(p + 1 AS BIGINT) * 1122334455) % {m})"
+        f" * ((2654435761 * CAST(p + 1 AS BIGINT)) % {m})"
+        f" + (40503 * (CAST(p AS BIGINT) + 7)) % {m}) % {m})"
     )
     return (
         sh.withColumn("hs", hashes)
@@ -249,8 +274,12 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidate pairs: signatures banded 8×4; docs sharing any band
     bucket are candidates; estimated Jaccard = matching signature
-    positions / 32, thresholded. No oracle (hash-seed specific) — the
-    driver records a rows-only check; unit tests pin known duplicates.
+    positions / 32, thresholded. Fully deterministic cross-engine (r08):
+    signatures are the md5-affine family and band keys are md5 digests
+    of the comma-joined signature slice, so the registered
+    dedup_minhash_lsh query carries a full DuckDB value-hash oracle
+    (previously rows-only); unit tests additionally pin known
+    duplicates.
 
     Plan shape for scale: signatures are computed ONCE and persisted
     (|docs| × 32 longs — tiny next to the corpus), the band self-join
@@ -266,7 +295,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> xxhash64(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS})))"
+                f" b -> md5(concat_ws(',', transform(slice(sig,"
+                f" b * {BAND_ROWS} + 1, {BAND_ROWS}),"
+                f" x -> CAST(x AS STRING)))))"
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -382,7 +413,8 @@ def minhash_lsh_cross_pairs(
     band_expr = F.posexplode(
         F.expr(
             f"transform(sequence(0, {n_bands - 1}),"
-            f" b -> xxhash64(slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS})))"
+            f" b -> md5(concat_ws(',', transform(slice(sig,"
+            f" b * {BAND_ROWS} + 1, {BAND_ROWS}), x -> CAST(x AS STRING)))))"
         )
     ).alias("band_idx", "band_hash")
     bbands = bsigs.select(F.col("doc_id").alias("new_id"), band_expr)
@@ -421,18 +453,38 @@ def minhash_lsh_cross_pairs(
 
 
 def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → 64-element 0/1 array: sign of the per-bit vote over
-    xxhash64(token) of every (distinct-position) token. Pure array
-    aggregates, no shuffle beyond the source partitioning."""
-    toks = F.expr(f"transform(split(trim({text_col}), ' '), w -> xxhash64(w))")
+    """doc_id → 64-element 0/1 array: sign of the per-bit vote over a
+    CROSS-ENGINE 64-bit md5 token hash — bits 0-59 from the first 15
+    hex chars of md5(token) as a bigint, bits 60-63 from the 16th hex
+    char — of every (distinct-position) token. r08 (VERDICT r07 task
+    6): md5 replaces the xxhash64 token hash so simhash pipelines
+    value-hash-oracle in DuckDB (('0x' || substr(md5(w), 1, 15))::BIGINT
+    reproduces conv() exactly). The token-hash projection materializes
+    behind a repartition(doc_id) barrier — the md5_minhash_bands
+    alias-inlining lesson: collapsed into one projection, the md5
+    re-evaluates 64× per token inside the per-bit vote lambda."""
+    hp = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col(text_col)), " ").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(_toks, w -> array("
+                "CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT),"
+                " CAST(conv(substr(md5(w), 16, 1), 16, 10) AS BIGINT)))"
+            ).alias("th"),
+        )
+        .repartition(F.col("doc_id"))
+    )
     bits = F.expr(
-        "transform(sequence(0, 63), j -> CASE WHEN aggregate(tok_hashes, 0L,"
-        " (acc, h) -> acc + CASE WHEN (shiftright(h, cast(j AS int)) & 1) = 1"
+        "transform(sequence(0, 63), j -> CASE WHEN aggregate(th, 0L,"
+        " (acc, x) -> acc + CASE WHEN (shiftright("
+        "CASE WHEN j < 60 THEN element_at(x, 1) ELSE element_at(x, 2) END,"
+        " CAST(CASE WHEN j < 60 THEN j ELSE j - 60 END AS INT)) & 1) = 1"
         " THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END)"
     )
-    return docs.select("doc_id", toks.alias("tok_hashes")).select(
-        "doc_id", bits.alias("bits")
-    )
+    return hp.select("doc_id", bits.alias("bits"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -445,9 +497,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     (64/(h+1) bits → 2^(64/(h+1)) buckets): the honest scale tradeoff
     is candidate volume ∝ n²/2^bandwidth per band, so keep max_hamming
     small at corpus scale (Manku et al.'s 3-bit budget keeps 16-bit
-    bands). Bits are hash-seeded → the driver check on the raw pair set
-    stays rows-only, but the containment companion query
-    (dedup_simhash_containment) is fully oracled."""
+    bands). Fully deterministic cross-engine (r08): bits come from the
+    md5 token hash and band keys are the bit-slice rendered as a 0/1
+    string, so the registered dedup_simhash query carries a full DuckDB
+    value-hash oracle (previously rows-only); the containment companion
+    (dedup_simhash_containment) stays as the recall gate."""
     n_bands = max_hamming + 1
     width = 64 // n_bands  # last band absorbs the remainder
     sigs = simhash_bits(docs).persist()
@@ -456,8 +510,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> xxhash64(slice(bits, b * {width} + 1,"
-                f" CASE WHEN b = {n_bands - 1} THEN 64 ELSE {width} END)))"
+                f" b -> concat_ws('', transform(slice(bits, b * {width} + 1,"
+                f" CASE WHEN b = {n_bands - 1} THEN 64 ELSE {width} END),"
+                f" x -> CAST(x AS STRING))))"
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -481,7 +536,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     return (
         cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")), "doc_b")
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -241,13 +241,21 @@ def decontaminate(
 def fingerprint_docs(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS scheme): rolling hashes
-    of all k-char grams, then the minimum inside each sliding window of
+    """Winnowing document fingerprints (the MOSS scheme): hashes of all
+    k-char grams, then the minimum inside each sliding window of
     `window` consecutive grams. Guarantee: two documents sharing a
     substring of length >= k + window - 1 share >= 1 fingerprint — the
     candidate-pair generator for plagiarism-style near-dup mining (join
     on exploded fingerprints, like the shingle path in dedup.py).
     Higher-order functions, O(len × window) JVM work per document.
+
+    r08 (VERDICT r07 task 6): the gram hash is the cross-engine 60-bit
+    md5 (conv(substr(md5(..), 1, 15), 16, 10), which DuckDB reproduces
+    as ('0x' || substr(md5(..), 1, 15))::BIGINT) instead of xxhash64,
+    so winnowing pipelines carry full value-hash oracles. md5 costs
+    ~2× xxhash64 per gram — the honest price of a verifiable sketch;
+    the gram array materializes once (below), so the hash runs exactly
+    once per (doc, position).
 
     Execution note (the refine-pipeline lesson, PLANS.md): the gram
     array MUST materialize (fan-out + localCheckpoint) before the
@@ -263,7 +271,8 @@ def fingerprint_docs(
 
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)),"
-        f" i -> xxhash64(substring({text_col}, i, {k})))"
+        f" i -> CAST(conv(substr(md5(substring({text_col}, i, {k})),"
+        f" 1, 15), 16, 10) AS BIGINT))"
     )
     with_grams = (
         fan_out_if_narrow(df.filter(F.length(text_col) >= k))

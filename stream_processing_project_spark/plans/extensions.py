@@ -2,13 +2,17 @@
 text analysis, multimodal plumbing, and the vectorized-UDF surface
 (SURVEY.md §2.7, §7 M4; BASELINE.json north star).
 
-Hash-seeded sketches (MinHash LSH, SimHash, hyperplane ANN) have no
-cross-engine oracle for their raw output — the driver records rows-only
-checks there — but EACH is paired with a fully-oracled companion:
-containment gates that semi-join exact near-dup pairs against the
-sketch's candidates (dedup_minhash_containment, dedup_simhash_containment,
-text_winnow_containment), and deterministic ANN twins whose approximation
-reproduces in SQL (similarity_ann_lsh_oracled, similarity_ann_ivf_oracled).
+Sketch oracling (r08, VERDICT r07 task 6): MinHash LSH, SimHash and
+winnowing now use cross-engine md5-derived hashes, so their raw sketch
+output carries FULL DuckDB value-hash oracles (dedup_minhash_lsh,
+dedup_simhash, text_winnow_candidates), on top of the fully-oracled
+containment companions that semi-join exact near-dup pairs against each
+sketch's candidates (dedup_minhash_containment,
+dedup_simhash_containment, text_winnow_containment). The ONLY rows-only
+queries left are the two Gaussian-GEMM ANN builds (similarity_ann_lsh,
+similarity_ann_ivf) — adjudicated no-gos (numpy float trajectories
+don't reproduce in SQL), each paired with a registered deterministic
+twin that does (similarity_ann_lsh_oracled, similarity_ann_ivf_oracled).
 Everything else carries an exact DuckDB oracle directly.
 """
 
@@ -754,20 +758,125 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(t(spark, sf_dir, "documents"))
 
 
-@register("dedup_minhash_lsh", tags=("bench",))
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1]))) AS s
+  FROM words WHERE len(ws) >= 2
+),
+base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM sh
+),
+hs AS (
+  SELECT doc_id, p.p,
+         min((((h + (p.p + 1) * 1122334455) % 2147483647)
+              * ((2654435761 * (p.p + 1)) % 2147483647)
+              + (40503 * (p.p + 7)) % 2147483647) % 2147483647) AS h
+  FROM base, range(0, 32) p(p) GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM hs GROUP BY 1),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         md5(array_to_string(list_transform(
+             list_slice(sig, b.b * 4 + 1, b.b * 4 + 4),
+             x -> CAST(x AS VARCHAR)), ',')) AS bh
+  FROM sig, range(0, 8) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN sa.sig[p.p] = sb.sig[p.p] THEN 1 ELSE 0 END) / 32.0
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b, range(1, 33) p(p)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+""",
+    tags=("bench",),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs with
-    estimated Jaccard ≥ 0.5. Hash-seeded — rows-only driver check on the
-    raw pair set; recall is driver-verified through the oracled
-    dedup_minhash_containment companion, and semantics are pinned by
-    tests with planted duplicates."""
+    estimated Jaccard ≥ 0.5. FULLY value-hash-oracled as of r08
+    (VERDICT r07 task 6): signatures use the cross-engine md5-affine
+    permutation family (operators/dedup.py::minhash_signatures) and
+    band keys are md5 digests of the signature slice, so the DuckDB
+    replay reproduces the sketch bit-for-bit — est_jaccard is an
+    integer match-count divided by 32.0 (identical integer operands →
+    identical IEEE double). Recall additionally driver-verified through
+    the oracled dedup_minhash_containment companion, and semantics are
+    pinned by tests with planted duplicates."""
     return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+),
+th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(w), 16, 1))::BIGINT AS h2
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN ((CASE WHEN j.j < 60 THEN h1 >> j.j
+                              ELSE h2 >> (j.j - 60) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM th, range(0, 64) j(j) GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+  FROM votes GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         array_to_string(list_transform(
+             list_slice(bits, b.b * 9 + 1,
+                        CASE WHEN b.b = 6 THEN 64 ELSE b.b * 9 + 9 END),
+             x -> CAST(x AS VARCHAR)), '') AS bh
+  FROM bits, range(0, 7) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(sum(CASE WHEN ba.bits[p.p] <> bb.bits[p.p] THEN 1 ELSE 0 END)
+              AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bits ba ON ba.doc_id = c.doc_a
+  JOIN bits bb ON bb.doc_id = c.doc_b, range(1, 65) p(p)
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 6) via 16-bit band buckets.
-    Hash-seeded — rows-only driver check on the raw pair set; recall is
+    """SimHash-64 near-dup pairs (Hamming ≤ 6) via pigeonhole band
+    buckets (7 bands of ~9 bits). FULLY value-hash-oracled as of r08
+    (VERDICT r07 task 6): bits derive from the cross-engine md5 token
+    hash (operators/dedup.py::simhash_bits) and band keys are plain 0/1
+    strings, so the DuckDB replay reproduces fingerprints, banding and
+    the exact Hamming verify bit-for-bit. Recall additionally
     driver-verified through the oracled dedup_simhash_containment
     companion."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
@@ -894,10 +1003,16 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (8 random-hyperplane sign bits) —
-    the scale path: each query scores only its bucket. Hash-seeded —
-    rows-only driver check (seeded); the bucket-prune shape is
-    driver-verified through similarity_ann_lsh_oracled, and recall vs
-    brute force is asserted in tests."""
+    the scale path: each query scores only its bucket. ORACLE NO-GO
+    (adjudicated r08, VERDICT r07 task 6): the hyperplanes are
+    RandomState Gaussian float32 rows applied by numpy GEMM inside
+    Arrow batches — not reproducible in SQL, so this stays rows-only BY
+    DESIGN. The bucket-prune shape is fully driver-verified through the
+    registered twin similarity_ann_lsh_oracled (integer-quantized
+    vectors, multiplicative-hash ±1 hyperplanes, same multi-probe plan,
+    full value-hash oracle); recall vs brute force is asserted in
+    tests. Kept registered because the Gaussian GEMM build is the
+    production variant."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
@@ -1119,9 +1234,18 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3: seeded KMeans coarse quantizer → inverted
     lists by centroid → nprobe=4-of-16 probing with exact cosine inside
-    probed lists. KMeans-seed specific — rows-only driver check (the
-    deterministic twin similarity_ann_ivf_oracled carries the oracle); recall
-    vs brute force asserted in tests."""
+    probed lists. ORACLE NO-GO (adjudicated r08, VERDICT r07 task 6):
+    the coarse quantizer trains with numpy float32 GEMM inside Arrow
+    batches — Lloyd iterations over RandomState-seeded init — and no
+    SQL engine reproduces that float trajectory bit-for-bit, so this
+    stays rows-only BY DESIGN. The approximation SHAPE is fully
+    driver-verified through the registered twin
+    similarity_ann_ivf_oracled (integer-quantized vectors,
+    multiplicative-hash centroids — same probe/prune plan, full
+    value-hash oracle); recall vs brute force asserted in tests. The
+    GEMM path is kept registered because it IS the production variant —
+    replacing it with the quantized twin would drop coverage of the
+    vectorized-pandas_udf index build."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
@@ -1515,17 +1639,47 @@ def udf_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_winnow_candidates")
+@register(
+    "text_winnow_candidates",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+           i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT)
+           AS grams
+  FROM documents WHERE length(text) >= 8
+),
+fp0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(grams) - 3),
+           j -> list_min(list_slice(grams, j + 1, j + 4)))) AS fps
+  FROM g WHERE len(grams) >= 4
+),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM fp0),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+rf AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+""",
+)
 def text_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup candidates: docs sharing >= 3 RARE
     fingerprints (shared substrings >= k+window-1 chars), found by an
     equi-join on exploded fingerprints — the plagiarism-detection
     pattern. Fingerprints appearing in > 10 docs are dropped first
     (common-phrase cap, same lever as the stop-shingle cap in dedup.py:
-    a fingerprint in df docs generates O(df²) pairs). Hash-based →
-    rows-only driver check; the winnowing guarantee is pinned in tests
-    and driver-verified through the oracled text_winnow_containment
-    companion."""
+    a fingerprint in df docs generates O(df²) pairs). FULLY
+    value-hash-oracled as of r08 (VERDICT r07 task 6): the gram hash is
+    the cross-engine 60-bit md5 (operators/text.py::fingerprint_docs),
+    so the DuckDB replay reproduces grams, window minima, the rarity
+    cap and the pair counts exactly; the winnowing guarantee stays
+    pinned in tests and driver-verified through the oracled
+    text_winnow_containment companion."""
     from stream_processing_project_spark.operators.text import fingerprint_docs
 
     fps = fingerprint_docs(t(spark, sf_dir, "documents")).select(

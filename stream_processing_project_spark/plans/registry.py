@@ -221,10 +221,13 @@ def _driver_green() -> set[str]:
     have hard driver signal, so they yield their window slot to
     still-unverified queries (matters only if the driver's correctness
     window truncates). "Satisfied" means hash-green, OR a completed
-    rows-only check for a query that by design has no oracle
-    (err == "no_oracle" with a real spark row count): a no-oracle query
-    can never do better than rows-only, so holding it at the front of
-    the rotation would permanently burn a window slot. Latest status
+    rows-only check for a query that STILL has no oracle in the current
+    registry (err == "no_oracle" with a real spark row count): a
+    no-oracle query can never do better than rows-only, so holding it
+    at the front of the rotation would permanently burn a window slot —
+    but a query that has GAINED an oracle since its rows-only pass (the
+    r08 md5-sketch upgrades) loses that credit and moves back to the
+    front so the driver records a hard hash row. Latest status
     wins, scanning all rounds: the driver samples a near-disjoint
     50-query window each round, so a query green in r01 but absent from
     r02 must still yield — but a query that REGRESSED in a later round
@@ -234,7 +237,7 @@ def _driver_green() -> set[str]:
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    latest: dict[str, bool] = {}
+    latest: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -243,12 +246,24 @@ def _driver_green() -> set[str]:
             continue
         for n, r in rows.items():
             if isinstance(r, dict):
-                hash_green = bool(r.get("rows_match") and r.get("hash_match"))
-                rows_only_done = (
-                    r.get("err") == "no_oracle" and r.get("spark_rows") is not None
-                )
-                latest[n] = hash_green or rows_only_done
-    return {n for n, ok in latest.items() if ok}
+                if r.get("rows_match") and r.get("hash_match"):
+                    latest[n] = "hash"
+                elif (
+                    r.get("err") == "no_oracle"
+                    and r.get("spark_rows") is not None
+                ):
+                    latest[n] = "rows_only"
+                else:
+                    latest[n] = "red"
+    return {
+        n
+        for n, kind in latest.items()
+        if kind == "hash"
+        or (
+            kind == "rows_only"
+            and (n not in _REGISTRY or _REGISTRY[n].oracle is None)
+        )
+    }
 
 
 def _reorder() -> None:

@@ -1,0 +1,99 @@
+"""A/B the applyInPandasWithState family's state-store backend at scale.
+
+VERDICT r07 task 2: the session-window family's second decade
+(sf1→sf10) measured 16.7×/decade with the default HDFSBackedStateStore
+— the adjudication pinned the cost as a family-wide per-key constant
+(Python/Arrow per-group invocation + state-store commit), not a
+session-window defect. This script measures the named remedies on the
+REAL curve corpora (/tmp/sfcurve2 ≈ sf1, /tmp/sfcurve100 ≈ sf10 —
+build with scripts/scale_curve_100x.py):
+
+  * provider A/B: HDFSBackedStateStoreProvider (default) vs
+    RocksDBStateStoreProvider (+ changelog checkpointing, so commits
+    ship deltas instead of snapshot files), and
+  * a cores-scaling ladder (local[4/8/16/32]) at a fixed sf: if wall
+    time scales ~1/cores, the per-key constant shards with
+    parallelism — i.e. with executors at cluster scale.
+
+One (query, sf, provider, cores) point per PROCESS (state-store
+provider is session-level conf), so the parent loops via subprocess:
+
+    python scripts/stateful_state_store_ab.py            # full matrix
+    python scripts/stateful_state_store_ab.py --point \
+        streaming_session_window /tmp/sfcurve2 rocksdb 32  # one point
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = ["streaming_session_window", "streaming_stateful_running_totals"]
+
+
+def run_point(query: str, sf_dir: str, provider: str, cores: int) -> None:
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.shuffle.partitions", "32")
+    )
+    if provider == "rocksdb":
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    spark = b.appName("stateful-ab").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    from stream_processing_project_spark.plans.registry import get
+
+    t0 = time.time()
+    n = get(query).builder(spark, sf_dir).count()
+    dt = time.time() - t0
+    print(
+        "POINT "
+        + json.dumps(
+            {
+                "query": query,
+                "sf_dir": sf_dir,
+                "provider": provider,
+                "cores": cores,
+                "sec": round(dt, 1),
+                "rows": n,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main() -> None:
+    if "--point" in sys.argv:
+        i = sys.argv.index("--point")
+        q, sf, prov, cores = sys.argv[i + 1 : i + 5]
+        run_point(q, sf, prov, int(cores))
+        return
+    points = []
+    # provider A/B at sf1 and sf10, 32 cores
+    for q in QUERIES:
+        for sf in ("/tmp/sfcurve2", "/tmp/sfcurve100"):
+            for prov in ("hdfs", "rocksdb"):
+                points.append((q, sf, prov, 32))
+    # cores ladder at sf10 for the session window, winning provider
+    # appended manually after reading the A/B — keep the matrix small.
+    for q, sf, prov, cores in points:
+        subprocess.run(
+            [sys.executable, __file__, "--point", q, sf, prov, str(cores)],
+            check=False,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -3456,16 +3456,21 @@ def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nn_descent_cte(k: int, bucket_size: int, iters: int) -> str:
+def _nn_descent_cte(
+    k: int, bucket_size: int, iters: int, prune_shortlist: int | None = None
+) -> str:
     """Unrolled NN-Descent as DuckDB CTEs; the final edge table is named
     e{iters}. Mirrors operators/similarity.py::nn_descent_graph stage
     for stage — adaptive B = ceil(n/bucket_size) (1-row scalar),
     seed = union of three hash-bucketings' top-k, then `iters` rounds
-    of (reverse ∪ two-hop) candidate scoring. Every CTE is MATERIALIZED:
-    each round references the previous one several times, and inlining
-    would re-expand the whole prefix exponentially (measured: the
-    4-round graph query runs in ~2 s materialized and did not finish in
-    10+ min inlined)."""
+    of (reverse ∪ two-hop) candidate scoring. With `prune_shortlist`
+    every candidate set first ranks by the exact int8 code dot
+    (operators/similarity.py::_q8_prune) and only each src's shortlist
+    reaches the cosine rerank — the same two-stage score the engine
+    runs. Every CTE is MATERIALIZED: each round references the previous
+    one several times, and inlining would re-expand the whole prefix
+    exponentially (measured: the 4-round graph query runs in ~2 s
+    materialized and did not finish in 10+ min inlined)."""
     from stream_processing_project_spark.operators.similarity import (
         NN_DESCENT_SEED_MULTIPLIERS,
     )
@@ -3479,18 +3484,28 @@ def _nn_descent_cte(k: int, bucket_size: int, iters: int) -> str:
     ON a.bkt = c.bkt AND a.id <> c.id"""
         for m in NN_DESCENT_SEED_MULTIPLIERS
     )
-    parts = [
-        f"""
-emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-                     FROM embeddings),
-nb AS MATERIALIZED (
-  SELECT greatest(1, (count(*) + {bucket_size - 1}) // {bucket_size}) AS b
-  FROM emb
-),
-seedp AS MATERIALIZED (
-{seed_unions}
-),
-e0 AS MATERIALIZED (
+
+    def scored_topk(pairs: str, out: str) -> str:
+        """Pair CTE → (optional int8-code shortlist →) cosine top-k."""
+        if prune_shortlist is not None:
+            short = f"""
+s_{out} AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT pr.src, pr.dst,
+           row_number() OVER (
+             PARTITION BY pr.src
+             ORDER BY CAST(list_dot_product(zs.q8::DOUBLE[], zd.q8::DOUBLE[])
+                           AS BIGINT) DESC, pr.dst) AS rs
+    FROM {pairs} pr
+    JOIN z8 zs ON zs.id = pr.src
+    JOIN z8 zd ON zd.id = pr.dst
+  ) WHERE rs <= {prune_shortlist}
+),"""
+            pairs = f"s_{out}"
+        else:
+            short = ""
+        return f"""{short}
+{out} AS MATERIALIZED (
   SELECT src, dst, cos FROM (
     SELECT s.src, s.dst,
            round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
@@ -3498,11 +3513,33 @@ e0 AS MATERIALIZED (
              PARTITION BY s.src
              ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, s.dst
            ) AS rn
-    FROM seedp s
+    FROM {pairs} s
     JOIN emb ea ON ea.id = s.src
     JOIN emb eb ON eb.id = s.dst
   ) WHERE rn <= {k}
 )"""
+
+    q8_cte = (
+        """,
+z8 AS MATERIALIZED (
+  SELECT id, list_transform(v, x -> least(greatest(
+           CAST(round(x * 128, 0) AS BIGINT), -127), 127)) AS q8
+  FROM emb
+)"""
+        if prune_shortlist is not None
+        else ""
+    )
+    parts = [
+        f"""
+emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+nb AS MATERIALIZED (
+  SELECT greatest(1, (count(*) + {bucket_size - 1}) // {bucket_size}) AS b
+  FROM emb
+){q8_cte},
+seedp AS MATERIALIZED (
+{seed_unions}
+),{scored_topk("seedp", "e0")}"""
     ]
     for i in range(iters):
         parts.append(
@@ -3523,20 +3560,7 @@ c{i + 1} AS MATERIALIZED (
     UNION ALL
     SELECT x.src, y.dst FROM u{i} x JOIN u{i} y
     ON x.dst = y.src AND x.src <> y.dst)
-),
-e{i + 1} AS MATERIALIZED (
-  SELECT src, dst, cos FROM (
-    SELECT c.src, c.dst,
-           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
-           row_number() OVER (
-             PARTITION BY c.src
-             ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, c.dst
-           ) AS rn
-    FROM c{i + 1} c
-    JOIN emb ea ON ea.id = c.src
-    JOIN emb eb ON eb.id = c.dst
-  ) WHERE rn <= {k}
-)"""
+),{scored_topk(f"c{i + 1}", f"e{i + 1}")}"""
         )
     return ",".join(parts)
 
@@ -3549,12 +3573,18 @@ e{i + 1} AS MATERIALIZED (
 # faster (Dong et al. §5). Seed bucket size 64 (B = ⌈n/64⌉ adapts
 # with the corpus, keeping the seed linear).
 _NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS = 8, 64, 4
+# int8-code prune shortlist (VERDICT r07 task 3): candidates rank by
+# exact integer code dot first; only each node's 32 best touch full
+# vectors. Fixture recall with the prune == without (0.79 at sf0.01);
+# the 4-bit PQ/SDC variant the verdict named was measured first and
+# collapsed recall to 0.42 (operators/similarity.py::_q8_codes).
+_NN_DESCENT_SHORTLIST = 32
 
 
 @register(
     "similarity_nn_descent_graph",
     oracle=f"""
-WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS)}
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST)}
 SELECT src AS vec_id, dst AS neighbor_id, cos, CAST(rn AS INTEGER) AS rank
 FROM (
   SELECT src, dst, cos,
@@ -3572,21 +3602,26 @@ def similarity_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the graph degree (2k + 4k²), never by corpus size, which is
     what makes this THE scale path for graph-ANN index builds where
     bucketed query-time ANN (similarity_ann_lsh/ivf) doesn't apply.
-    Fully deterministic, so the approximate graph itself
-    value-hash-oracles against the unrolled-CTE SQL replay
+    Candidates are pruned to _NN_DESCENT_SHORTLIST (= 32) per node by
+    exact int8 code dot before the cosine rerank, so the per-round
+    shuffle ships 64 B codes instead of 512 B vectors (the r07
+    adjudicated sf10 residual). Fully deterministic, so the
+    approximate graph itself value-hash-oracles against the
+    unrolled-CTE SQL replay
     (operators/similarity.py::nn_descent_graph)."""
     return similarity.nn_descent_graph(
         t(spark, sf_dir, "embeddings"),
         k=_NN_DESCENT_K,
         seed_bucket_size=_NN_DESCENT_BSIZE,
         iters=_NN_DESCENT_ITERS,
+        pq_shortlist=_NN_DESCENT_SHORTLIST,
     )
 
 
 @register(
     "similarity_nn_descent_recall",
     oracle=f"""
-WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS)},
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST)},
 panel AS (SELECT id, v FROM emb WHERE id % 20 = 0 AND id < 10000),
 exact AS (
   SELECT src, dst FROM (
@@ -3624,6 +3659,7 @@ def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_NN_DESCENT_K,
         seed_bucket_size=_NN_DESCENT_BSIZE,
         iters=_NN_DESCENT_ITERS,
+        pq_shortlist=_NN_DESCENT_SHORTLIST,
     ).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -3943,3 +3979,258 @@ def similarity_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return assigned.union(noise)
+
+
+# --- r08 additions: MMR diverse re-ranking + graph-ANN beam search ------------
+
+_MMR_POOL, _MMR_K, _MMR_LAM, _MMR_COMP = 48, 10, 7, 3  # λ = 0.7, scaled ×10
+
+
+def _mmr_oracle(pool: int, k: int, lam: int, comp: int, dim: int) -> str:
+    """Unrolled greedy MMR as DuckDB CTEs — the k-center oracle idiom:
+    one (pick, survivors-update) pair per round, all scores exact
+    bigint dots of the 2^20-quantized vectors."""
+    scale = 1 << 20
+    dot = (
+        "CAST(list_sum(list_transform(range(1, {d1}), "
+        "i -> d.qv[i] * {other}.qv[i])) AS BIGINT)"
+    )
+    parts = [
+        f"""
+q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {scale}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qid AS (SELECT min(vec_id) AS qid FROM q),
+qr AS MATERIALIZED (SELECT qv FROM q ORDER BY vec_id LIMIT 1),
+s0 AS MATERIALIZED (
+  SELECT d.vec_id, d.qv,
+         {dot.format(d1=dim + 1, other="r")} AS rel,
+         CAST(0 AS BIGINT) AS ms
+  FROM q d, qr r, qid WHERE d.vec_id <> qid.qid
+  ORDER BY rel DESC, d.vec_id LIMIT {pool}
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT vec_id, qv, rel, ms FROM s{r - 1}
+  ORDER BY {lam} * rel - {comp} * ms DESC, vec_id LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT d.vec_id, d.qv, d.rel,
+         greatest(d.ms, {dot.format(d1=dim + 1, other="p")}) AS ms
+  FROM s{r - 1} d, p{r} p WHERE d.vec_id <> p.vec_id
+)"""
+        )
+    picks = "\nUNION ALL ".join(
+        f"SELECT {r} AS pick, vec_id, rel AS rel_dot, ms AS max_sim_dot,"
+        f" {lam} * rel - {comp} * ms AS mmr_score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + picks
+
+
+@register(
+    "similarity_mmr_select",
+    oracle=_mmr_oracle(_MMR_POOL, _MMR_K, _MMR_LAM, _MMR_COMP, 64),
+)
+def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — diverse top-k selection for a query: greedily pick
+    argmax λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s), the standard
+    redundancy-killer for retrieval-augmented data curation (the
+    RELEVANCE-diversity complement of sampling_kcenter_diversity's
+    pure-coverage objective). Query = the min-vec_id embedding; stage
+    1 is ONE corpus pass (exact integer dot vs the broadcast query,
+    TakeOrderedAndProject top-48 pool); stage 2 runs k=10 greedy
+    rounds on the fixed-size pool — per-round state is one collected
+    row (the k-center/MLlib iterative idiom), so corpus size only
+    ever touches stage 1. λ = 0.7 enters as exact integers (7·rel −
+    3·maxsim, both ×10): every score is a bigint, ties break by
+    vec_id, and the whole greedy trajectory value-hash-oracles
+    against the unrolled SQL replay."""
+    from stream_processing_project_spark.operators.similarity import (
+        _quantize_expr,
+    )
+
+    dim, pool_n, k = 64, _MMR_POOL, _MMR_K
+    q = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_quantize_expr('embedding', dim)} AS qv"
+    )
+    out_schema = (
+        "pick int, vec_id bigint, rel_dot bigint, max_sim_dot bigint,"
+        " mmr_score bigint"
+    )
+    qrow = q.orderBy("vec_id").limit(1).collect()
+    if not qrow:
+        return spark.createDataFrame([], out_schema)
+    qid, qv = qrow[0]["vec_id"], qrow[0]["qv"]
+
+    def dot_to(vec: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pool = (
+        q.filter(F.col("vec_id") != qid)
+        .select("vec_id", "qv", dot_to(qv).alias("rel"))
+        .withColumn("ms", F.lit(0).cast("long"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool_n)
+        .localCheckpoint(eager=False)
+    )
+    score = F.lit(_MMR_LAM) * F.col("rel") - F.lit(_MMR_COMP) * F.col("ms")
+    picks = []
+    for r in range(1, k + 1):
+        top = pool.orderBy(score.desc(), "vec_id").limit(1).collect()
+        if not top:
+            break
+        p = top[0]
+        picks.append(
+            (
+                r,
+                p["vec_id"],
+                int(p["rel"]),
+                int(p["ms"]),
+                _MMR_LAM * int(p["rel"]) - _MMR_COMP * int(p["ms"]),
+            )
+        )
+        pool = (
+            pool.filter(F.col("vec_id") != p["vec_id"])
+            .select(
+                "vec_id",
+                "qv",
+                "rel",
+                F.greatest(F.col("ms"), dot_to(p["qv"])).alias("ms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(picks, out_schema)
+
+
+_BEAM_W, _BEAM_ROUNDS, _BEAM_K = 8, 5, 5
+
+
+def _beam_search_cte(beam: int, rounds: int, k: int) -> str:
+    """Beam-search routing over the NN-Descent graph as unrolled CTEs,
+    appended after the graph CTE prefix (final edge table e{iters})."""
+    g = f"e{_NN_DESCENT_ITERS}"
+    parts = [
+        f"""
+panel AS MATERIALIZED (SELECT id, v FROM emb WHERE id % 20 = 0 AND id < 10000),
+entry AS (SELECT min(id) AS eid FROM emb),
+bm0 AS MATERIALIZED (SELECT p.id AS query_id, e.eid AS node FROM panel p, entry e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+bc{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM bm{i - 1}
+    UNION ALL
+    SELECT b.query_id, g.dst AS node FROM bm{i - 1} b JOIN {g} g ON g.src = b.node)
+),
+bsc{i} AS MATERIALIZED (
+  SELECT c.query_id, c.node,
+         round(list_cosine_similarity(p.v, ev.v), 6) AS cos
+  FROM bc{i} c JOIN panel p ON p.id = c.query_id JOIN emb ev ON ev.id = c.node
+),
+bm{i} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+    FROM bsc{i}
+  ) WHERE rn <= {beam}
+)"""
+        )
+    final = f"""
+SELECT query_id, node AS neighbor_id, cos, CAST(rn2 AS INTEGER) AS rank FROM (
+  SELECT query_id, node, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, node) AS rn2
+  FROM bsc{rounds} WHERE node <> query_id
+) WHERE rn2 <= {k}"""
+    return ",".join(parts) + final
+
+
+@register(
+    "similarity_graph_beam_search",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST)},
+{_beam_search_cte(_BEAM_W, _BEAM_ROUNDS, _BEAM_K)}
+""",
+)
+def similarity_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN SERVING over the NN-Descent index — beam-search query
+    routing (the HNSW/DiskANN query side, deterministic): from a fixed
+    entry node, each of _BEAM_ROUNDS (= 3) rounds expands the current
+    beam through the k-NN graph's edges (ONE equi-join on node id —
+    candidates per query ≤ beam·(k+1), never corpus-sized), scores
+    candidates by exact cosine against the query, and keeps the
+    _BEAM_W (= 8) best; the final beam emits top-_BEAM_K neighbors per
+    panel query. Completes the graph family: nn_descent_graph BUILDS
+    the index, this op answers queries through it — at 100 TB the
+    graph is the only corpus-sized table touched, queries ride
+    broadcasts, and hop count (not corpus size) bounds latency. Panel
+    = the established fixed ≤10k-id query set. Every stage reuses the
+    graph oracle's determinism (rounded cosine, id tie-breaks), so the
+    routed results value-hash-oracle end to end."""
+    emb_raw = t(spark, sf_dir, "embeddings")
+    g = similarity.nn_descent_graph(
+        emb_raw,
+        k=_NN_DESCENT_K,
+        seed_bucket_size=_NN_DESCENT_BSIZE,
+        iters=_NN_DESCENT_ITERS,
+        pq_shortlist=_NN_DESCENT_SHORTLIST,
+    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    g = g.localCheckpoint(eager=False)
+    emb = emb_raw.selectExpr(
+        "vec_id AS id", "CAST(embedding AS array<double>) AS v"
+    )
+    panel = emb.filter((F.col("id") % 20 == 0) & (F.col("id") < 10000)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("pv")
+    )
+    entry = emb.agg(F.min("id").alias("node"))
+    beam = panel.select("query_id").crossJoin(F.broadcast(entry))
+    node_v = emb.select(F.col("id").alias("node"), F.col("v").alias("nv"))
+    from stream_processing_project_spark.operators.similarity import cosine
+
+    scored = None
+    for _ in range(_BEAM_ROUNDS):
+        nbrs = beam.join(g, beam["node"] == g["src"]).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = beam.union(nbrs).distinct()
+        scored = (
+            cand.join(node_v, "node")
+            .join(F.broadcast(panel), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine(F.col("pv"), F.col("nv")), 6).alias("cos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        wb = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("node")
+        )
+        beam = (
+            scored.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= _BEAM_W)
+            .select("query_id", "node")
+        )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("node"))
+    return (
+        scored.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _BEAM_K)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cos", "rank")
+    )

@@ -203,6 +203,11 @@ _PRIORITY = [
     "timeseries_dtw_pairs",
     "similarity_dbscan_clusters",
     "sampling_kcenter_diversity",
+    # r08 additions: registered EARLY (VERDICT r08 window guidance) so
+    # they land inside the driver's ~50-name correctness window behind
+    # the 13 rollovers (10 never-checked + 3 md5-upgraded sketches).
+    "similarity_mmr_select",
+    "similarity_graph_beam_search",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

@@ -33,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUERIES = ["streaming_session_window", "streaming_stateful_running_totals"]
 
 
-def run_point(query: str, sf_dir: str, provider: str, cores: int) -> None:
+def run_point(
+    query: str, sf_dir: str, provider: str, cores: int, sink: str = "memory"
+) -> None:
     from pyspark.sql import SparkSession
 
     b = (
@@ -53,10 +55,43 @@ def run_point(query: str, sf_dir: str, provider: str, cores: int) -> None:
         )
     spark = b.appName("stateful-ab").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    from stream_processing_project_spark.plans.registry import get
 
     t0 = time.time()
-    n = get(query).builder(spark, sf_dir).count()
+    if sink == "noop":
+        # operator-cost mode: the registered queries drain through a
+        # MEMORY sink (the correctness gate needs the rows), but a
+        # 9.5M-row answer collected to one driver measures the harness,
+        # not the operator — production sinks are distributed. Drive
+        # the same stateful stream into format("noop") instead.
+        import uuid
+
+        from stream_processing_project_spark.operators.stateful import (
+            running_totals_stream,
+            session_window_stream,
+        )
+        from stream_processing_project_spark.streaming import pipeline
+
+        events = pipeline.file_event_stream(spark, sf_dir)
+        if query == "streaming_session_window":
+            out = session_window_stream(events)
+            mode = "append"
+        else:
+            events = pipeline.cdc_event_stream(spark, sf_dir, min_partitions=16)
+            out = running_totals_stream(events)
+            mode = "update"
+        q = (
+            out.writeStream.outputMode(mode)
+            .format("noop")
+            .option("checkpointLocation", pipeline.checkpoint_dir("ab"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        n = -1
+    else:
+        from stream_processing_project_spark.plans.registry import get
+
+        n = get(query).builder(spark, sf_dir).count()
     dt = time.time() - t0
     print(
         "POINT "
@@ -66,6 +101,7 @@ def run_point(query: str, sf_dir: str, provider: str, cores: int) -> None:
                 "sf_dir": sf_dir,
                 "provider": provider,
                 "cores": cores,
+                "sink": sink,
                 "sec": round(dt, 1),
                 "rows": n,
             }
@@ -77,8 +113,10 @@ def run_point(query: str, sf_dir: str, provider: str, cores: int) -> None:
 def main() -> None:
     if "--point" in sys.argv:
         i = sys.argv.index("--point")
-        q, sf, prov, cores = sys.argv[i + 1 : i + 5]
-        run_point(q, sf, prov, int(cores))
+        args = sys.argv[i + 1 :]
+        q, sf, prov, cores = args[:4]
+        sink = args[4] if len(args) > 4 else "memory"
+        run_point(q, sf, prov, int(cores), sink)
         return
     points = []
     # provider A/B at sf1 and sf10, 32 cores

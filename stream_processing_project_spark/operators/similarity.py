@@ -331,31 +331,53 @@ def kmeans_fit(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run the Lloyd loop and return (quantized corpus frame
     `(vec_id, qq)`, trained centroid list) — the reusable half of
     kmeans_train, so downstream index builds (ivf_trained_topk) consume
-    the trained codebook directly."""
+    the trained codebook directly.
+
+    `train_cap=N` (r08, VERDICT r07 task 5) trains the codebook on a
+    deterministic hash-rank sample — the N smallest rows by
+    (vec_id·knuth mod 2³², vec_id), ONE TakeOrderedAndProject pass —
+    instead of the full corpus, the production shape at 100 TB (Lloyd
+    over the whole corpus was the flagged 3.2×-decade stage; FAISS
+    trains IVF codebooks on ~256·nlist samples for the same reason).
+    Seeds come from the sample; the returned corpus frame is still the
+    FULL quantized corpus, and the one full assignment pass downstream
+    is unchanged. When n ≤ N the sample IS the corpus, so fixture
+    results — and the recall pins — are bit-identical to full
+    training."""
     spark_q = corpus.selectExpr(
         f"{id_col} AS vec_id",
         f"transform({_quantize_expr(vec_col, dim)},"
         f" x -> x + {QUANT_SCALE}) AS qq",
-    ).persist()  # the training set: every Lloyd round collects against
-    # it — caching is what keeps each round ONE pass over (vec_id, qq)
-    # instead of a fresh corpus scan (MLlib does the same). The cache's
-    # lifetime is THIS loop only: it is released before returning, so
-    # registry-wide sweeps (driver gate, rehearsal) don't accumulate
-    # cached frames across queries (ADVICE r03). Downstream census/
-    # index passes recompute the narrow quantize projection — a single
-    # column-pruned parquet scan each, which is also the only shape
-    # that works when the corpus exceeds cluster memory.
+    )
+    if train_cap is not None:
+        h = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296))
+        train = spark_q.orderBy(h.asc(), F.col("vec_id").asc()).limit(
+            train_cap
+        )
+    else:
+        train = spark_q
+    train = train.persist()  # the training set: every Lloyd round
+    # collects against it — caching is what keeps each round ONE pass
+    # over (vec_id, qq) instead of a fresh corpus scan (MLlib does the
+    # same). The cache's lifetime is THIS loop only: it is released
+    # before returning, so registry-wide sweeps (driver gate,
+    # rehearsal) don't accumulate cached frames across queries
+    # (ADVICE r03). Downstream census/index passes recompute the
+    # narrow quantize projection — a single column-pruned parquet scan
+    # each, which is also the only shape that works when the corpus
+    # exceeds cluster memory.
     try:
-        seeds = spark_q.orderBy("vec_id").limit(k).collect()
+        seeds = train.orderBy("vec_id").limit(k).collect()
         centroids: list[list[int]] = [list(r.qq) for r in seeds]
         for _ in range(iters):
             dist_c, cid_c = _centroid_assignment(centroids)
             rows = (
-                spark_q.select("qq", cid_c)
+                train.select("qq", cid_c)
                 .groupBy("cid")
                 .agg(
                     F.count(F.lit(1)).alias("n"),
@@ -372,7 +394,7 @@ def kmeans_fit(
                     int(r[f"s{i}"]) // n for i in range(dim)
                 ]
     finally:
-        spark_q.unpersist(blocking=False)
+        train.unpersist(blocking=False)
     return spark_q, centroids
 
 
@@ -449,6 +471,7 @@ def ivfpq_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF-PQ END-TO-END — the production billion-vector serving path
     composed from the repo's trained pieces in ONE deterministic
@@ -479,17 +502,33 @@ def ivfpq_topk(
     against a |queries|·m·2^bits-row broadcast LUT; full vectors are
     re-read only for the shortlist."""
     sub = dim // m
-    spark_q, centroids = kmeans_fit(corpus, k, iters, dim, id_col, vec_col)
+    spark_q, centroids = kmeans_fit(
+        corpus, k, iters, dim, id_col, vec_col, train_cap=train_cap
+    )
     _, cid_c = _centroid_assignment(centroids)
     # the assigned+quantized corpus feeds codebook, candidates and the
     # rerank — pin it once (the pq_topk materialization rule)
-    lists = spark_q.select("vec_id", "qq", cid_c).localCheckpoint(eager=True)
     code_cols = [
         f"{_sub_code_expr('qq', j, bits, sub)} AS code_{j}" for j in range(m)
     ]
-    coded = lists.selectExpr("vec_id", "qq", "cid", *code_cols)
     codes_arr = F.array(*[F.col(f"code_{j}") for j in range(m)])
-    ccode = coded.select("vec_id", "qq", F.posexplode(codes_arr).alias("j", "code"))
+    # ONE materialized corpus pass carrying everything downstream
+    # consumers need — quantized vectors, list assignment AND packed
+    # codes. r08 profile at sf10: the assign pass, the codes pass and
+    # their two checkpoint writes were ~30 s of the 48 s total when
+    # materialized separately (the codes expression additionally
+    # re-evaluated once per consumer before that); fused they are one
+    # scan + one write.
+    coded = (
+        spark_q.select("vec_id", "qq", cid_c)
+        .selectExpr("vec_id", "qq", "cid", *code_cols)
+        .select("vec_id", "qq", "cid", codes_arr.alias("codes"))
+        .localCheckpoint(eager=True)
+    )
+    lists = coded.select("vec_id", "qq", "cid")
+    ccode = coded.select(
+        "vec_id", "qq", F.posexplode("codes").alias("j", "code")
+    )
     cexp = ccode.select(
         "j",
         "code",
@@ -517,7 +556,7 @@ def ivfpq_topk(
         ).alias("probe"),
     ).select("query_id", F.col("probe").getItem(1).alias("cid"))
     cand = (
-        coded.select("vec_id", "cid", codes_arr.alias("codes"))
+        coded.select("vec_id", "cid", "codes")
         .join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")

@@ -634,7 +634,7 @@ def retract_stream(changes: DataFrame) -> DataFrame:
 SESSION_WINDOW_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("sess_start", StringType()),
+        StructField("s0_us", LongType()),
         StructField("n_events", LongType()),
         StructField("sum_val", DoubleType()),
     ]
@@ -717,13 +717,14 @@ def _sessionize(
     else:
         state.remove()
     if closed:
+        # session start leaves Python as raw int64 micros — the string
+        # render is JVM-side date_format in session_window_stream
+        # (measured r08: per-session pd.Timestamp().strftime() in the
+        # flush batch was ~25% of the sf10 wall)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(closed),
-                "sess_start": [
-                    pd.Timestamp(s[0], unit="us").strftime("%Y-%m-%d %H:%M:%S")
-                    for s in closed
-                ],
+                "s0_us": [s[0] for s in closed],
                 "n_events": [s[2] for s in closed],
                 "sum_val": [s[3] for s in closed],
             }
@@ -752,10 +753,19 @@ def session_window_stream(events: DataFrame, watermark: str = "1 hour") -> DataF
     ev = events.select(
         "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
     ).withWatermark("ts", watermark)
-    return ev.groupBy("user_id").applyInPandasWithState(
+    out = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize,
         SESSION_WINDOW_SCHEMA,
         _SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+    # vectorized JVM-side render of the session-start string (the UTC
+    # container contract; fixture micros are second-truncated upstream)
+    return out.select(
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("s0_us")), "yyyy-MM-dd HH:mm:ss")
+        .alias("sess_start"),
+        "n_events",
+        "sum_val",
     )

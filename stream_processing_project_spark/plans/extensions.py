@@ -1306,7 +1306,9 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(t(spark, sf_dir, "embeddings"))
 
 
-def _kmeans_rounds_cte(k: int, iters: int, dim: int) -> str:
+def _kmeans_rounds_cte(
+    k: int, iters: int, dim: int, train_cap: int | None = None
+) -> str:
     """Shared WITH-body for the Lloyd's-training oracles: quantized
     vectors `q`, seed centroids `c0`, unrolled assign/update rounds,
     and a final assignment `a{iters+1}` against the trained centroids
@@ -1314,7 +1316,9 @@ def _kmeans_rounds_cte(k: int, iters: int, dim: int) -> str:
     over the CROSS JOIN with the k-row centroid table; each update is
     per-dim integer floor division (offset-shifted values are
     non-negative so // == Spark's div). Seeds are the k smallest
-    vec_ids."""
+    vec_ids. With `train_cap` the rounds (and seeds) run over the
+    deterministic hash-rank sample `tr` (kmeans_fit's train_cap); the
+    final assignment still covers the full corpus."""
     d1 = dim + 1
     assign = (
         "a{n} AS (\n"
@@ -1322,7 +1326,7 @@ def _kmeans_rounds_cte(k: int, iters: int, dim: int) -> str:
         "         min([CAST(list_sum(list_transform(range(1, {d1}),\n"
         "                d -> (q.qq[d] - c.c[d]) * (q.qq[d] - c.c[d]))) AS BIGINT),\n"
         "              c.cid]) AS best\n"
-        "  FROM q CROSS JOIN c{p} c GROUP BY q.vec_id\n"
+        "  FROM {src} q CROSS JOIN c{p} c GROUP BY q.vec_id\n"
         ")"
     )
     update = (
@@ -1338,22 +1342,34 @@ def _kmeans_rounds_cte(k: int, iters: int, dim: int) -> str:
         "       USING (cid)\n"
         ")"
     )
+    train_src = "tr" if train_cap is not None else "q"
     rounds = ",\n".join(
-        assign.format(n=i, p=i - 1, d1=d1) + ",\n" + update.format(n=i, p=i - 1, d1=d1)
+        assign.format(n=i, p=i - 1, d1=d1, src=train_src)
+        + ",\n"
+        + update.format(n=i, p=i - 1, d1=d1)
         for i in range(1, iters + 1)
+    )
+    tr_cte = (
+        f""",
+tr AS MATERIALIZED (
+  SELECT vec_id, qq FROM q
+  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT {train_cap}
+)"""
+        if train_cap is not None
+        else ""
     )
     return f"""q AS (
   SELECT vec_id,
          list_transform(range(1, {d1}),
            d -> CAST(round(v[d] * 1048576.0) AS BIGINT) + 1048576) AS qq
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-),
+){tr_cte},
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, qq AS c
-  FROM (SELECT vec_id, qq FROM q ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, qq FROM {train_src} ORDER BY vec_id LIMIT {k})
 ),
 {rounds},
-{assign.format(n=iters + 1, p=iters, d1=d1)}"""
+{assign.format(n=iters + 1, p=iters, d1=d1, src="q")}"""
 
 
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
@@ -1422,6 +1438,7 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivfpq_e2e_oracle(
     k: int, iters: int, dim: int, m: int, bits: int,
     n_probe: int, shortlist: int, topk: int, n_queries: int,
+    train_cap: int | None = None,
 ) -> str:
     """IVF-PQ end-to-end oracle: the shared Lloyd's rounds
     (_kmeans_rounds_cte — OFFSET-quantized vectors `q`, trained
@@ -1450,7 +1467,7 @@ def _ivfpq_e2e_oracle(
         " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))) AS BIGINT)"
     )
     return f"""
-WITH {_kmeans_rounds_cte(k, iters, dim)},
+WITH {_kmeans_rounds_cte(k, iters, dim, train_cap)},
 lists AS (SELECT vec_id, qq, best[2] AS cid FROM a{iters + 1}),
 codes AS (SELECT vec_id, cid, qq, [{codes}] AS pq FROM lists),
 cexp AS (
@@ -1510,9 +1527,17 @@ SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+# Lloyd's codebook trains on a 2000-row deterministic hash-rank sample
+# (VERDICT r07 task 5): at sf0.01/sf0.1 (≤2000 vectors) the sample IS
+# the corpus — fixture results and recall pins bit-identical to full
+# training; at sf1/sf10 the flagged 3.2×-decade training stage becomes
+# O(cap) while index/query passes stay the only corpus-sized work.
+_IVFPQ_TRAIN_CAP = 2000
+
+
 @register(
     "similarity_ann_ivfpq_e2e",
-    oracle=_ivfpq_e2e_oracle(8, 3, 64, 16, 5, 2, 50, 5, 10),
+    oracle=_ivfpq_e2e_oracle(8, 3, 64, 16, 5, 2, 50, 5, 10, _IVFPQ_TRAIN_CAP),
 )
 def similarity_ann_ivfpq_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed END-TO-END in one oracled pipeline — train the
@@ -1525,7 +1550,9 @@ def similarity_ann_ivfpq_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole composition value-hash-oracles — the capstone over
     similarity_kmeans_train / similarity_ann_pq_rerank /
     similarity_ann_ivf_trained."""
-    return similarity.ivfpq_topk(t(spark, sf_dir, "embeddings"))
+    return similarity.ivfpq_topk(
+        t(spark, sf_dir, "embeddings"), train_cap=_IVFPQ_TRAIN_CAP
+    )
 
 
 @register("similarity_kmeans_train", oracle=_kmeans_oracle(8, 3, 64))

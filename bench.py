@@ -166,7 +166,9 @@ def compact_line(out: dict, limit: int = 1900) -> str:
             out["streaming"] = {
                 k: v
                 for k, v in out["streaming"].items()
-                if "events_per_sec" in k
+                # keep throughput AND the lag percentiles (BASELINE.md's
+                # promised metric) — shed the static reference anchors
+                if "events_per_sec" in k or k.startswith("lag_ms")
             }
         elif strip == 3 and vp:
             vp.pop("streaming_prior_events_per_sec", None)

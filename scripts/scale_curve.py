@@ -52,6 +52,9 @@ QUERIES = [
     # r03 new operators
     "similarity_kmeans_train",
     "streaming_dedup_minhash",
+    # r08 additions
+    "similarity_mmr_select",
+    "similarity_graph_beam_search",
     # r03 cont.: smoothing / robust anomaly / feature prep / DP /
     # maintenance additions
     "timeseries_ewma_smooth",

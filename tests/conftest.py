@@ -10,7 +10,17 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # default.parallelism=8: createDataFrame slices tiny literal frames
+    # into defaultParallelism partitions, so any nested-loop/cartesian
+    # baseline in a test becomes 32×32 = 1024 tasks of pure scheduler
+    # overhead (~16 s for 20 pairs, r08 suite audit). 8 keeps the suite
+    # multi-partition (partitioning bugs still surface; the 32 and 7/5
+    # rehearsal layouts cover the rest) at 64-task cartesians.
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.default.parallelism": "8"},
+    )
     # spool_parquet writes naive (isAdjustedToUTC=false) micros; the
     # streaming watermark arithmetic only matches the fixtures when the
     # session reads them in UTC. get_spark pins this at build time, but

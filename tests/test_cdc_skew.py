@@ -97,11 +97,24 @@ def test_range_join_equals_naive_between(spark):
         ["iid", "lo", "hi"],
     )
     got = range_join(points, intervals, "v", bucket_width=100.0).select("pid", "iid")
-    naive = points.join(
-        intervals, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
-    ).select("pid", "iid")
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
-    assert got.count() > 0
+    # the naive BETWEEN baseline is computed in plain Python: as a Spark
+    # join it's a nested-loop stage that costs 11+ s of scheduler/
+    # broadcast overhead for 20 pairs (r08 suite audit) and proves
+    # nothing the comprehension doesn't
+    naive = sorted(
+        (p, i)
+        for p, v in [(1, 0.0), (2, 99.9), (3, 100.0), (4, 250.0), (5, 555.5)]
+        for i, lo, hi in [
+            (10, 0.0, 100.0),
+            (20, 90.0, 310.0),
+            (30, 500.0, 600.0),
+            (40, 700.0, 800.0),
+        ]
+        if lo <= v <= hi
+    )
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == naive
+    assert len(rows) > 0
 
 
 def test_gap_fill_ffill_carries_last_value(spark):

@@ -22,18 +22,21 @@ def _vecs(spark, n=20, dim=64, shift=0.0):
 
 
 def test_kmeans_census_conserves_rows_and_is_partition_invariant(spark):
-    base = kmeans_train(_vecs(spark), k=4).collect()
+    # dim=8: the invariances are dimension-free, and each Lloyd round
+    # codegens a dim+1-column aggregate — at dim=64 the four trains in
+    # these two tests spent ~26 s compiling (r08 suite audit)
+    base = kmeans_train(_vecs(spark, dim=8), k=4, dim=8).collect()
     assert sum(r.n_members for r in base) == 20
     assert {r.cluster_id for r in base} <= {0, 1, 2, 3}
-    shuffled = kmeans_train(_vecs(spark).repartition(7), k=4).collect()
+    shuffled = kmeans_train(_vecs(spark, dim=8).repartition(7), k=4, dim=8).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
 
 
 def test_kmeans_translation_invariance(spark):
     """Distances and assignments are invariant under a uniform shift of
     every vector (the offset trick the determinism contract relies on)."""
-    a = sorted(map(tuple, kmeans_train(_vecs(spark), k=4).collect()))
-    b = sorted(map(tuple, kmeans_train(_vecs(spark, shift=0.2), k=4).collect()))
+    a = sorted(map(tuple, kmeans_train(_vecs(spark, dim=8), k=4, dim=8).collect()))
+    b = sorted(map(tuple, kmeans_train(_vecs(spark, dim=8, shift=0.2), k=4, dim=8).collect()))
     assert [(r[0], r[1]) for r in a] == [(r[0], r[1]) for r in b]
     # inertia identical too: quantization commutes with the 0.2 shift
     # only up to rounding, so compare membership, not dist, for safety

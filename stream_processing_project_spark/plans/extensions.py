@@ -4261,3 +4261,134 @@ def similarity_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BEAM_K)
         .select("query_id", F.col("node").alias("neighbor_id"), "cos", "rank")
     )
+
+
+@register(
+    "similarity_knn_outliers",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST)},
+deg AS (
+  SELECT src AS vec_id,
+         CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_cos_micro,
+         CAST(min(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+           AS min_cos_micro
+  FROM e{_NN_DESCENT_ITERS} GROUP BY 1
+)
+SELECT vec_id, sum_cos_micro, min_cos_micro, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY sum_cos_micro, vec_id) AS rn
+  FROM deg
+) WHERE rn <= 20
+""",
+)
+def similarity_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER detection off the k-NN graph — the
+    data-cleaning read of the index this family already builds: a
+    node whose k best neighbors are all far away is isolated (noise,
+    OCR garbage, wrong-modality rows — the stuff curation pipelines
+    drop first). Score = Σ cos over the node's k graph edges in exact
+    integer micro-units (order-independent under any partitioning);
+    emit the 20 most isolated nodes with their weakest-edge cosine.
+    Zero extra corpus passes beyond the graph build — the aggregation
+    reads k·n edge rows, and at serving time the graph is already
+    materialized, so outlier sweeps are free riders on the ANN index
+    (the production pattern: one index, many consumers)."""
+    g = similarity.nn_descent_graph(
+        t(spark, sf_dir, "embeddings"),
+        k=_NN_DESCENT_K,
+        seed_bucket_size=_NN_DESCENT_BSIZE,
+        iters=_NN_DESCENT_ITERS,
+        pq_shortlist=_NN_DESCENT_SHORTLIST,
+    )
+    micro = F.round(F.col("cos") * F.lit(1000000)).cast("long")
+    deg = (
+        g.select("vec_id", micro.alias("cm"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum("cm").cast("long").alias("sum_cos_micro"),
+            F.min("cm").cast("long").alias("min_cos_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("sum_cos_micro").asc(), F.col("vec_id").asc())
+    return (
+        deg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("vec_id", "sum_cos_micro", "min_cos_micro", "rank")
+    )
+
+
+@register(
+    "sampling_prototypicality",
+    oracle=f"""
+WITH {_kmeans_rounds_cte(8, 3, 64)},
+assigned AS (
+  SELECT vec_id, best[2] AS cluster_id, best[1] AS dist_sq
+  FROM a4
+),
+ranked AS (
+  SELECT vec_id, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY dist_sq, vec_id) AS pr,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY dist_sq DESC, vec_id DESC) AS xr
+  FROM assigned
+)
+SELECT vec_id, cluster_id, dist_sq, 'prototype' AS role,
+       CAST(pr AS INTEGER) AS rank
+FROM ranked WHERE pr <= 5
+UNION ALL
+SELECT vec_id, cluster_id, dist_sq, 'hard' AS role,
+       CAST(xr AS INTEGER) AS rank
+FROM ranked WHERE xr <= 5
+""",
+)
+def sampling_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al., NeurIPS'22
+    "Beyond neural scaling laws"): rank every vector by its exact
+    integer squared distance to its trained k-means centroid — the
+    per-cluster PROTOTYPES (smallest distance) are what you keep when
+    data is scarce, the HARD examples (largest) when data is abundant;
+    emit both ends, 5 per cluster per role. Composes the already-
+    oracled Lloyd trainer (similarity_kmeans_train's rounds, bit-exact
+    in SQL): ONE extra corpus pass computes assignments, then two
+    per-cluster WindowGroupLimits cut the heads — no collect beyond
+    kmeans_fit's k·dim centroid rows, no all-pairs anything. Ties
+    break by vec_id on the prototype end and by vec_id DESC on the
+    hard end so the two roles stay disjoint even inside tied bands."""
+    from stream_processing_project_spark.operators.similarity import (
+        _centroid_assignment,
+        kmeans_fit,
+    )
+
+    spark_q, centroids = kmeans_fit(t(spark, sf_dir, "embeddings"))
+    dist_c, cid_c = _centroid_assignment(centroids)
+    assigned = spark_q.select(
+        "vec_id",
+        cid_c.alias("cluster_id"),
+        dist_c.cast("long").alias("dist_sq"),
+    )
+    wp = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist_sq").asc(), F.col("vec_id").asc()
+    )
+    wx = Window.partitionBy("cluster_id").orderBy(
+        F.col("dist_sq").desc(), F.col("vec_id").desc()
+    )
+    ranked = assigned.withColumn("pr", F.row_number().over(wp)).withColumn(
+        "xr", F.row_number().over(wx)
+    )
+    proto = ranked.filter(F.col("pr") <= 5).select(
+        "vec_id",
+        "cluster_id",
+        "dist_sq",
+        F.lit("prototype").alias("role"),
+        F.col("pr").cast("int").alias("rank"),
+    )
+    hard = ranked.filter(F.col("xr") <= 5).select(
+        "vec_id",
+        "cluster_id",
+        "dist_sq",
+        F.lit("hard").alias("role"),
+        F.col("xr").cast("int").alias("rank"),
+    )
+    return proto.union(hard)

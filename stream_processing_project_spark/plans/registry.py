@@ -208,6 +208,8 @@ _PRIORITY = [
     # the 13 rollovers (10 never-checked + 3 md5-upgraded sketches).
     "similarity_mmr_select",
     "similarity_graph_beam_search",
+    "similarity_knn_outliers",
+    "sampling_prototypicality",
 ]
 
 # Round-robin module order: modules with zero r01 driver rows first.

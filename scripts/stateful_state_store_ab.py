@@ -42,6 +42,11 @@ def run_point(
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.driver.memory", "48g")
         .config("spark.sql.shuffle.partitions", "32")
+        # UTC pin (ADVICE r08): watermark arithmetic only matches the
+        # fixtures read in UTC (tests/conftest.py); without this, a
+        # non-UTC container measures a DIFFERENT workload (windows
+        # closed / rows emitted) than the correctness-gated one.
+        .config("spark.sql.session.timeZone", "UTC")
     )
     if provider == "rocksdb":
         b = b.config(

@@ -21,7 +21,15 @@ def split_bucket(id_col: Column) -> Column:
     hash ((id × 2654435761) mod 2³²) mod 100 — pure integer arithmetic,
     so ANY engine reproduces it exactly (the DuckDB oracle recomputes
     it). For string ids, hash to a number first (e.g. md5 prefix) with
-    the same expression on both sides."""
+    the same expression on both sides.
+
+    Id-range precondition (here and at every other `id * 2654435761`
+    site engine+oracle): ids must stay below int64_max / 2654435761
+    ≈ 3.47e9 or the product wraps int64 Spark-side while DuckDB's `%`
+    overflow-errors. Synthetic/TPC-H ids are far below this; corpora
+    with wider ids should pre-fold (`pmod(id, 2^32)`) or use the
+    16/16-split mix in similarity.kmeans_quantize (bit-identical below
+    2^32, overflow-safe to 2^32·2^16)."""
     return (id_col.cast("long") * F.lit(2654435761)) % F.lit(4294967296) % 100
 
 

@@ -367,7 +367,19 @@ def kmeans_fit(
         f" x -> x + {QUANT_SCALE}) AS qq",
     )
     if train_cap is not None:
-        h = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(4294967296))
+        # (vec_id mod 2^32)·knuth mod 2^32 via a 16/16 split of the
+        # Knuth constant (2654435761 = 40503·65536 + 31153) so no
+        # intermediate exceeds ~2^46: the naive vec_id*2654435761
+        # wraps int64 at vec_id ≈ 3.5e9 (plausible at 100 TB) where
+        # the DuckDB oracle's `%` would overflow-error instead of
+        # wrapping (ADVICE r08). Bit-identical to the naive product
+        # for vec_id < 2^32, so fixture results are unchanged.
+        v = F.pmod(F.col("vec_id"), F.lit(4294967296))
+        h = F.pmod(
+            v * F.lit(31153)
+            + F.pmod(v * F.lit(40503), F.lit(65536)) * F.lit(65536),
+            F.lit(4294967296),
+        )
         train = spark_q.orderBy(h.asc(), F.col("vec_id").asc()).limit(
             train_cap
         )

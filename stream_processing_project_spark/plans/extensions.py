@@ -1353,7 +1353,9 @@ def _kmeans_rounds_cte(
         f""",
 tr AS MATERIALIZED (
   SELECT vec_id, qq FROM q
-  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT {train_cap}
+  ORDER BY ((vec_id % 4294967296) * 31153
+            + ((vec_id % 4294967296) * 40503 % 65536) * 65536) % 4294967296,
+           vec_id LIMIT {train_cap}
 )"""
         if train_cap is not None
         else ""
@@ -4198,7 +4200,7 @@ WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_D
 def similarity_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-ANN SERVING over the NN-Descent index — beam-search query
     routing (the HNSW/DiskANN query side, deterministic): from a fixed
-    entry node, each of _BEAM_ROUNDS (= 3) rounds expands the current
+    entry node, each of _BEAM_ROUNDS (= 5) rounds expands the current
     beam through the k-NN graph's edges (ONE equi-join on node id —
     candidates per query ≤ beam·(k+1), never corpus-sized), scores
     candidates by exact cosine against the query, and keeps the

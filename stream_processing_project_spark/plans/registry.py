@@ -223,6 +223,42 @@ _MODULE_ORDER = [
 ]
 
 
+def _driver_status() -> dict[str, tuple[str, int]]:
+    """Name -> (kind, last_checked_round) from the CORRECTNESS_r*.json
+    union. kind: "hash" (green value-hash row), "rows_only" (completed
+    no-oracle check), "red" (anything else). Latest round wins per name:
+    the driver samples a near-disjoint ~50-query window each round, so a
+    query green in r01 but absent since keeps its r01 status — and its
+    r01 staleness, which now drives the rotation (VERDICT r08 task 2)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, tuple[str, int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for n, r in rows.items():
+            if isinstance(r, dict):
+                if r.get("rows_match") and r.get("hash_match"):
+                    latest[n] = ("hash", rnd)
+                elif (
+                    r.get("err") == "no_oracle"
+                    and r.get("spark_rows") is not None
+                ):
+                    latest[n] = ("rows_only", rnd)
+                else:
+                    latest[n] = ("red", rnd)
+    return latest
+
+
 def _driver_green() -> set[str]:
     """Names whose MOST RECENT driver row is satisfied — these already
     have hard driver signal, so they yield their window slot to
@@ -234,37 +270,11 @@ def _driver_green() -> set[str]:
     at the front of the rotation would permanently burn a window slot —
     but a query that has GAINED an oracle since its rows-only pass (the
     r08 md5-sketch upgrades) loses that credit and moves back to the
-    front so the driver records a hard hash row. Latest status
-    wins, scanning all rounds: the driver samples a near-disjoint
-    50-query window each round, so a query green in r01 but absent from
-    r02 must still yield — but a query that REGRESSED in a later round
-    must lose its green and move back to the front for the retry."""
-    import glob
-    import json
-    import os
-
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    latest: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            continue
-        for n, r in rows.items():
-            if isinstance(r, dict):
-                if r.get("rows_match") and r.get("hash_match"):
-                    latest[n] = "hash"
-                elif (
-                    r.get("err") == "no_oracle"
-                    and r.get("spark_rows") is not None
-                ):
-                    latest[n] = "rows_only"
-                else:
-                    latest[n] = "red"
+    front so the driver records a hard hash row. A query that REGRESSED
+    in a later round loses its green and moves back to the front."""
     return {
         n
-        for n, kind in latest.items()
+        for n, (kind, _) in _driver_status().items()
         if kind == "hash"
         or (
             kind == "rows_only"
@@ -293,25 +303,31 @@ def _reorder() -> None:
         if name in _REGISTRY and name not in seen and name not in green:
             ordered.append(_REGISTRY[name])
             seen.add(name)
-    # Two interleave passes: every never-green query across all modules
-    # first (module-interleaved for family diversity), greens only after
+    # Never-green queries next (module-interleaved for family diversity)
     # — a module that runs out of unverified names must not let its
     # green tail crowd first-time names out of the driver's 50-window.
-    for keep_green in (False, True):
-        queues = [
-            [
-                q
-                for q in qs
-                if q.name not in seen and (q.name in green) == keep_green
-            ]
-            for qs in by_module.values()
-        ]
-        while any(queues):
-            for qu in queues:
-                if qu:
-                    q = qu.pop(0)
-                    ordered.append(q)
-                    seen.add(q.name)
+    queues = [
+        [q for q in qs if q.name not in seen and q.name not in green]
+        for qs in by_module.values()
+    ]
+    while any(queues):
+        for qu in queues:
+            if qu:
+                q = qu.pop(0)
+                ordered.append(q)
+                seen.add(q.name)
+    # Greens last, STALEST FIRST (VERDICT r08 task 2): with the whole
+    # registry ever-checked, the driver's ~50-window would otherwise
+    # re-verify an arbitrary module-interleaved prefix while 79 names
+    # sat unchecked since r01/r02 across six rounds of code churn.
+    # Ordering greens by last-checked round ascending turns each round's
+    # window into a rolling re-verification of the oldest evidence.
+    status = _driver_status()
+    greens = [q for q in _REGISTRY.values() if q.name not in seen]
+    greens.sort(key=lambda q: (status.get(q.name, ("", 0))[1], q.name))
+    for q in greens:
+        ordered.append(q)
+        seen.add(q.name)
     _REGISTRY.clear()
     _REGISTRY.update({q.name: q for q in ordered})
 

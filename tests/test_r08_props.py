@@ -106,13 +106,20 @@ def test_nn_descent_q8_prune_preserves_recall_and_plan(spark):
 
 
 def test_mmr_picks_are_relevant_and_diverse(spark):
-    """MMR (r08): exactly k picks with distinct ids; pick 1 is the
-    globally most relevant pool doc (maxsim=0 ⇒ pure relevance); every
-    later pick's reported mmr_score is consistent with its (rel, ms)
-    row — and the selection is genuinely diversity-aware: no pick may
-    be near-duplicate-close (quantized cos > 0.95) to an earlier one
-    while a farther candidate with comparable relevance existed (the
-    defining MMR property, asserted via score consistency)."""
+    """MMR (r08; replay strengthened per ADVICE r08): exactly k picks
+    with distinct ids; pick 1 is the globally most relevant pool doc
+    (maxsim=0 ⇒ pure relevance); every pick's mmr_score is consistent
+    with its (rel, ms) row — and the WHOLE greedy trajectory matches an
+    independent pure-Python replay of the algorithm over the same
+    quantized pool: top-48 by (rel desc, id), then k=10 rounds of
+    argmax 7·rel − 3·max_sim among then-survivors with ms updated via
+    greatest(ms, dot(·, pick)). The replay also proves diversity
+    genuinely bites: in ≥1 round the MMR argmax differs from the
+    pure-relevance argmax among survivors (7/10 rounds on this
+    fixture), so a relevance-only implementation cannot pass."""
+    from stream_processing_project_spark.operators.similarity import (
+        _quantize_expr,
+    )
     from stream_processing_project_spark.plans.registry import get
 
     rows = get("similarity_mmr_select").builder(
@@ -125,12 +132,44 @@ def test_mmr_picks_are_relevant_and_diverse(spark):
     assert by_pick[0]["rel_dot"] == max(r["rel_dot"] for r in rows)
     for r in rows:
         assert r["mmr_score"] == 7 * r["rel_dot"] - 3 * r["max_sim_dot"]
-    # greedy scores are non-increasing in pick order only for the pure
-    # k-center objective, not MMR generally — instead pin that later
-    # picks never strictly dominate an earlier pick's score at its own
-    # selection round (the greedy invariant: each pick maximized the
-    # score among the then-survivors)
-    assert all(r["max_sim_dot"] >= 0 for r in rows[1:])
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qrows = emb.selectExpr(
+        "vec_id", _quantize_expr("embedding", 64) + " AS qv"
+    ).collect()
+    vecs = {r["vec_id"]: r["qv"] for r in qrows}
+    qid = min(vecs)
+    qv = vecs[qid]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    pool = sorted(
+        ((dot(v, qv), vid) for vid, v in vecs.items() if vid != qid),
+        key=lambda t: (-t[0], t[1]),
+    )[:48]
+    surv = {vid: {"rel": rel, "ms": 0} for rel, vid in pool}
+    replay, diversity_bit = [], 0
+    for r in range(1, 11):
+        vid, st = max(
+            surv.items(),
+            key=lambda kv: (7 * kv[1]["rel"] - 3 * kv[1]["ms"], -kv[0]),
+        )
+        if vid != max(surv.items(), key=lambda kv: (kv[1]["rel"], -kv[0]))[0]:
+            diversity_bit += 1
+        replay.append(
+            (r, vid, st["rel"], st["ms"], 7 * st["rel"] - 3 * st["ms"])
+        )
+        pv = vecs[vid]
+        del surv[vid]
+        for v2, st2 in surv.items():
+            st2["ms"] = max(st2["ms"], dot(vecs[v2], pv))
+    got = sorted(
+        (r["pick"], r["vec_id"], r["rel_dot"], r["max_sim_dot"], r["mmr_score"])
+        for r in rows
+    )
+    assert got == replay
+    assert diversity_bit >= 1
 
 
 def test_beam_search_routes_toward_exact_neighbors(spark):

@@ -126,7 +126,9 @@ def main() -> None:
     # a sidecar the driver commits with the round; the STDOUT line must
     # stay under ~1.9 kB — the driver parses it out of a 2 000-char tail
     # capture, and r06's line outgrew it (BENCH_r06.json parsed: null).
-    detail = dict(out)
+    detail = json.loads(json.dumps(out))
+    # the full per-replay lag series lives only in the sidecar
+    out["streaming"].pop("lag_detail", None)
     detail["queries_canary_normalized"] = {
         n: round(t / canary["canary_s"], 3) for n, t in timings.items()
     }
@@ -168,7 +170,9 @@ def compact_line(out: dict, limit: int = 1900) -> str:
                 for k, v in out["streaming"].items()
                 # keep throughput AND the lag percentiles (BASELINE.md's
                 # promised metric) — shed the static reference anchors
-                if "events_per_sec" in k or k.startswith("lag_ms")
+                if "events_per_sec" in k
+                or k.startswith(("lag_ms", "batch_lag_ms"))
+                or k == "lag_batches"
             }
         elif strip == 3 and vp:
             vp.pop("streaming_prior_events_per_sec", None)
@@ -323,10 +327,14 @@ def add_streaming_regression(
 def run_ingest_with_lag(result) -> list[float]:
     """Drive a streaming frame to completion like
     pipeline.run_to_completion, but keep the query handle and return
-    per-micro-batch arrival→commit latencies (durationMs.triggerExecution
-    from StreamingQueryProgress — the number a production lag monitor
-    reads). Data batches only: the trailing no-data watermark flush has
-    no arriving rows to lag."""
+    per-micro-batch BATCH-PROCESSING latencies
+    (durationMs.triggerExecution from StreamingQueryProgress — the
+    number a production lag monitor reads; in a keeping-up pipeline
+    there is no queueing on top of it). Data batches only: the trailing
+    no-data watermark flush has no arriving rows to lag. The caller
+    must raise spark.sql.streaming.numRecentProgressUpdates above the
+    expected batch count — recentProgress silently caps at the last
+    N entries (ADVICE r08)."""
     import uuid
 
     from stream_processing_project_spark.streaming.pipeline import (
@@ -402,14 +410,13 @@ def stream_bench(spark, sf_dir: str) -> dict:
     # best-of-2 replays, like the batch side: micro-batch scheduling noise
     # swings a single replay by ~10% on local[32]
     wall = dedup_wall = float("inf")
-    lag_ms: list[float] = []
     for _ in range(2):
         t0 = time.perf_counter()
         # min_partitions=16: the Kafka-minPartitions analogue for the
         # one-file fixture source — fans the JSON parse out across cores
         # (measured best at 16 on local[32]; 32 pays more shuffle than it
         # gains)
-        lag_ms += run_ingest_with_lag(
+        run_to_completion(
             minute_counts_stream(
                 enriched_stream(
                     cdc_event_stream(spark, sf_dir, min_partitions=16), dim
@@ -420,29 +427,89 @@ def stream_bench(spark, sf_dir: str) -> dict:
         t1 = time.perf_counter()
         run_to_completion(dedup_stream(file_event_stream(spark, sf_dir)))
         dedup_wall = min(dedup_wall, time.perf_counter() - t1)
+
+    # Lag replay (VERDICT r08 task 3 + ADVICE r08): the one-file corpus
+    # drains in a single micro-batch, so percentiles over the
+    # throughput replay were degenerate (p50 == p95 == the one batch).
+    # Stage the events as N_STAGE_FILES parquet parts and replay with
+    # maxFilesPerTrigger=2 so the SAME pipeline spans ≥ 10 micro-batches
+    # at steady state. Per-replay lag lists are kept separate and the
+    # BEST replay (min total processing time) reports — pooling both
+    # would mix the cold run's codegen into the percentiles. Keys are
+    # named batch_lag_ms_*: this is per-batch processing latency, the
+    # end-to-end lag of a keeping-up pipeline (no queueing term in a
+    # bounded replay).
+    prev_npu = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
+    stage_dir = stage_event_files(spark, sf_dir, n_files=N_STAGE_FILES)
+    replays: list[list[float]] = []
+    for _ in range(2):
+        replays.append(
+            run_ingest_with_lag(
+                minute_counts_stream(
+                    enriched_stream(
+                        cdc_event_stream(
+                            spark,
+                            stage_dir,
+                            min_partitions=16,
+                            path_glob="part-*.parquet",
+                            max_files_per_trigger=2,
+                        ),
+                        dim,
+                    )
+                )
+            )
+        )
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_npu)
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    lag_ms.sort()
+    lag_ms = sorted(min(replays, key=sum)) if any(replays) else []
     pct = lambda p: round(lag_ms[min(len(lag_ms) - 1, int(p * len(lag_ms)))], 1)
     return {
         "events": n,
         "wall_s": round(wall, 3),
         "events_per_sec": int(n / wall),
         "dedup_events_per_sec": int(n / dedup_wall),
-        # end-to-end lag through the ingest path (BASELINE.md promise;
-        # the reference monitor's core metric, monitor.py:223-229): per
-        # micro-batch arrival→commit latency from Spark's own
-        # StreamingQueryProgress — in a keeping-up pipeline this IS the
-        # event-time-to-emission lag a row experiences at steady state
-        # (a bounded as-fast-as-possible replay has no meaningful
-        # queueing component to add)
-        "lag_ms_p50": pct(0.50) if lag_ms else None,
-        "lag_ms_p95": pct(0.95) if lag_ms else None,
+        "batch_lag_ms_p50": pct(0.50) if lag_ms else None,
+        "batch_lag_ms_p95": pct(0.95) if lag_ms else None,
+        "lag_batches": len(lag_ms),
+        # full per-replay series — popped into bench_detail.json by
+        # main() so the stdout line stays inside the tail budget
+        "lag_detail": {
+            "replays_ms": [sorted(r) for r in replays],
+            "batches_per_replay": [len(r) for r in replays],
+            "stage_files": N_STAGE_FILES,
+            "max_files_per_trigger": 2,
+        },
         "reference_target_events_per_sec": 2000,
         # BASELINE.md stress stages (offered load, events/s) — sustained
         # full-replay throughput above a stage means that stage is handled
         "reference_offered_load_stages": [100, 1000, 2500, 5000, 10000],
         "pipeline": "cdc_json_parse->op_filter->broadcast_enrich->1min_window->memory",
     }
+
+
+N_STAGE_FILES = 24
+
+
+def stage_event_files(spark, sf_dir: str, n_files: int) -> str:
+    """Split the one-file events fixture into n_files parquet parts
+    under /tmp (idempotent per (sf_dir, n_files)) so the lag replay has
+    file-source micro-batch boundaries to meter against."""
+    import tempfile
+
+    from stream_processing_project_spark.sources.fixtures import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"bench_lag_stage_{tag}_{n_files}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    return stage
 
 
 if __name__ == "__main__":

@@ -514,6 +514,153 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rank_fusion([dense10, lex10], k=5)
 
 
+@register(
+    "retrieval_rerank_cross",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 8),
+stats AS (
+  SELECT count(*) AS n,
+         avg(len(string_split(trim(text), ' '))) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         CAST(round(ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS c_micro
+  FROM tf t JOIN qterms q USING (term) CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
+  FROM scored GROUP BY doc_id
+  ORDER BY score_micro DESC, doc_id LIMIT 50
+),
+tokarr AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+feat AS (
+  SELECT s.doc_id, c.score_micro,
+         CAST(count(*) AS BIGINT) AS qcov,
+         CAST(sum(s.tf) AS BIGINT) AS qtf_sum,
+         CAST(min(list_position(a.toks, s.term)) AS BIGINT) AS first_pos
+  FROM scored s JOIN cand c USING (doc_id) JOIN tokarr a USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT doc_id, qcov, qtf_sum, first_pos, rerank_micro,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, qcov, qtf_sum, first_pos,
+         CAST(3000000 * qcov + 50000 * qtf_sum - 100 * first_pos
+              + score_micro // 100 AS BIGINT) AS rerank_micro,
+         row_number() OVER (
+           ORDER BY 3000000 * qcov + 50000 * qtf_sum - 100 * first_pos
+                    + score_micro // 100 DESC, doc_id) AS rank
+  FROM feat
+) WHERE rank <= 10
+""",
+)
+def retrieval_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style rerank stage — the second stage of the
+    standard two-stage retrieval stack (retrieve cheap & wide, rerank
+    expensive & narrow) that BM25/hybrid-RRF left unrepresented
+    (VERDICT r08 task 6b): stage 1 is the BM25 retriever
+    (retrieval_bm25_topk's deterministic 8-highest-df-term query)
+    widened to top-50 CANDIDATES; stage 2 re-scores ONLY those
+    candidates with query×document interaction features — the role a
+    cross-encoder forward pass plays in production, here a
+    deterministic integer feature mix so the rerank value-hash-oracles:
+    qcov (distinct query terms matched), qtf_sum (total query-term
+    occurrences), first_pos (earliest query-term position — the
+    title/lead-paragraph signal), plus the stage-1 BM25 score as a
+    prior. rerank = 3e6·qcov + 5e4·qtf_sum − 100·first_pos +
+    bm25_micro/100, all exact bigint arithmetic; emit top-10.
+
+    Scale shape: stage 1 is the audited BM25 plan (postings ⨝
+    broadcast 8-term query, TakeOrderedAndProject top-50); stage 2
+    joins the BROADCAST 50-row candidate list back to postings and to
+    the token arrays, so the expensive per-(query, doc) feature pass
+    touches 50 documents regardless of corpus size — exactly the
+    economics that make cross-encoder reranking viable at 100 TB
+    (a model scoring 50 pairs per query, never the corpus). Swapping
+    the feature mix for a real model is a mapInPandas over the same
+    ≤50-row frame."""
+    from stream_processing_project_spark.operators.text import words as _words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(8)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_words(F.col("text")))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    cand = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(50)
+    )
+    tok_arr = docs.select("doc_id", _words(F.col("text")).alias("toks"))
+    feat = (
+        scored.select("doc_id", "term", "tf")
+        .join(F.broadcast(cand), "doc_id")
+        .join(tok_arr, "doc_id")
+        .withColumn("pos", F.array_position(F.col("toks"), F.col("term")))
+        .groupBy("doc_id", "score_micro")
+        .agg(
+            F.count(F.lit(1)).alias("qcov"),
+            F.sum("tf").cast("long").alias("qtf_sum"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+    rerank = (
+        F.lit(3000000) * F.col("qcov")
+        + F.lit(50000) * F.col("qtf_sum")
+        - F.lit(100) * F.col("first_pos")
+        + F.expr("score_micro DIV 100")
+    ).cast("long")
+    top = (
+        feat.withColumn("rerank_micro", rerank)
+        .orderBy(F.col("rerank_micro").desc(), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("rerank_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "qcov", "qtf_sum", "first_pos", "rerank_micro", "rank"
+    )
+
+
 # =========================== deduplication ===================================
 
 
@@ -3609,6 +3756,40 @@ _NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS = 8, 64, 4
 # collapsed recall to 0.42 (operators/similarity.py::_q8_codes).
 _NN_DESCENT_SHORTLIST = 32
 
+# One NN-Descent graph per (Spark app, corpus dir) — VERDICT r08 task
+# 1a. Four registry consumers (graph, recall, beam search, outlier
+# sweep) need the SAME deterministic graph; before this cache each
+# rebuilt it from scratch, so e.g. beam search's sf10 wall time was
+# ≥75% graph build. A served system builds the index once and serves
+# many consumers off it — the cache reproduces that: the first
+# consumer materializes the edges (localCheckpoint), later ones read
+# the checkpointed RDD. Keyed by applicationId so a restarted session
+# (whose checkpointed RDDs are gone) rebuilds, with stale-app entries
+# pruned; keyed by corpus path so tests on tmp fixtures don't collide.
+# Determinism is untouched: the cached frame is bit-identical to a
+# fresh build, so driver/oracle results are unchanged no matter which
+# consumer runs first.
+_NN_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _nn_graph_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    g = _NN_GRAPH_CACHE.get(key)
+    if g is None:
+        for stale in [k2 for k2 in _NN_GRAPH_CACHE if k2[0] != key[0]]:
+            del _NN_GRAPH_CACHE[stale]
+        g = similarity.nn_descent_graph(
+            t(spark, sf_dir, "embeddings"),
+            k=_NN_DESCENT_K,
+            seed_bucket_size=_NN_DESCENT_BSIZE,
+            iters=_NN_DESCENT_ITERS,
+            pq_shortlist=_NN_DESCENT_SHORTLIST,
+        ).localCheckpoint(eager=False)
+        _NN_GRAPH_CACHE[key] = g
+    return g
+
 
 @register(
     "similarity_nn_descent_graph",
@@ -3637,14 +3818,9 @@ def similarity_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjudicated sf10 residual). Fully deterministic, so the
     approximate graph itself value-hash-oracles against the
     unrolled-CTE SQL replay
-    (operators/similarity.py::nn_descent_graph)."""
-    return similarity.nn_descent_graph(
-        t(spark, sf_dir, "embeddings"),
-        k=_NN_DESCENT_K,
-        seed_bucket_size=_NN_DESCENT_BSIZE,
-        iters=_NN_DESCENT_ITERS,
-        pq_shortlist=_NN_DESCENT_SHORTLIST,
-    )
+    (operators/similarity.py::nn_descent_graph). Shares the
+    session-cached graph with recall/beam/outliers (_nn_graph_shared)."""
+    return _nn_graph_shared(spark, sf_dir)
 
 
 @register(
@@ -3683,13 +3859,7 @@ def similarity_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute_force_topk shape: corpus never shuffles), so the audit stays
     runnable at any corpus size; the division is RAW (identical
     integer operands → identical IEEE double in any engine)."""
-    graph = similarity.nn_descent_graph(
-        t(spark, sf_dir, "embeddings"),
-        k=_NN_DESCENT_K,
-        seed_bucket_size=_NN_DESCENT_BSIZE,
-        iters=_NN_DESCENT_ITERS,
-        pq_shortlist=_NN_DESCENT_SHORTLIST,
-    ).select(
+    graph = _nn_graph_shared(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     emb = t(spark, sf_dir, "embeddings")
@@ -4213,14 +4383,9 @@ def similarity_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph oracle's determinism (rounded cosine, id tie-breaks), so the
     routed results value-hash-oracle end to end."""
     emb_raw = t(spark, sf_dir, "embeddings")
-    g = similarity.nn_descent_graph(
-        emb_raw,
-        k=_NN_DESCENT_K,
-        seed_bucket_size=_NN_DESCENT_BSIZE,
-        iters=_NN_DESCENT_ITERS,
-        pq_shortlist=_NN_DESCENT_SHORTLIST,
-    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
-    g = g.localCheckpoint(eager=False)
+    g = _nn_graph_shared(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
     emb = emb_raw.selectExpr(
         "vec_id AS id", "CAST(embedding AS array<double>) AS v"
     )
@@ -4296,13 +4461,7 @@ def similarity_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads k·n edge rows, and at serving time the graph is already
     materialized, so outlier sweeps are free riders on the ANN index
     (the production pattern: one index, many consumers)."""
-    g = similarity.nn_descent_graph(
-        t(spark, sf_dir, "embeddings"),
-        k=_NN_DESCENT_K,
-        seed_bucket_size=_NN_DESCENT_BSIZE,
-        iters=_NN_DESCENT_ITERS,
-        pq_shortlist=_NN_DESCENT_SHORTLIST,
-    )
+    g = _nn_graph_shared(spark, sf_dir)
     micro = F.round(F.col("cos") * F.lit(1000000)).cast("long")
     deg = (
         g.select("vec_id", micro.alias("cm"))

@@ -109,7 +109,11 @@ def kafka_event_stream(
 
 
 def file_event_stream(
-    spark: SparkSession, sf_dir: str, min_partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    min_partitions: int | None = None,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int = 64,
 ) -> DataFrame:
     """Streaming scan of the fixture events table (file source — each
     parquet file is a micro-batch unit; Kafka swaps in transparently).
@@ -120,11 +124,17 @@ def file_event_stream(
     (KAFKA_SOURCE_OPTIONS): a one-file micro-batch is one task, so
     downstream decode serializes; fanning out before the parse keeps
     every core busy. Leave None when the source already has enough
-    splits per micro-batch."""
+    splits per micro-batch.
+
+    `path_glob` + `max_files_per_trigger` let a caller replay a
+    MULTI-FILE staging of the corpus in bounded micro-batches (the
+    file-source analogue of Kafka's maxOffsetsPerTrigger) — a one-file
+    corpus is otherwise a single micro-batch, which makes per-batch
+    lag percentiles degenerate (bench.py's lag replay)."""
     stream = (
         spark.readStream.schema(EVENTS_RAW)
-        .option("maxFilesPerTrigger", "64")
-        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", path_glob)
         .parquet(sf_dir)
     )
     return stream.repartition(min_partitions) if min_partitions else stream
@@ -146,11 +156,21 @@ def file_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_event_stream(
-    spark: SparkSession, sf_dir: str, min_partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    min_partitions: int | None = None,
+    path_glob: str = "events.parquet",
+    max_files_per_trigger: int = 64,
 ) -> DataFrame:
     """Full ingest path: stream → envelope JSON → PERMISSIVE parse →
-    op-filter → typed event rows with event-time column `ts` (P1+P2)."""
-    raw = to_envelope_json(file_event_stream(spark, sf_dir, min_partitions))
+    op-filter → typed event rows with event-time column `ts` (P1+P2).
+    `path_glob`/`max_files_per_trigger` pass through to the file source
+    (see file_event_stream) for bounded-micro-batch replays."""
+    raw = to_envelope_json(
+        file_event_stream(
+            spark, sf_dir, min_partitions, path_glob, max_files_per_trigger
+        )
+    )
     return typed_events(parse_envelope(raw))
 
 
@@ -170,9 +190,15 @@ def typed_events(parsed: DataFrame) -> DataFrame:
 
 
 def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
-    """Stream-static broadcast enrichment (J1): the static side re-resolves
-    every micro-batch — strictly fresher than the reference's load-once
-    heap cache (EngagementProcessor.scala:147-148, noted divergence)."""
+    """Stream-static broadcast enrichment (J1). Freshness semantics
+    (pinned in tests/test_streaming.py::test_dim_refresh_*): a
+    plan-declared parquet static side re-READS its files each
+    micro-batch but caches the file LISTING at plan time, so dimension
+    files added mid-stream are not seen — effectively the reference's
+    load-once snapshot (EngagementProcessor.scala:147-148). Per-batch
+    dimension refresh needs the foreachBatch re-load seam
+    (sinks.fresh_dim_enrich_sink) or a table format whose snapshot
+    resolves per batch."""
     d = dim.select(
         F.col("c_custkey").alias("_dim_id"),
         F.col("c_mktsegment").alias("segment"),

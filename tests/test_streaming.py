@@ -996,6 +996,55 @@ def test_dim_refresh_needs_foreachbatch_reload(spark, tmp_path):
     assert rows == {1: "OLD", 2: "NEW"}  # (b): batch-2 sees the new dim row
 
 
+def test_dim_refresh_plan_static_is_load_once(spark, tmp_path):
+    """Reference-parity half of the dim-refresh pair (VERDICT r08 task
+    6a; EngagementProcessor.scala:147-148): the J1 path's plan-declared
+    static side (enriched_stream's join shape) pins its parquet file
+    LISTING at plan time, so a dimension row added mid-stream is NOT
+    seen by later micro-batches — the engine reproduces the reference's
+    load-once snapshot semantics exactly when the dimension is declared
+    in the plan. Freshness is the documented opt-in divergence
+    (fresh_dim_enrich_sink, pinned in the companion test above)."""
+    from stream_processing_project_spark.streaming.pipeline import (
+        checkpoint_dir,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    src = str(tmp_path / "src")
+    spool_parquet(dim_dir, [(10, "OLD")], "user_id long, seg string")
+    spool_parquet(src, [(1, 10)], "event_id long, user_id long")
+
+    events = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    dim = spark.read.parquet(dim_dir)  # plan-declared static side
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dim_load_once")
+        .option("checkpointLocation", checkpoint_dir("dim_load_once"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # dimension UPDATE lands as a new file + an event referencing it
+        spool_parquet(dim_dir, [(20, "NEW")], "user_id long, seg string")
+        spool_parquet(src, [(2, 20)], "event_id long, user_id long")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.event_id: r.seg
+        for r in spark.sql("SELECT * FROM dim_load_once").collect()
+    }
+    # batch 2's event joins against the STARTUP dim snapshot: the new
+    # dimension row is invisible → left-outer null (reference parity)
+    assert rows == {1: "OLD", 2: None}
+
+
 def test_incremental_drain_available_now(spark):
     """Trigger.AvailableNow drains what exists, terminates, and a rerun
     with the same checkpoint processes ONLY files that arrived in

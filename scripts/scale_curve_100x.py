@@ -77,10 +77,21 @@ def main() -> None:
         f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'sf10':>8s}"
         f" {'x(0.1->1)':>10s} {'x(1->10)':>10s}"
     )
+    # graph-build cache discipline: see scripts/scale_curve.py — the
+    # build query clears the session graph cache before every run;
+    # dependents keep it so their numbers are serving-only
+    from stream_processing_project_spark.plans import extensions as _ext
+
+    def _pre(name):
+        if name in ("similarity_nn_descent_graph",):
+            _ext._NN_GRAPH_CACHE.clear()
+
     for name in (sys.argv[1:] or QUERIES):  # optional subset, like scale_curve.py
         times = []
         for sf_dir in ["/root/testdata/sf0.1", SF1, SF10]:
+            _pre(name)
             force(qs[name].builder(spark, sf_dir))  # warm codegen
+            _pre(name)
             t0 = time.perf_counter()
             force(qs[name].builder(spark, sf_dir))
             times.append(time.perf_counter() - t0)

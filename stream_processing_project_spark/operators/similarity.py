@@ -1297,15 +1297,30 @@ def _q8_codes(emb, scale: int = 128):
     )
 
 
-def _q8_prune(pairs, codes, shortlist: int):
+def _q8_prune(pairs, codes, shortlist: int, broadcast_codes: bool = True):
     """Cut a candidate pair set to each src's `shortlist` best by the
     exact integer code dot Σ_i qs[i]·qd[i] — the codes-only corpus
     pass: the pair shuffle ships 64 B int8 codes per side instead of
     512 B of doubles; only survivors ever touch full vectors. Bounded
     integers (≤ 64·127² < 2^21), so ranking has no float tie ambiguity;
-    ties break by dst id."""
+    ties break by dst id.
+
+    `broadcast_codes` (r09, VERDICT r08 task 1b): the codes table is
+    n·~72 B — far under the broadcast budget until ~100M nodes — yet
+    as a plain equi-join it forced the CANDIDATE set (up to 9k²·n
+    pairs) through two extra full shuffles just to attach 64 B codes;
+    past one JVM's in-memory shuffle threshold those were exactly the
+    spilling stages the r08 verdict adjudicated. Broadcasting both
+    sides scores candidates map-side, leaving the shortlist window's
+    partitionBy(src) as the candidate set's ONLY shuffle — measured
+    same-session at sf10: 515 s → 178 s (2.9×). Pass False on corpora
+    where the codes frame exceeds the executor broadcast budget (the
+    equi-join remains the arbitrarily-large-n path). Plan-level only:
+    results are bit-identical either way, so the oracle is untouched."""
     sq = codes.select(F.col("id").alias("src"), F.col("q8").alias("qs"))
     dq = codes.select(F.col("id").alias("dst"), F.col("q8").alias("qd"))
+    if broadcast_codes:
+        sq, dq = F.broadcast(sq), F.broadcast(dq)
     dot = F.aggregate(
         F.zip_with(F.col("qs"), F.col("qd"), lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -1401,6 +1416,7 @@ def nn_descent_graph(
     seed_bucket_size: int = 64,
     checkpoint: bool = True,
     pq_shortlist: int | None = None,
+    broadcast_codes: bool = True,
 ) -> DataFrame:
     """k-NN graph construction by NN-Descent (Dong, Moses & Li, WWW'11)
     — the distributed algorithm behind large-scale neighbor-graph
@@ -1472,7 +1488,9 @@ def nn_descent_graph(
     prune = None
     if pq_shortlist is not None:
         codes = _q8_codes(emb)
-        prune = lambda pairs: _q8_prune(pairs, codes, pq_shortlist)
+        prune = lambda pairs: _q8_prune(
+            pairs, codes, pq_shortlist, broadcast_codes
+        )
     # checkpoint=False keeps the full lineage visible — used by the
     # plan-shape pins (localCheckpoint truncates .explain output)
     _ckpt = (

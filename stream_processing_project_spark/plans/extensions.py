@@ -3633,7 +3633,11 @@ def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nn_descent_cte(
-    k: int, bucket_size: int, iters: int, prune_shortlist: int | None = None
+    k: int,
+    bucket_size: int,
+    iters: int,
+    prune_shortlist: int | None = None,
+    emb_where: str = "",
 ) -> str:
     """Unrolled NN-Descent as DuckDB CTEs; the final edge table is named
     e{iters}. Mirrors operators/similarity.py::nn_descent_graph stage
@@ -3708,7 +3712,7 @@ z8 AS MATERIALIZED (
     parts = [
         f"""
 emb AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-                     FROM embeddings),
+                     FROM embeddings{emb_where}),
 nb AS MATERIALIZED (
   SELECT greatest(1, (count(*) + {bucket_size - 1}) // {bucket_size}) AS b
   FROM emb
@@ -4553,3 +4557,147 @@ def sampling_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xr").cast("int").alias("rank"),
     )
     return proto.union(hard)
+
+
+# --- incremental graph insert: the index-maintenance stage ------------------
+_INSERT_MOD = 20  # batch = vec_id % 20 == 7 (and < 10000): a bounded increment
+
+
+def _graph_insert_cte(beam: int, rounds: int, k: int) -> str:
+    """Batch-insert routing as unrolled CTEs, appended after a graph CTE
+    prefix built on the FILTERED index corpus (emb excludes the batch);
+    query vectors come from the separate `batch` CTE."""
+    g = f"e{_NN_DESCENT_ITERS}"
+    parts = [
+        f"""
+batch AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id % {_INSERT_MOD} = 7 AND vec_id < 10000),
+entry AS (SELECT min(id) AS eid FROM emb),
+bm0 AS MATERIALIZED (SELECT b.id AS query_id, e.eid AS node FROM batch b, entry e)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+bc{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM bm{i - 1}
+    UNION ALL
+    SELECT b.query_id, g.dst AS node FROM bm{i - 1} b JOIN {g} g ON g.src = b.node)
+),
+bsc{i} AS MATERIALIZED (
+  SELECT c.query_id, c.node,
+         round(list_cosine_similarity(p.v, ev.v), 6) AS cos
+  FROM bc{i} c JOIN batch p ON p.id = c.query_id JOIN emb ev ON ev.id = c.node
+),
+bm{i} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, node) AS rn
+    FROM bsc{i}
+  ) WHERE rn <= {beam}
+)"""
+        )
+    final = f"""
+SELECT query_id AS vec_id, node AS neighbor_id, cos,
+       CAST(rn2 AS INTEGER) AS rank FROM (
+  SELECT query_id, node, cos,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, node) AS rn2
+  FROM bsc{rounds}
+) WHERE rn2 <= {k}"""
+    return ",".join(parts) + final
+
+
+@register(
+    "similarity_graph_insert_batch",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST, emb_where=f" WHERE vec_id % {_INSERT_MOD} <> 7")},
+{_graph_insert_cte(_BEAM_W, _BEAM_ROUNDS, _NN_DESCENT_K)}
+""",
+)
+def similarity_graph_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance — the graph-ANN lifecycle stage
+    between build and serving (VERDICT r08 'grow the surface'): a
+    BATCH of new vectors (vec_id % 20 == 7, capped < 10000 — a bounded
+    increment, the arrival shape of a crawl shard) is inserted into
+    the existing NN-Descent index (built on the corpus WITHOUT them)
+    by the HNSW/DiskANN insert recipe: route each new vector through
+    the graph by beam search from the fixed entry node (_BEAM_W = 8,
+    _BEAM_ROUNDS = 5), then take its k best routed candidates as its
+    edge list. Per new node the work is beam·(k+1) candidate rows per
+    round — bounded by graph degree and hop count, NEVER by corpus or
+    index size, which is why serving systems insert this way instead
+    of rebuilding (an O(batch) increment vs the O(n) build;
+    cross-corpus analogue of dedup_incremental's blocked increment).
+    Emits (vec_id, neighbor_id, cos, rank) — the new nodes' adjacency,
+    union-able with the existing edge table. Determinism: rounded
+    cosine + id tie-breaks all the way down (the graph family idiom),
+    so the whole routed insert value-hash-oracles against the unrolled
+    CTE replay."""
+    from stream_processing_project_spark.operators.similarity import cosine
+
+    emb_all = t(spark, sf_dir, "embeddings")
+    index_emb = emb_all.filter(F.col("vec_id") % _INSERT_MOD != 7)
+    batch = emb_all.filter(
+        (F.col("vec_id") % _INSERT_MOD == 7) & (F.col("vec_id") < 10000)
+    ).selectExpr("vec_id AS query_id", "CAST(embedding AS array<double>) AS pv")
+    g = (
+        similarity.nn_descent_graph(
+            index_emb,
+            k=_NN_DESCENT_K,
+            seed_bucket_size=_NN_DESCENT_BSIZE,
+            iters=_NN_DESCENT_ITERS,
+            pq_shortlist=_NN_DESCENT_SHORTLIST,
+        )
+        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    emb = index_emb.selectExpr(
+        "vec_id AS id", "CAST(embedding AS array<double>) AS v"
+    )
+    node_v = emb.select(F.col("id").alias("node"), F.col("v").alias("nv"))
+    entry = emb.agg(F.min("id").alias("node"))
+    beam = batch.select("query_id").crossJoin(F.broadcast(entry))
+    scored = None
+    for _ in range(_BEAM_ROUNDS):
+        nbrs = beam.join(g, beam["node"] == g["src"]).select(
+            "query_id", F.col("dst").alias("node")
+        )
+        cand = beam.union(nbrs).distinct()
+        scored = (
+            cand.join(node_v, "node")
+            .join(F.broadcast(batch), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine(F.col("pv"), F.col("nv")), 6).alias("cos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        wb = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("node")
+        )
+        beam = (
+            scored.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= _BEAM_W)
+            .select("query_id", "node")
+        )
+    if scored is None:
+        return spark.createDataFrame(
+            [], "vec_id bigint, neighbor_id bigint, cos double, rank int"
+        )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("node")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= _NN_DESCENT_K)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("node").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )

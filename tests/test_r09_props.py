@@ -1,0 +1,112 @@
+"""Property and plan-shape pins for the r09 additions:
+retrieval_rerank_cross (two-stage rerank) and
+similarity_graph_insert_batch (incremental graph-ANN insert), plus the
+empty-corpus sweep extension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.plans.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_rerank_is_candidates_only_and_reorders(spark):
+    """The rerank stage must (a) emit exactly 10 ranked rows drawn ONLY
+    from the BM25 top-50 candidate pool (stage 2 never scores outside
+    the retrieved set — the economics of the pattern), (b) genuinely
+    REORDER: at least one top-10 doc was outside BM25's own top-10
+    (i.e. the interaction features changed the outcome, so a
+    passthrough of the stage-1 order cannot pass), and (c) keep qcov
+    within the 8-term query bound with internally consistent scores."""
+    rows = get("retrieval_rerank_cross").builder(spark, SF).collect()
+    assert len(rows) == 10
+    assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+    for r in rows:
+        assert 1 <= r["qcov"] <= 8
+        assert r["qtf_sum"] >= r["qcov"]  # each matched term occurs >= once
+        assert r["first_pos"] >= 1
+
+    bm = get("retrieval_bm25_topk").builder(spark, SF).collect()
+    bm_ids = [r["doc_id"] for r in sorted(bm, key=lambda r: r["rank"])]
+    rr_ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert set(rr_ids) - set(bm_ids), "rerank must promote beyond bm25 top-20"
+    # stage-1 containment: rebuild the top-50 candidate list the same
+    # deterministic way and check every reranked doc came from it
+    from stream_processing_project_spark.plans.extensions import (
+        retrieval_rerank_cross,  # noqa: F401  (import anchors the module)
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from stream_processing_project_spark.operators.text import words
+
+    toks = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("dl"),
+        F.explode(words(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top8 = {
+        r["term"]
+        for r in dfreq.orderBy(F.col("df").desc(), "term").limit(8).collect()
+    }
+    cand_pool = {
+        r["doc_id"]
+        for r in tf.filter(F.col("term").isin(top8))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert set(rr_ids) <= cand_pool
+
+
+def test_graph_insert_edges_are_valid_and_bounded(spark):
+    """Incremental insert: every batch node (vec_id % 20 == 7, < 10000)
+    gets ≤ k ranked edges; edges point ONLY into the index corpus
+    (never at the batch itself — those nodes aren't in the graph yet),
+    never self-loop, and ranks are dense from 1. The routed edges must
+    be genuinely useful: for each inserted node, its best edge cosine
+    must be positive on this fixture (routing reached the neighborhood,
+    not a random far node)."""
+    rows = get("similarity_graph_insert_batch").builder(spark, SF).collect()
+    assert rows, "fixture batch must be non-empty"
+    by_node: dict = {}
+    for r in rows:
+        assert r["vec_id"] % 20 == 7 and r["vec_id"] < 10000
+        assert r["neighbor_id"] % 20 != 7 or r["neighbor_id"] >= 10000
+        assert r["neighbor_id"] != r["vec_id"]
+        by_node.setdefault(r["vec_id"], []).append(r)
+    for node, es in by_node.items():
+        ranks = sorted(e["rank"] for e in es)
+        assert ranks == list(range(1, len(es) + 1)), node
+        assert len(es) <= 8
+        assert max(e["cos"] for e in es) > 0, node
+
+
+def test_graph_insert_plan_has_no_cartesian(spark):
+    """The insert plan must stay equi-join shaped: no CartesianProduct;
+    the only nested-loop join is the broadcast 1-row entry node (the
+    beam family's pinned allowance)."""
+    from tests.test_plan_properties import formatted_plan
+
+    df = get("similarity_graph_insert_batch").builder(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_r09_ops_survive_empty_corpus(spark, tmp_path):
+    """Empty-corpus sweep for the r09 additions."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "empty_r09"
+    d.mkdir()
+    for tbl in ("embeddings", "documents"):
+        src = pq.read_table(f"{SF}/{tbl}.parquet")
+        pq.write_table(src.slice(0, 0), str(d / f"{tbl}.parquet"))
+    for name in ("similarity_graph_insert_batch", "retrieval_rerank_cross"):
+        assert get(name).builder(spark, str(d)).count() == 0, name

@@ -4701,3 +4701,92 @@ def similarity_graph_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
             "rank",
         )
     )
+
+
+_DELETE_MOD = 20  # tombstones = vec_id % 20 == 3 (~5% of the index)
+
+
+@register(
+    "similarity_graph_delete_compact",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST)},
+keep AS MATERIALIZED (
+  SELECT src, dst FROM e{_NN_DESCENT_ITERS}
+  WHERE src % {_DELETE_MOD} <> 3 AND dst % {_DELETE_MOD} <> 3
+),
+broken AS MATERIALIZED (
+  SELECT src, dst FROM e{_NN_DESCENT_ITERS}
+  WHERE src % {_DELETE_MOD} <> 3 AND dst % {_DELETE_MOD} = 3
+),
+inherited AS (
+  SELECT b.src, g.dst FROM broken b
+  JOIN e{_NN_DESCENT_ITERS} g ON g.src = b.dst
+  WHERE g.dst % {_DELETE_MOD} <> 3 AND g.dst <> b.src
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM keep UNION ALL SELECT src, dst FROM inherited)
+)
+SELECT src AS vec_id, dst AS neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT c.src, c.dst,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
+         row_number() OVER (
+           PARTITION BY c.src
+           ORDER BY round(list_cosine_similarity(ea.v, eb.v), 6) DESC, c.dst
+         ) AS rn
+  FROM cand c JOIN emb ea ON ea.id = c.src JOIN emb eb ON eb.id = c.dst
+) WHERE rn <= {_NN_DESCENT_K}
+""",
+)
+def similarity_graph_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion + edge healing — the remaining graph-ANN
+    lifecycle stage (build → serve → insert → DELETE): ~5% of index
+    nodes (vec_id % 20 == 3) are tombstoned; their adjacency lists are
+    dropped, and every survivor that pointed at a tombstone INHERITS
+    the tombstone's own out-neighbors as replacement candidates (the
+    DiskANN/FreshDiskANN delete recipe — routing through a removed
+    node is preserved by short-circuiting its edges), then each healed
+    node keeps its k best by exact cosine (ties by id). Fifth consumer
+    of the session-shared graph (_nn_graph_shared): the sweep costs
+    O(k·n) edge rows + candidate rescoring bounded by k + k² per
+    healed node — zero extra corpus passes, no rebuild. Deterministic
+    end to end, so the compacted adjacency value-hash-oracles against
+    the CTE replay."""
+    from stream_processing_project_spark.operators.similarity import cosine
+
+    g = _nn_graph_shared(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    live_src = F.col("src") % _DELETE_MOD != 3
+    dead_dst = F.col("dst") % _DELETE_MOD == 3
+    keep = g.filter(live_src & ~dead_dst)
+    broken = g.filter(live_src & dead_dst)
+    g2 = g.select(F.col("src").alias("t_src"), F.col("dst").alias("t_dst"))
+    inherited = (
+        broken.join(g2, broken["dst"] == g2["t_src"])
+        .filter((F.col("t_dst") % _DELETE_MOD != 3) & (F.col("t_dst") != F.col("src")))
+        .select("src", F.col("t_dst").alias("dst"))
+    )
+    cand = keep.union(inherited).distinct()
+    emb = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id AS id", "CAST(embedding AS array<double>) AS v"
+    )
+    sv = emb.select(F.col("id").alias("src"), F.col("v").alias("sv"))
+    dv = emb.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .select(
+            "src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _NN_DESCENT_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            "cos",
+            "rank",
+        )
+    )

@@ -108,5 +108,52 @@ def test_r09_ops_survive_empty_corpus(spark, tmp_path):
     for tbl in ("embeddings", "documents"):
         src = pq.read_table(f"{SF}/{tbl}.parquet")
         pq.write_table(src.slice(0, 0), str(d / f"{tbl}.parquet"))
-    for name in ("similarity_graph_insert_batch", "retrieval_rerank_cross"):
+    for name in (
+        "similarity_graph_insert_batch",
+        "retrieval_rerank_cross",
+        "similarity_graph_delete_compact",
+    ):
         assert get(name).builder(spark, str(d)).count() == 0, name
+
+
+def test_graph_delete_compact_heals_edges(spark):
+    """Delete/compact: no tombstoned node (vec_id % 20 == 3) appears on
+    either side of the compacted adjacency; every healed node keeps ≤ k
+    dense-ranked edges; and healing genuinely works — at least one
+    survivor that pointed at a tombstone in the original graph has an
+    inherited (previously-absent) neighbor in its compacted list."""
+    orig = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in get("similarity_nn_descent_graph").builder(spark, SF).collect()
+    }
+    rows = get("similarity_graph_delete_compact").builder(spark, SF).collect()
+    assert rows
+    by_node: dict = {}
+    for r in rows:
+        assert r["vec_id"] % 20 != 3
+        assert r["neighbor_id"] % 20 != 3
+        assert r["neighbor_id"] != r["vec_id"]
+        by_node.setdefault(r["vec_id"], []).append(r)
+    healed_with_new = 0
+    broken_srcs = {s for (s, d) in orig if s % 20 != 3 and d % 20 == 3}
+    for node, es in by_node.items():
+        assert sorted(e["rank"] for e in es) == list(range(1, len(es) + 1))
+        assert len(es) <= 8
+        if node in broken_srcs and any(
+            (node, e["neighbor_id"]) not in orig for e in es
+        ):
+            healed_with_new += 1
+    assert broken_srcs, "fixture must exercise the healing path"
+    assert healed_with_new >= 1
+
+
+def test_graph_delete_compact_plan_shape(spark):
+    """Compaction must stay equi-join shaped: no CartesianProduct and
+    no nested-loop joins at all (unlike beam/insert there is no 1-row
+    entry broadcast here)."""
+    from tests.test_plan_properties import formatted_plan
+
+    df = get("similarity_graph_delete_compact").builder(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

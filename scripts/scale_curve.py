@@ -55,6 +55,11 @@ QUERIES = [
     # r08 additions
     "similarity_mmr_select",
     "similarity_graph_beam_search",
+    # r09 additions: graph lifecycle (insert pays its own filtered-index
+    # build; delete rides the session-shared graph) + rerank stage
+    "similarity_graph_insert_batch",
+    "similarity_graph_delete_compact",
+    "retrieval_rerank_cross",
     # r03 cont.: smoothing / robust anomaly / feature prep / DP /
     # maintenance additions
     "timeseries_ewma_smooth",

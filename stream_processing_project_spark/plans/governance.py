@@ -7006,3 +7006,194 @@ def sampling_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "round int, center_id bigint, dist_sq bigint"
     )
+
+
+@register(
+    "text_classifier_apply_nb",
+    oracle=f"""
+WITH lab AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+         CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+                    x -> list_contains({list(_QUALITY_STOPWORDS)}, x)))
+                   AS DOUBLE)
+              / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) > 0.06
+         THEN 'hi' ELSE 'lo' END AS y
+  FROM documents
+),
+bt AS MATERIALIZED (
+  SELECT doc_id, split, y,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64 AS bkt
+  FROM (SELECT doc_id, split, y,
+               unnest(string_split(trim(text), ' ')) AS tok
+        FROM lab)
+),
+cls AS (SELECT y AS c, count(*) AS n_docs FROM lab
+        WHERE split = 'train' GROUP BY y),
+nd AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cls),
+fstats AS (
+  SELECT y AS c, bkt, count(*) AS nb FROM bt
+  WHERE split = 'train' GROUP BY y, bkt
+),
+ctok AS (SELECT c, CAST(sum(nb) AS BIGINT) AS nc FROM fstats GROUP BY c),
+wtab AS (
+  SELECT cl.c, b.bkt,
+         CAST(round(ln((coalesce(f.nb, 0) + 1.0) / (t.nc + 64.0)) * 1000000)
+              AS BIGINT) AS logp_micro
+  FROM (SELECT DISTINCT c FROM cls) cl
+  CROSS JOIN (SELECT range AS bkt FROM range(64)) b
+  LEFT JOIN fstats f ON f.c = cl.c AND f.bkt = b.bkt
+  JOIN ctok t ON t.c = cl.c
+),
+prior AS (
+  SELECT cls.c,
+         CAST(round(ln(cls.n_docs / CAST(n_total AS DOUBLE)) * 1000000)
+              AS BIGINT) AS prior_micro
+  FROM cls, nd
+),
+scores AS (
+  SELECT b.doc_id, b.y AS true_cls, w.c AS cand,
+         CAST(sum(w.logp_micro) AS BIGINT) + any_value(p.prior_micro)
+           AS score_micro
+  FROM bt b JOIN wtab w ON w.bkt = b.bkt
+  JOIN prior p ON p.c = w.c
+  WHERE b.split = 'test'
+  GROUP BY b.doc_id, b.y, w.c
+),
+ranked AS (
+  SELECT doc_id, true_cls, cand, score_micro,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_micro DESC, cand) AS rn
+  FROM scores
+),
+pred AS (
+  SELECT w.doc_id, w.true_cls, w.cand AS pred_cls,
+         w.score_micro - r.score_micro AS margin_micro
+  FROM ranked w JOIN ranked r
+    ON r.doc_id = w.doc_id AND r.rn = 2
+  WHERE w.rn = 1
+)
+SELECT true_cls, pred_cls, count(*) AS n_docs,
+       CAST(sum(margin_micro) AS BIGINT) AS sum_margin_micro
+FROM pred GROUP BY true_cls, pred_cls
+""",
+)
+def text_classifier_apply_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the NB text classifier to held-out documents — the
+    inference stage `text_classifier_train_nb` stopped short of: the
+    model (class priors + dense per-class bucket log-probs) is fitted
+    on the TRAIN split only (doc_id % 5 != 0) and scores the UNSEEN
+    test split (doc_id % 5 == 0) — the production scoring pass every
+    trained quality/language/topic filter runs over a fresh crawl, and
+    the honest generalization read the training-set confusion matrix
+    can't give. Emits the held-out confusion matrix with per-cell
+    summed decision margins (best − runner-up class score, exact
+    integer micronats — the calibration/abstention signal a downstream
+    filter thresholds on).
+
+    Scale shape unchanged from the trainer: one token pass over the
+    train split builds the ≤ |classes|·64-row weight table (broadcast
+    back), one token pass over the test split scores it map-side-
+    combined on (doc, class); the margin needs only the per-doc
+    2-row ranked frame (self-join on rank 1/2 over |classes| rows per
+    doc). No collect, no iteration; both passes shard by partition."""
+    docs = t(spark, sf_dir, "documents")
+    toks_c = F.split(F.trim(F.col("text")), " ")
+    sr = F.size(
+        F.filter(toks_c, lambda x: x.isin(*_QUALITY_STOPWORDS))
+    ).cast("double") / F.size(toks_c).cast("double")
+    lab = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.when(sr > F.lit(0.06), F.lit("hi")).otherwise(F.lit("lo")).alias("y"),
+    )
+    bt = lab.select(
+        "doc_id",
+        "split",
+        "y",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    ).withColumn(
+        "bkt",
+        F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 64"),
+    )
+    train_lab = lab.filter(F.col("split") == "train")
+    train_bt = bt.filter(F.col("split") == "train")
+    cls = train_lab.groupBy(F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = cls.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    fstats = train_bt.groupBy(F.col("y").alias("c"), "bkt").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    ctok = fstats.groupBy("c").agg(F.sum("nb").cast("bigint").alias("nc"))
+    buckets = spark.range(64).select(F.col("id").alias("bkt"))
+    wtab = (
+        cls.select("c")
+        .crossJoin(F.broadcast(buckets))
+        .join(fstats, ["c", "bkt"], "left")
+        .join(ctok, "c")
+        .select(
+            "c",
+            "bkt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nc") + F.lit(64.0))
+                )
+                * F.lit(1000000),
+                0,
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    prior = cls.crossJoin(F.broadcast(nd)).select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs") / F.col("n_total").cast("double"))
+            * F.lit(1000000),
+            0,
+        )
+        .cast("bigint")
+        .alias("prior_micro"),
+    )
+    scores = (
+        bt.filter(F.col("split") == "test")
+        .join(F.broadcast(wtab), "bkt")
+        .groupBy(
+            F.col("doc_id"),
+            F.col("y").alias("true_cls"),
+            F.col("c").alias("cand"),
+        )
+        .agg(F.sum("logp_micro").cast("bigint").alias("s"))
+        .join(F.broadcast(prior), F.col("cand") == F.col("c"))
+        .select(
+            "doc_id",
+            "true_cls",
+            "cand",
+            (F.col("s") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    wn = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("cand")
+    )
+    ranked = scores.withColumn("rn", F.row_number().over(wn))
+    best = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "true_cls", F.col("cand").alias("pred_cls"),
+        F.col("score_micro").alias("s1"),
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "doc_id", F.col("score_micro").alias("s2")
+    )
+    return (
+        best.join(second, "doc_id")
+        .withColumn("margin_micro", F.col("s1") - F.col("s2"))
+        .groupBy("true_cls", "pred_cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("margin_micro").cast("bigint").alias("sum_margin_micro"),
+        )
+    )

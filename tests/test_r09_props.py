@@ -157,3 +157,31 @@ def test_graph_delete_compact_plan_shape(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_apply_generalizes_to_held_out(spark):
+    """NB inference (train on doc_id % 5 != 0, score the unseen 20%):
+    held-out accuracy must clearly beat the majority baseline (0.86 vs
+    0.59 measured at sf0.01 — the floor leaves drift headroom only,
+    a majority-class predictor cannot pass), margins are positive by
+    construction (best minus runner-up), and every scored doc is a
+    held-out doc (the confusion total is the test-split size)."""
+    rows = get("text_classifier_apply_nb").builder(spark, SF).collect()
+    tot = sum(r["n_docs"] for r in rows)
+    n_test = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    assert tot == n_test
+    acc = sum(r["n_docs"] for r in rows if r["true_cls"] == r["pred_cls"]) / tot
+    maj = (
+        max(
+            sum(r["n_docs"] for r in rows if r["true_cls"] == c)
+            for c in {"hi", "lo"}
+        )
+        / tot
+    )
+    assert acc >= 0.75, acc
+    assert acc > maj + 0.1, (acc, maj)
+    assert all(r["sum_margin_micro"] > 0 for r in rows)

@@ -2640,7 +2640,34 @@ v{i} AS MATERIALIZED (
         )
     body = ",\n".join(rounds)
     return f"""
-WITH q AS (
+WITH {_pca_cte_prefix(dim, iters)}
+SELECT k AS dim_idx, v AS loading_micro FROM v{iters}
+"""
+
+
+def _pca_cte_prefix(dim: int, iters: int) -> str:
+    """The PCA power-iteration pipeline as a reusable CTE prefix (no
+    final SELECT): quantized vectors q, count nn, per-dim sums sx,
+    normalized scatter mn, and iterates v0..v{iters} — composed by both
+    the PCA probe's oracle and the ABTT post-processor's."""
+    d1 = dim + 1
+    rounds = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        rounds.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT mn.j, CAST(sum(mn.mn * v{p}.v) AS BIGINT) AS w
+  FROM mn JOIN v{p} ON mn.k = v{p}.k GROUP BY 1
+),
+x{i} AS (SELECT max(abs(w)) AS mx FROM w{i}),
+v{i} AS MATERIALIZED (
+  SELECT j AS k,
+         CAST(round(CAST(w AS DOUBLE) / mx * 1e6) AS BIGINT) AS v
+  FROM w{i}, x{i}
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""q AS (
   SELECT vec_id,
          list_transform(range(1, {d1}),
            d -> CAST(round(v[d] * 1024.0) AS BIGINT)) AS qq
@@ -2668,9 +2695,7 @@ mn AS MATERIALIZED (
   FROM m, mx0
 ),
 v0 AS (SELECT dt.d AS k, CAST(1000000 AS BIGINT) AS v FROM range(1, {d1}) dt(d)),
-{body}
-SELECT k AS dim_idx, v AS loading_micro FROM v{iters}
-"""
+{body}"""
 
 
 def pca_normalized_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2781,22 +2806,34 @@ def vector_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # d ≈ 1536 it is still < 2.4M ints). Arithmetic mirrors the oracle
     # exactly: integer dot products, then round-half-away-from-zero of
     # the double quotient ×1e6.
+    vec = _pca_dominant_fold(mn)
+    return spark.createDataFrame(
+        [(int(k), int(v_)) for k, v_ in sorted(vec.items())],
+        "dim_idx bigint, loading_micro bigint",
+    )
+
+
+def _pca_dominant_fold(mn, iters: int = 200) -> dict[int, int]:
+    """Driver-side power-iteration fold over the collected normalized
+    scatter (d² rows — sketch-sized by construction); returns
+    {dim 1..d: integer micro-unit loading}. Shared by the PCA probe and
+    the ABTT post-processor; arithmetic mirrors the unrolled-SQL oracle
+    exactly (integer dots, round-half-away of the double quotient)."""
     mat: dict[tuple[int, int], int] = {
         (r["j"], r["k"]): r["mn"] for r in mn.collect()
     }
+    if not mat:  # empty corpus → no component
+        return {}
     dims = sorted({j for j, _ in mat})
     vec = {k: 1_000_000 for k in dims}
-    for _ in range(200):
+    for _ in range(iters):
         w = {
             j: sum(mat[(j, k)] * vec[k] for k in dims if (j, k) in mat)
             for j in dims
         }
         mxw = max(abs(x) for x in w.values())
         vec = {j: _round_away(float(x) / mxw * 1e6) for j, x in w.items()}
-    return spark.createDataFrame(
-        [(int(k), int(v_)) for k, v_ in sorted(vec.items())],
-        "dim_idx bigint, loading_micro bigint",
-    )
+    return vec
 
 
 @register(
@@ -4789,4 +4826,130 @@ def similarity_graph_delete_compact(spark: SparkSession, sf_dir: str) -> DataFra
             "cos",
             "rank",
         )
+    )
+
+
+@register(
+    "vector_abtt_postprocess",
+    oracle=f"""
+WITH {_pca_cte_prefix(64, 200)},
+sxl AS (SELECT list(sx ORDER BY j) AS s FROM sx),
+ul AS (SELECT list(v ORDER BY k) AS u FROM v200),
+uuv AS (SELECT CAST(list_sum(list_transform(u, x -> x * x)) AS BIGINT) AS uu
+        FROM ul),
+corr AS MATERIALIZED (
+  SELECT q.vec_id,
+         list_transform(range(1, 65), d -> nn.n * q.qq[d] - sxl.s[d]) AS c
+  FROM q, nn, sxl
+),
+dotc AS MATERIALIZED (
+  SELECT c.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      d -> c.c[d] * ul.u[d])) AS BIGINT)
+           AS udotc
+  FROM corr c, ul
+),
+proj AS MATERIALIZED (
+  SELECT c.vec_id,
+         list_transform(range(1, 65),
+           d -> CAST(c.c[d] AS DOUBLE)
+                - CAST(ul.u[d] AS DOUBLE)
+                  * (CAST(dc.udotc AS DOUBLE) / CAST(uuv.uu AS DOUBLE))) AS vp
+  FROM corr c JOIN dotc dc USING (vec_id), ul, uuv
+),
+pnl AS (SELECT vec_id, vp FROM proj WHERE vec_id % 50 = 0 AND vec_id < 5000)
+SELECT query_id, neighbor_id, cos_abtt, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.vp, c.vp), 6) AS cos_abtt,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round(list_cosine_similarity(p.vp, c.vp), 6)
+                    DESC NULLS LAST, c.vec_id) AS rn
+  FROM pnl p JOIN proj c ON c.vec_id <> p.vec_id
+) WHERE rn <= 3
+""",
+)
+def vector_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top embedding post-processing (Mu & Viswanath,
+    ICLR'18) — the standard anisotropy correction retrieval stacks run
+    before indexing: subtract the corpus mean and the projection onto
+    the dominant principal component (the direction
+    vector_pca_power_iteration extracts), because a collapsing
+    embedding space lets one hub direction dominate every cosine.
+    Emits the exact top-3 neighbors per fixed panel query under the
+    CORRECTED geometry — the downstream read that shows the cleanup
+    changed retrieval (pinned: rankings differ from raw cosine).
+
+    Determinism across engines: centering is EXACT integer arithmetic
+    at corpus scale (c_j = n·q_j − Σq_j over ×1024-quantized vectors —
+    no float mean), the component is the power-iteration fold's
+    integer micro-loadings (same 200-round replay as the PCA oracle),
+    u·c folds as a bigint (order-free), and only the final projection
+    ratio and cosine go double — single IEEE ops from identical
+    bigints, rounded 6 dp with id tie-breaks (the brute_force_topk
+    idiom). Precondition: n·|q| and Σu·c stay under int64 (holds to
+    ~1e9 vectors at this quantization; pre-scale beyond).
+
+    Scale shape: ONE d²-bounded scatter pass (shared with the PCA
+    probe) + a 200-round driver fold over the 4096-row matrix; the
+    correction itself is map-side per vector (broadcast 1-row stats +
+    literal component); the panel top-k is the audited exact-baseline
+    shape. Nothing data-sized shuffles except the scatter partials."""
+    from stream_processing_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    dim = 64
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024.0)"
+            " AS BIGINT))"
+        ).alias("qq"),
+    )
+    u = _pca_dominant_fold(pca_normalized_scatter(spark, sf_dir))
+    out_schema = (
+        "query_id bigint, neighbor_id bigint, cos_abtt double, rank int"
+    )
+    if not u:
+        return spark.createDataFrame([], out_schema)
+    u_arr = F.array(*[F.lit(int(u[j])).cast("long") for j in sorted(u)])
+    uu = sum(v * v for v in u.values())
+    stats = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(F.col("qq")[i]).cast("bigint").alias(f"_s{i}") for i in range(dim)],
+    ).select("n", F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("sx"))
+    corr = q.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.zip_with("qq", "sx", lambda x, s: F.col("n") * x - s).alias("c"),
+    )
+    proj = (
+        corr.withColumn(
+            "udotc",
+            F.aggregate(
+                F.zip_with(F.col("c"), u_arr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn(
+            "t", F.col("udotc").cast("double") / F.lit(float(uu))
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("c"),
+                u_arr,
+                lambda cj, uj: cj.cast("double")
+                - uj.cast("double") * F.col("t"),
+            ).alias("embedding"),
+        )
+    )
+    panel = proj.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000))
+    return brute_force_topk(proj, panel, k=3).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cos").alias("cos_abtt"),
+        F.col("rank").cast("int").alias("rank"),
     )

@@ -185,3 +185,37 @@ def test_nb_apply_generalizes_to_held_out(spark):
     assert acc >= 0.75, acc
     assert acc > maj + 0.1, (acc, maj)
     assert all(r["sum_margin_micro"] > 0 for r in rows)
+
+
+def test_abtt_changes_retrieval_and_survives_empty(spark, tmp_path):
+    """ABTT post-processing: each panel query gets exactly top-3
+    dense-ranked neighbors, and the corrected geometry genuinely
+    differs from raw cosine (≥1 ranked cell changes — 4/30 measured
+    at sf0.01; an identity post-process cannot pass). Empty corpus →
+    empty output (the driver-fold guard path)."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = get("vector_abtt_postprocess").builder(spark, SF).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert per_q
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    panel = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000))
+    raw = brute_force_topk(emb, panel, k=3).collect()
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in raw}
+    assert sum(1 for k in a if a[k] != b.get(k)) >= 1
+
+    d = tmp_path / "empty_abtt"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
+    assert get("vector_abtt_postprocess").builder(spark, str(d)).count() == 0

@@ -4600,10 +4600,14 @@ def sampling_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INSERT_MOD = 20  # batch = vec_id % 20 == 7 (and < 10000): a bounded increment
 
 
-def _graph_insert_cte(beam: int, rounds: int, k: int) -> str:
+def _graph_insert_cte(
+    beam: int, rounds: int, k: int, final_as: str | None = None
+) -> str:
     """Batch-insert routing as unrolled CTEs, appended after a graph CTE
     prefix built on the FILTERED index corpus (emb excludes the batch);
-    query vectors come from the separate `batch` CTE."""
+    query vectors come from the separate `batch` CTE. With `final_as`
+    the trailing SELECT is wrapped as one more named CTE so composing
+    oracles (the insert-recall audit) can keep querying."""
     g = f"e{_NN_DESCENT_ITERS}"
     parts = [
         f"""
@@ -4644,6 +4648,8 @@ SELECT query_id AS vec_id, node AS neighbor_id, cos,
            PARTITION BY query_id ORDER BY cos DESC, node) AS rn2
   FROM bsc{rounds}
 ) WHERE rn2 <= {k}"""
+    if final_as is not None:
+        return ",".join(parts) + f",\n{final_as} AS MATERIALIZED ({final}\n)"
     return ",".join(parts) + final
 
 
@@ -4952,4 +4958,66 @@ def vector_abtt_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.col("cos").alias("cos_abtt"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "similarity_graph_insert_recall",
+    oracle=f"""
+WITH {_nn_descent_cte(_NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS, _NN_DESCENT_SHORTLIST, emb_where=f" WHERE vec_id % {_INSERT_MOD} <> 7")},
+{_graph_insert_cte(_BEAM_W, _BEAM_ROUNDS, _NN_DESCENT_K, final_as="ins")},
+exact AS (
+  SELECT src, dst FROM (
+    SELECT b.id AS src, c.id AS dst,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY round(list_cosine_similarity(b.v, c.v), 6) DESC, c.id
+           ) AS rn
+    FROM batch b JOIN emb c ON c.id <> b.id
+  ) WHERE rn <= {_NN_DESCENT_K}
+),
+hits AS (
+  SELECT count(*) AS n_hits FROM exact x
+  JOIN ins g ON g.vec_id = x.src AND g.neighbor_id = x.dst
+),
+nb2 AS (SELECT count(*) AS n_batch FROM batch)
+SELECT CAST(n_batch AS BIGINT) AS n_batch,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       n_hits / (n_batch * {_NN_DESCENT_K}.0) AS recall
+FROM nb2, hits
+""",
+)
+def similarity_graph_insert_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the INSERTED nodes' routed edges against their exact
+    top-k in the index corpus — the measured-quality row for
+    incremental insert, exactly parallel to similarity_nn_descent_recall
+    for the build: a served index that inserts via beam routing must
+    know how much neighbor quality the O(batch) shortcut gives up vs
+    the O(n) rebuild. The exact side broadcasts only the bounded batch
+    against the index (brute_force_topk shape — corpus never shuffles),
+    so the audit stays runnable at any index size; the division is RAW
+    (identical integer operands → identical IEEE double either
+    engine)."""
+    edges = similarity_graph_insert_batch(spark, sf_dir).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    emb_all = t(spark, sf_dir, "embeddings")
+    index_emb = emb_all.filter(F.col("vec_id") % _INSERT_MOD != 7)
+    batch = emb_all.filter(
+        (F.col("vec_id") % _INSERT_MOD == 7) & (F.col("vec_id") < 10000)
+    )
+    exact = similarity.brute_force_topk(
+        index_emb, batch, k=_NN_DESCENT_K
+    ).select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    hits = exact.join(edges, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nb2 = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    return nb2.crossJoin(F.broadcast(hits)).select(
+        F.col("n_batch").cast("bigint").alias("n_batch"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (
+            F.col("n_hits")
+            / (F.col("n_batch") * F.lit(float(_NN_DESCENT_K)))
+        ).alias("recall"),
     )

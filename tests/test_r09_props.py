@@ -223,13 +223,14 @@ def test_abtt_changes_retrieval_and_survives_empty(spark, tmp_path):
 
 def test_graph_insert_recall_is_consistent(spark):
     """Insert-recall audit: internally consistent (n_hits ≤ n_batch·k,
-    recall = the raw division) and the routed insert finds a
-    non-trivial fraction of the exact neighbors (0.46 measured at
-    sf0.01 vs the build's 0.79 — the honest cost of the O(batch)
-    shortcut on an isotropic fixture; floor at 0.3 leaves drift
-    headroom while a broken router lands near 1/|index| ≈ 0)."""
+    recall = the raw division) and the wide-beam routed insert matches
+    build-grade neighbor quality (0.81 at sf0.01 with
+    _INSERT_BEAM_W=32 vs the full build's 0.79 — the width sweep that
+    picked 32 is in the constant's comment; floor at 0.6 leaves drift
+    headroom while the serving-width router measured 0.46 and a
+    broken one lands near 1/|index| ≈ 0)."""
     row = get("similarity_graph_insert_recall").builder(spark, SF).collect()[0]
     assert row["n_batch"] > 0
     assert 0 <= row["n_hits"] <= row["n_batch"] * 8
     assert row["recall"] == row["n_hits"] / (row["n_batch"] * 8.0)
-    assert row["recall"] >= 0.3
+    assert row["recall"] >= 0.6

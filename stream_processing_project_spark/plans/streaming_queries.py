@@ -1401,3 +1401,87 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "sess_start", "n_events", F.round("sum_val", 2).alias("sum_val")
     )
+
+
+@register(
+    "streaming_embedding_neardup",
+    oracle="""
+SELECT b.vec_id AS vec_id,
+       count(a.vec_id) > 0 AS is_neardup,
+       CAST(count(a.vec_id) AS BIGINT) AS n_matches,
+       min(a.vec_id) AS first_match_id
+FROM embeddings b LEFT JOIN embeddings a
+  ON a.vec_id < b.vec_id
+ AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]), 6) >= 0.35
+GROUP BY b.vec_id
+""",
+)
+def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online EMBEDDING near-dup screening — the dense-vector sibling of
+    `streaming_dedup_minhash`: each ARRIVING embedding is checked
+    against the STATIC corpus by banded sign-hyperplane LSH blocking
+    (the dedup_embedding_cosine machinery, miss_prob tightened to 1e-8
+    for this miss-sensitive consumer) + exact cosine verify ≥ 0.35
+    against earlier ids only (a < b — the keep-first convention). The
+    in-stream section is completely STATELESS: band codes are a
+    row-local Arrow-batched projection, candidates come from one
+    equi-join on (band, code) against the broadcast-able static band
+    table, and the verified-pair log is emitted append-mode with no
+    watermark or state store; the keep/drop verdict per document is a
+    batch roll-up of the replayed log (band-duplicate candidate pairs
+    collapse under count(DISTINCT)). At 100 TB the arriving shard only
+    ever joins band buckets, never the corpus, and state is zero —
+    crash recovery is replay. Oracle = the exact all-pairs LEFT JOIN
+    (blocking is exact at fixture scale — the pinned
+    dedup_embedding_cosine recall contract)."""
+    import math
+
+    from stream_processing_project_spark.operators.similarity import (
+        _band_codes_udf,
+        cosine,
+    )
+
+    threshold, miss_prob = 0.35, 1e-8
+    p = 1.0 - math.acos(threshold) / math.pi
+    bits = max(2, min(16, round(math.log(0.15) / math.log(p))))
+    tables = max(
+        1, math.ceil(math.log(miss_prob) / math.log(1.0 - p**bits))
+    )
+    codes = _band_codes_udf(bits, tables, seed=7)
+
+    static = t(spark, sf_dir, "embeddings")
+    static_coded = (
+        static.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            codes(F.col("embedding")).alias("codes"),
+        )
+        .select("id_a", "va", F.posexplode("codes").alias("band", "code"))
+    )
+    stream = pipeline.file_embedding_stream(spark, sf_dir)
+    stream_coded = stream.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        codes(F.col("embedding")).alias("codes"),
+    ).select("id_b", "vb", F.posexplode("codes").alias("band", "code"))
+    pairs = (
+        stream_coded.join(static_coded, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_b", "id_a")
+    )
+    log = pipeline.run_to_completion(pairs, output_mode="append")
+    per_vec = log.groupBy("id_b").agg(
+        F.countDistinct("id_a").alias("n_matches"),
+        F.min("id_a").alias("first_match_id"),
+    )
+    return static.select("vec_id").join(
+        per_vec, static["vec_id"] == per_vec["id_b"], "left"
+    ).select(
+        "vec_id",
+        F.col("first_match_id").isNotNull().alias("is_neardup"),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        "first_match_id",
+    )

@@ -155,6 +155,20 @@ def file_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_embedding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the embeddings fixture — vectors as an arrival
+    stream (new embedding shards landing from an encoder job is exactly
+    this shape at production scale)."""
+    from stream_processing_project_spark.schemas import EMBEDDINGS
+
+    return (
+        spark.readStream.schema(EMBEDDINGS)
+        .option("maxFilesPerTrigger", "64")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def cdc_event_stream(
     spark: SparkSession,
     sf_dir: str,

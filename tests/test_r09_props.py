@@ -234,3 +234,21 @@ def test_graph_insert_recall_is_consistent(spark):
     assert 0 <= row["n_hits"] <= row["n_batch"] * 8
     assert row["recall"] == row["n_hits"] / (row["n_batch"] * 8.0)
     assert row["recall"] >= 0.6
+
+
+def test_streaming_embedding_neardup_is_stateless_and_nontrivial(spark):
+    """Streaming embedding near-dup: verdict covers every corpus vector,
+    matches are genuinely found on the fixture (201/500 at sf0.01 with
+    the 0.35 tail threshold), every match points at an EARLIER id
+    (keep-first), and non-dup rows carry the (False, 0, None) shape."""
+    rows = get("streaming_embedding_neardup").builder(spark, SF).collect()
+    n_corpus = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_corpus
+    dups = [r for r in rows if r["is_neardup"]]
+    assert dups, "fixture must produce near-dups at the tail threshold"
+    for r in rows:
+        if r["is_neardup"]:
+            assert r["first_match_id"] < r["vec_id"]
+            assert r["n_matches"] >= 1
+        else:
+            assert r["n_matches"] == 0 and r["first_match_id"] is None

@@ -1419,55 +1419,44 @@ GROUP BY b.vec_id
 )
 def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online EMBEDDING near-dup screening — the dense-vector sibling of
-    `streaming_dedup_minhash`: each ARRIVING embedding is checked
-    against the STATIC corpus by banded sign-hyperplane LSH blocking
-    (the dedup_embedding_cosine machinery, miss_prob tightened to 1e-8
-    for this miss-sensitive consumer) + exact cosine verify ≥ 0.35
-    against earlier ids only (a < b — the keep-first convention). The
-    in-stream section is completely STATELESS: band codes are a
-    row-local Arrow-batched projection, candidates come from one
-    equi-join on (band, code) against the broadcast-able static band
-    table, and the verified-pair log is emitted append-mode with no
-    watermark or state store; the keep/drop verdict per document is a
-    batch roll-up of the replayed log (band-duplicate candidate pairs
-    collapse under count(DISTINCT)). At 100 TB the arriving shard only
-    ever joins band buckets, never the corpus, and state is zero —
-    crash recovery is replay. Oracle = the exact all-pairs LEFT JOIN
-    (blocking is exact at fixture scale — the pinned
-    dedup_embedding_cosine recall contract)."""
-    import math
+    `streaming_dedup_minhash`: each ARRIVING embedding is verified by
+    exact cosine ≥ 0.35 against EARLIER static-corpus ids (a < b — the
+    keep-first convention). The in-stream section is completely
+    STATELESS: one stream-static join against the broadcast corpus, the
+    verified-pair log emitted append-mode with no watermark or state
+    store; the keep/drop verdict per vector is a batch roll-up of the
+    replayed log. Crash recovery is replay.
 
-    from stream_processing_project_spark.operators.similarity import (
-        _band_codes_udf,
-        cosine,
-    )
+    Candidate-generation honesty (measured, r09): 0.35 is a TAIL
+    threshold on the near-orthogonal fixture — p(band) is so high that
+    banded LSH needs ~77-124 band tables, and the band equi-join then
+    GENERATES ~L·p_band·n²/2 ≈ 10× all-pairs join rows (two curve
+    attempts ran minutes-long at 10× scale; a per-pair first-band
+    dedup filter made it worse — the 77-element zip per join row costs
+    more than the cosine it saves). The family's documented trade
+    (embedding_near_dup_pairs) says exactly this: no blocking beats
+    all-pairs on the random tail. So the fixture-scale plan is the
+    exact broadcast screen — |batch|·|corpus| cosines, stream side
+    fanned out (the one-file-corpus serialization pin). At PRODUCTION
+    near-dup thresholds (≥ 0.8, long selective bands) swap the
+    broadcast for the banded equi-join in `embedding_near_dup_pairs`
+    — one changed join, the semantics and roll-up are unchanged.
+    Oracle = the same exact all-pairs LEFT JOIN."""
+    from stream_processing_project_spark.operators.similarity import cosine
 
-    threshold, miss_prob = 0.35, 1e-8
-    p = 1.0 - math.acos(threshold) / math.pi
-    bits = max(2, min(16, round(math.log(0.15) / math.log(p))))
-    tables = max(
-        1, math.ceil(math.log(miss_prob) / math.log(1.0 - p**bits))
+    threshold = 0.35
+    static = t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id AS id_a", "CAST(embedding AS array<double>) AS va"
     )
-    codes = _band_codes_udf(bits, tables, seed=7)
-
-    static = t(spark, sf_dir, "embeddings")
-    static_coded = (
-        static.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("embedding").alias("va"),
-            codes(F.col("embedding")).alias("codes"),
-        )
-        .select("id_a", "va", F.posexplode("codes").alias("band", "code"))
+    # fan the one-file micro-batch out BEFORE the screen — without this
+    # the whole |batch|·|corpus| verify runs as a single task
+    stream = (
+        pipeline.file_embedding_stream(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("vec_id AS id_b", "CAST(embedding AS array<double>) AS vb")
     )
-    stream = pipeline.file_embedding_stream(spark, sf_dir)
-    stream_coded = stream.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        codes(F.col("embedding")).alias("codes"),
-    ).select("id_b", "vb", F.posexplode("codes").alias("band", "code"))
     pairs = (
-        stream_coded.join(static_coded, ["band", "code"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        stream.join(F.broadcast(static), F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_b", "id_a")
@@ -1477,8 +1466,9 @@ def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id_a").alias("n_matches"),
         F.min("id_a").alias("first_match_id"),
     )
-    return static.select("vec_id").join(
-        per_vec, static["vec_id"] == per_vec["id_b"], "left"
+    allv = static.select(F.col("id_a").alias("vec_id"))
+    return allv.join(
+        per_vec, allv["vec_id"] == per_vec["id_b"], "left"
     ).select(
         "vec_id",
         F.col("first_match_id").isNotNull().alias("is_neardup"),

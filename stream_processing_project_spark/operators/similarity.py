@@ -344,6 +344,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int | None = None,
+    gemm: bool = False,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run the Lloyd loop and return (quantized corpus frame
     `(vec_id, qq)`, trained centroid list) — the reusable half of
@@ -360,7 +361,13 @@ def kmeans_fit(
     FULL quantized corpus, and the one full assignment pass downstream
     is unchanged. When n ≤ N the sample IS the corpus, so fixture
     results — and the recall pins — are bit-identical to full
-    training."""
+    training.
+
+    `gemm=True` (r10, VERDICT r09 task 1) computes each round's
+    assignment with the Arrow-batched int64 GEMM udf instead of the
+    k·dim-literal expression tree — the vectorized production build
+    path. Exact integer arithmetic either way, so the trajectories are
+    bit-identical (pinned in tests)."""
     spark_q = corpus.selectExpr(
         f"{id_col} AS vec_id",
         f"transform({_quantize_expr(vec_col, dim)},"
@@ -399,7 +406,10 @@ def kmeans_fit(
         seeds = train.orderBy("vec_id").limit(k).collect()
         centroids: list[list[int]] = [list(r.qq) for r in seeds]
         for _ in range(iters):
-            dist_c, cid_c = _centroid_assignment(centroids)
+            if gemm:
+                cid_c = _gemm_assign_udf(centroids)("qq").alias("cid")
+            else:
+                _, cid_c = _centroid_assignment(centroids)
             rows = (
                 train.select("qq", cid_c)
                 .groupBy("cid")
@@ -432,6 +442,7 @@ def ivf_trained_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gemm: bool = False,
 ) -> DataFrame:
     """IVF retrieval over a TRAINED coarse quantizer — the composition
     the sign-hash IVF twin (ivf_topk_oracled) stands in for: k-means
@@ -442,24 +453,47 @@ def ivf_trained_topk(
     lexicographic tie-breaks), so the whole train→index→query pipeline
     value-hash-oracles.
 
+    `gemm=True` (r10, VERDICT r09 task 1): Lloyd assignments, the final
+    list assignment AND the probe ranking all run through the
+    Arrow-batched int64 GEMM udfs — the vectorized production index
+    build — instead of centroid-literal expression trees. Same exact
+    integers, bit-identical output, same oracle.
+
     Scale shape: the corpus pass is ONE assignment projection plus an
     equi-join on cid — the probe step broadcasts k centroid literals,
     never pairs vectors all-to-all; per query the scan is
     |corpus|·n_probe/k in expectation."""
-    spark_q, centroids = kmeans_fit(corpus, k, iters, dim, id_col, vec_col)
-    _, cid_c = _centroid_assignment(centroids)
-    lists = spark_q.select("vec_id", "qq", cid_c)
-    probes = (
-        spark_q.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qq").alias("qq_q"),
-            F.explode(
-                F.slice(F.array_sort(_centroid_pairs(centroids)), 1, n_probe)
-            ).alias("probe"),
-        )
-        .select("query_id", "qq_q", F.col("probe").getItem(1).alias("cid"))
+    spark_q, centroids = kmeans_fit(
+        corpus, k, iters, dim, id_col, vec_col, gemm=gemm
     )
+    if gemm:
+        cid_c = _gemm_assign_udf(centroids)("qq").alias("cid")
+    else:
+        _, cid_c = _centroid_assignment(centroids)
+    lists = spark_q.select("vec_id", "qq", cid_c)
+    if gemm:
+        probes = (
+            spark_q.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qq").alias("qq_q"),
+                F.explode(
+                    _gemm_probe_udf(centroids, n_probe)("qq")
+                ).alias("cid"),
+            )
+        )
+    else:
+        probes = (
+            spark_q.filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qq").alias("qq_q"),
+                F.explode(
+                    F.slice(F.array_sort(_centroid_pairs(centroids)), 1, n_probe)
+                ).alias("probe"),
+            )
+            .select("query_id", "qq_q", F.col("probe").getItem(1).alias("cid"))
+        )
     dist = F.aggregate(
         F.zip_with(F.col("qq_q"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -877,6 +911,146 @@ def ivf_topk_oracled(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --- Exact-integer GEMM execution of the oracled ANN shapes (r10) -----------
+#
+# VERDICT r09 task 1: the two rows-only registry names (similarity_ann_lsh,
+# similarity_ann_ivf) carried vectorized index builds whose float
+# trajectories (RandomState Gaussians / MLlib Lloyd) no SQL engine
+# reproduces. The r10 contract change keeps the PRODUCTION EXECUTION PATH —
+# one numpy matmul per Arrow batch, the way a real index build runs — but
+# moves the arithmetic to exact int64: quantized vectors are ≤2^21 in
+# magnitude, so every GEMM entry stays below 2^48 ≪ 2^63 and int64 matmul
+# is exact and association-order-free. Codes, Lloyd assignments and probe
+# rankings therefore match the pure-SQL expression twins BIT-FOR-BIT
+# (pinned in tests/test_r10_props.py), and both names now carry full
+# DuckDB value-hash oracles. The float-seeded variants (ann_lsh_topk,
+# ivf_topk) stay as operators with recall pins in tests.
+
+
+def _gemm_code_udf(bits: int, dim: int):
+    """Arrow-batched GEMM twin of _code_expr: sign-bit bucket codes from
+    the multiplicative-hash ±1 planes, ONE int64 matmul per batch.
+    |plane·qq| ≤ dim·2^20 < 2^27, so the integer dots — and hence every
+    sign bit — are exact and bit-identical to the SQL aggregate."""
+    import numpy as np
+
+    idx = (
+        np.arange(bits, dtype=np.int64)[:, None] * 997
+        + np.arange(1, dim + 1, dtype=np.int64)[None, :]
+    )
+    planes = np.where(
+        (idx * 2654435761) % (1 << 32) >= (1 << 31), -1, 1
+    ).astype(np.int64)  # (bits, dim) ±1 — the _sign_expr matrix
+    weights = (1 << np.arange(bits, dtype=np.int64))[::-1]
+
+    @F.pandas_udf("long")
+    def code(qq: pd.Series) -> pd.Series:
+        if qq.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(qq.to_numpy()).astype(np.int64)  # (batch, dim)
+        dots = mat @ planes.T  # exact int64 GEMM
+        return pd.Series((dots > 0).astype(np.int64) @ weights)
+
+    return code
+
+
+def ann_lsh_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ann_lsh_topk_oracled's plan with the bucket codes computed by the
+    vectorized GEMM build (_gemm_code_udf) instead of the per-row SQL
+    aggregate — the production index-build execution path, now with the
+    same full value-hash oracle because the integer arithmetic is
+    identical. Multi-probe = own bucket + all Hamming-1 flips. No
+    localCheckpoint needed: the quantize transform feeds the udf ONCE
+    through the Arrow projection (the element_at re-evaluation hazard of
+    the expression twin doesn't arise)."""
+    code_udf = _gemm_code_udf(bits, dim)
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"cast({vec_col} AS array<double>) AS cv",
+        f"{_quantize_expr(vec_col, dim)} AS qq",
+    ).select("neighbor_id", "cv", code_udf("qq").alias("bucket"))
+    q = (
+        queries.selectExpr(
+            f"{id_col} AS query_id",
+            f"cast({vec_col} AS array<double>) AS qv",
+            f"{_quantize_expr(vec_col, dim)} AS qq",
+        )
+        .select("query_id", "qv", code_udf("qq").alias("_b0"))
+        .selectExpr(
+            "query_id",
+            "qv",
+            f"explode(concat(array(_b0), transform(sequence(0, {bits - 1}),"
+            f" j -> cast(_b0 ^ shiftleft(cast(1 AS bigint), j) AS bigint)))) AS bucket",
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _gemm_assign_udf(cents: list[list[int]]):
+    """Arrow-batched GEMM twin of _centroid_assignment's cid: nearest
+    centroid by exact int64 ||q||² − 2qC' + ||c||², ties to the smallest
+    cid (np.argmin returns the first minimum — same as the lexicographic
+    [dist, cid] min). Offset-quantized values ≤ 2^21 keep every entry
+    below 64·2^42 = 2^48: exact."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64) if cents else np.zeros((0, 1), np.int64)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("long")
+    def cid(qq: pd.Series) -> pd.Series:
+        if qq.empty or C.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.stack(qq.to_numpy()).astype(np.int64)
+        d = (Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T) + cn[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return cid
+
+
+def _gemm_probe_udf(cents: list[list[int]], n_probe: int):
+    """Arrow-batched probe ranking: each query's n_probe nearest
+    centroids by (exact int64 distance, cid) — stable argsort breaks
+    distance ties toward the smaller cid, matching the oracle's
+    row_number() ORDER BY dist, cid."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64) if cents else np.zeros((0, 1), np.int64)
+    cn = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<long>")
+    def probes(qq: pd.Series) -> pd.Series:
+        if qq.empty or C.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(qq.to_numpy()).astype(np.int64)
+        d = (Q * Q).sum(axis=1, keepdims=True) - 2 * (Q @ C.T) + cn[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return probes
 
 
 def _sub_code_expr(qq_col: str, j: int, bits: int = 4, sub: int = 8) -> str:

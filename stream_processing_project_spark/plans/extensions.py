@@ -8,12 +8,13 @@ output carries FULL DuckDB value-hash oracles (dedup_minhash_lsh,
 dedup_simhash, text_winnow_candidates), on top of the fully-oracled
 containment companions that semi-join exact near-dup pairs against each
 sketch's candidates (dedup_minhash_containment,
-dedup_simhash_containment, text_winnow_containment). The ONLY rows-only
-queries left are the two Gaussian-GEMM ANN builds (similarity_ann_lsh,
-similarity_ann_ivf) — adjudicated no-gos (numpy float trajectories
-don't reproduce in SQL), each paired with a registered deterministic
-twin that does (similarity_ann_lsh_oracled, similarity_ann_ivf_oracled).
-Everything else carries an exact DuckDB oracle directly.
+dedup_simhash_containment, text_winnow_containment). As of r10 (VERDICT
+r09 task 1) ZERO rows-only queries remain: the two GEMM ANN builds
+(similarity_ann_lsh, similarity_ann_ivf) now run their vectorized
+Arrow-batched builds over EXACT int64 arithmetic — quantized vectors
+keep every matmul entry below 2^48, so int64 GEMM is exact — making
+their outputs bit-identical to the ANSI-SQL expression twins; every
+registered name carries a full DuckDB value-hash oracle.
 """
 
 from __future__ import annotations
@@ -1147,43 +1148,29 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@register("similarity_ann_lsh")
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-3 (8 random-hyperplane sign bits) —
-    the scale path: each query scores only its bucket. ORACLE NO-GO
-    (adjudicated r08, VERDICT r07 task 6): the hyperplanes are
-    RandomState Gaussian float32 rows applied by numpy GEMM inside
-    Arrow batches — not reproducible in SQL, so this stays rows-only BY
-    DESIGN. The bucket-prune shape is fully driver-verified through the
-    registered twin similarity_ann_lsh_oracled (integer-quantized
-    vectors, multiplicative-hash ±1 hyperplanes, same multi-probe plan,
-    full value-hash oracle); recall vs brute force is asserted in
-    tests. Kept registered because the Gaussian GEMM build is the
-    production variant."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
-
-
-@register(
-    "similarity_ann_lsh_oracled",
-    oracle="""
+def _lsh_oracle(bits: int, k: int, n_queries: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of the deterministic sign-code LSH plan — shared by
+    the SQL-expression path (similarity_ann_lsh_oracled) and the GEMM
+    execution path (similarity_ann_lsh): same quantization, same
+    multiplicative-hash ±1 planes, same Hamming-1 multi-probe."""
+    return f"""
 WITH dz AS (
-  SELECT vec_id, v, list_transform(range(1, 65), d -> CAST(round(v[d] * 1048576.0) AS BIGINT)) AS qq
+  SELECT vec_id, v, list_transform(range(1, {dim + 1}), d -> CAST(round(v[d] * 1048576.0) AS BIGINT)) AS qq
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ),
 coded AS (
   SELECT vec_id, v,
-    list_sum(list_transform(range(0, 8), p ->
-      (CASE WHEN list_sum(list_transform(range(1, 65), d ->
+    list_sum(list_transform(range(0, {bits}), p ->
+      (CASE WHEN list_sum(list_transform(range(1, {dim + 1}), d ->
          (CASE WHEN ((p * 997 + d) * 2654435761) % 4294967296 >= 2147483648 THEN -1 ELSE 1 END) * qq[d]
-      )) > 0 THEN 1 ELSE 0 END) * (1 << (7 - p))
+      )) > 0 THEN 1 ELSE 0 END) * (1 << ({bits - 1} - p))
     )) AS bucket
   FROM dz
 ),
 probes AS (
   SELECT vec_id AS query_id,
-         unnest(list_prepend(bucket, list_transform(range(0, 8), j -> xor(bucket, 1 << j)))) AS bucket
-  FROM coded WHERE vec_id < 10
+         unnest(list_prepend(bucket, list_transform(range(0, {bits}), j -> xor(bucket, 1 << j)))) AS bucket
+  FROM coded WHERE vec_id < {n_queries}
 ),
 cand AS (
   SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
@@ -1197,9 +1184,31 @@ scored AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, neighbor_id) AS rank
   FROM scored
-) WHERE rank <= 3
-""",
-)
+) WHERE rank <= {k}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_lsh_oracle(bits=8, k=5))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 with the bucket codes built by the
+    VECTORIZED GEMM path — one numpy matmul per Arrow batch, the way a
+    production index build runs. r10 contract change (VERDICT r09 task
+    1): the r01–r09 registration used RandomState Gaussian float planes,
+    whose float trajectory no SQL engine reproduces (the adjudicated
+    rows-only no-go). Moving the SAME GEMM execution to exact int64
+    arithmetic (quantized vectors × multiplicative-hash ±1 planes —
+    |dot| < 2^27, matmul exact) makes the codes bit-identical to the
+    ANSI-SQL expression twin, so this name now carries a FULL value-hash
+    oracle while keeping the Arrow-batched build coverage. The
+    float-seeded variant stays recall-pinned in tests
+    (operators/similarity.py::ann_lsh_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk_gemm(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register("similarity_ann_lsh_oracled", oracle=_lsh_oracle(bits=8, k=3))
 def similarity_ann_lsh_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_lsh's deterministic twin with a FULL value-hash oracle: the
     approximation itself is reproducible cross-engine (integer-quantized
@@ -1375,26 +1384,6 @@ def similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), k=5, m=16, bits=5,
         rerank_shortlist=50,
     )
-
-
-@register("similarity_ann_ivf")
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3: seeded KMeans coarse quantizer → inverted
-    lists by centroid → nprobe=4-of-16 probing with exact cosine inside
-    probed lists. ORACLE NO-GO (adjudicated r08, VERDICT r07 task 6):
-    the coarse quantizer trains with numpy float32 GEMM inside Arrow
-    batches — Lloyd iterations over RandomState-seeded init — and no
-    SQL engine reproduces that float trajectory bit-for-bit, so this
-    stays rows-only BY DESIGN. The approximation SHAPE is fully
-    driver-verified through the registered twin
-    similarity_ann_ivf_oracled (integer-quantized vectors,
-    multiplicative-hash centroids — same probe/prune plan, full
-    value-hash oracle); recall vs brute force asserted in tests. The
-    GEMM path is kept registered because it IS the production variant —
-    replacing it with the quantized twin would drop coverage of the
-    vectorized-pandas_udf index build."""
-    emb = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
 @register(
@@ -1582,6 +1571,33 @@ def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained counterpart of the sign-hash `similarity_ann_ivf_oracled`
     twin (operators/similarity.py::ivf_trained_topk)."""
     return similarity.ivf_trained_topk(t(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_ann_ivf", oracle=_ivf_trained_oracle(16, 2, 64, 4, 3, 10))
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 (16 trained inverted lists, nprobe=4) with
+    the ENTIRE index build — Lloyd assignments, list assignment, probe
+    ranking — executed by the vectorized GEMM path: one int64 numpy
+    matmul per Arrow batch. r10 contract change (VERDICT r09 task 1):
+    the r01–r09 registration trained with MLlib float32 KMeans, whose
+    float trajectory no SQL engine reproduces (the adjudicated
+    rows-only no-go). Running the SAME GEMM execution over exact
+    integers (offset-quantized vectors ≤ 2^21 → every matmul entry
+    < 2^48, exact in int64) makes the Lloyd trajectory bit-identical to
+    the expression-tree path, so this name now carries a FULL
+    value-hash oracle while keeping the Arrow-batched production-build
+    coverage. Distinct layout from similarity_ann_ivf_trained (16
+    lists / 2 iters / 4 probes vs 8/3/2) so the two exercise different
+    prune geometries. The MLlib float variant stays recall-pinned in
+    tests (operators/similarity.py::ivf_topk)."""
+    return similarity.ivf_trained_topk(
+        t(spark, sf_dir, "embeddings"),
+        k=16,
+        iters=2,
+        n_probe=4,
+        topk=3,
+        gemm=True,
+    )
 
 
 def _ivfpq_e2e_oracle(

@@ -393,7 +393,33 @@ def stream_bench(spark, sf_dir: str) -> dict:
     # production picks this per stream at deploy time — at 100 TB size
     # it to executor count × cores, exactly like batch shuffles.
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_npu = spark.conf.get(
+        "spark.sql.streaming.numRecentProgressUpdates", "100"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "12")
+    # try/finally (ADVICE r09): an exception mid-replay must not leave
+    # the session's shuffle/progress confs mutated for whatever runs
+    # after stream_bench in the same session.
+    try:
+        return _stream_bench_body(spark, sf_dir, dim, n)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", prev_npu
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _stream_bench_body(spark, sf_dir: str, dim, n: int) -> dict:
+    from stream_processing_project_spark.sources.fixtures import load_table
+    from stream_processing_project_spark.streaming.pipeline import (
+        cdc_event_stream,
+        dedup_stream,
+        enriched_stream,
+        file_event_stream,
+        minute_counts_stream,
+        run_to_completion,
+    )
+
     # warm-up at the smallest sf: streaming query codegen + state-store
     # init dominate a cold first run and aren't what we're measuring
     warm_dir = "/root/testdata/sf0.001"
@@ -439,9 +465,6 @@ def stream_bench(spark, sf_dir: str) -> dict:
     # named batch_lag_ms_*: this is per-batch processing latency, the
     # end-to-end lag of a keeping-up pipeline (no queueing term in a
     # bounded replay).
-    prev_npu = spark.conf.get(
-        "spark.sql.streaming.numRecentProgressUpdates", "100"
-    )
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "256")
     stage_dir = stage_event_files(spark, sf_dir, n_files=N_STAGE_FILES)
     replays: list[list[float]] = []
@@ -462,8 +485,6 @@ def stream_bench(spark, sf_dir: str) -> dict:
                 )
             )
         )
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_npu)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     lag_ms = sorted(min(replays, key=sum)) if any(replays) else []
     pct = lambda p: round(lag_ms[min(len(lag_ms) - 1, int(p * len(lag_ms)))], 1)
     return {
@@ -495,15 +516,24 @@ N_STAGE_FILES = 24
 
 def stage_event_files(spark, sf_dir: str, n_files: int) -> str:
     """Split the one-file events fixture into n_files parquet parts
-    under /tmp (idempotent per (sf_dir, n_files)) so the lag replay has
-    file-source micro-batch boundaries to meter against."""
+    under /tmp (idempotent per (sf_dir, n_files, source mtime+size)) so
+    the lag replay has file-source micro-batch boundaries to meter
+    against. The source file's (mtime, size) is part of the cache key
+    (ADVICE r09): a regenerated fixture at the same path must re-stage,
+    not silently meter stale data."""
     import tempfile
 
     from stream_processing_project_spark.sources.fixtures import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        vintage = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        vintage = "na"
     stage = os.path.join(
-        tempfile.gettempdir(), f"bench_lag_stage_{tag}_{n_files}"
+        tempfile.gettempdir(), f"bench_lag_stage_{tag}_{n_files}_{vintage}"
     )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(

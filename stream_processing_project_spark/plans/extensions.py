@@ -3813,32 +3813,56 @@ _NN_DESCENT_K, _NN_DESCENT_BSIZE, _NN_DESCENT_ITERS = 8, 64, 4
 # collapsed recall to 0.42 (operators/similarity.py::_q8_codes).
 _NN_DESCENT_SHORTLIST = 32
 
-# One NN-Descent graph per (Spark app, corpus dir) — VERDICT r08 task
-# 1a. Four registry consumers (graph, recall, beam search, outlier
-# sweep) need the SAME deterministic graph; before this cache each
-# rebuilt it from scratch, so e.g. beam search's sf10 wall time was
-# ≥75% graph build. A served system builds the index once and serves
-# many consumers off it — the cache reproduces that: the first
-# consumer materializes the edges (localCheckpoint), later ones read
-# the checkpointed RDD. Keyed by applicationId so a restarted session
-# (whose checkpointed RDDs are gone) rebuilds, with stale-app entries
-# pruned; keyed by corpus path so tests on tmp fixtures don't collide.
+# One NN-Descent graph per (Spark app, corpus dir, index variant) —
+# VERDICT r08 task 1a + r09 task 4. The registry consumers (graph,
+# recall, beam search, outlier sweep — and, per variant, the insert
+# pair, which indexes the corpus WITHOUT the arriving batch) need the
+# SAME deterministic graph; before this cache each rebuilt it from
+# scratch, so e.g. beam search's sf10 wall time was ≥75% graph build.
+# A served system builds the index once and serves many consumers off
+# it — the cache reproduces that: the first consumer materializes the
+# edges (localCheckpoint), later ones read the checkpointed RDD. Keyed
+# by applicationId so a restarted session (whose checkpointed RDDs are
+# gone) rebuilds, with stale-app entries pruned; keyed by corpus path
+# so tests on tmp fixtures don't collide; keyed by `variant` so a
+# filtered index is one build per session, not one per consumer.
 # Determinism is untouched: the cached frame is bit-identical to a
 # fresh build, so driver/oracle results are unchanged no matter which
 # consumer runs first.
-_NN_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+#
+# Bounded (ADVICE r09): a long-lived session touching many corpus dirs
+# (pytest tmp fixtures) must not accumulate checkpointed RDD blocks for
+# the app's lifetime — the cache keeps the _NN_GRAPH_CACHE_PER_APP most
+# recent entries; evicted frames lose their last driver reference, and
+# Spark's ContextCleaner reclaims the checkpoint blocks after the next
+# driver GC (its periodic-GC fallback exists for exactly this).
+_NN_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_NN_GRAPH_CACHE_PER_APP = 4
 
 
-def _nn_graph_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nn_graph_shared(
+    spark: SparkSession,
+    sf_dir: str,
+    variant: str = "full",
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Session-shared NN-Descent index. `variant` names the node-set
+    filter applied by `source` (the filtered frame to index); callers
+    passing a filter MUST pass a variant string that uniquely describes
+    it — the cache trusts the pair."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    app = spark.sparkContext.applicationId
+    key = (app, _os.path.abspath(sf_dir), variant)
     g = _NN_GRAPH_CACHE.get(key)
     if g is None:
-        for stale in [k2 for k2 in _NN_GRAPH_CACHE if k2[0] != key[0]]:
+        for stale in [k2 for k2 in _NN_GRAPH_CACHE if k2[0] != app]:
             del _NN_GRAPH_CACHE[stale]
+        same_app = [k2 for k2 in _NN_GRAPH_CACHE if k2[0] == app]
+        while len(same_app) >= _NN_GRAPH_CACHE_PER_APP:
+            del _NN_GRAPH_CACHE[same_app.pop(0)]  # oldest-inserted first
         g = similarity.nn_descent_graph(
-            t(spark, sf_dir, "embeddings"),
+            source if source is not None else t(spark, sf_dir, "embeddings"),
             k=_NN_DESCENT_K,
             seed_bucket_size=_NN_DESCENT_BSIZE,
             iters=_NN_DESCENT_ITERS,
@@ -4711,17 +4735,15 @@ def similarity_graph_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     batch = emb_all.filter(
         (F.col("vec_id") % _INSERT_MOD == 7) & (F.col("vec_id") < 10000)
     ).selectExpr("vec_id AS query_id", "CAST(embedding AS array<double>) AS pv")
-    g = (
-        similarity.nn_descent_graph(
-            index_emb,
-            k=_NN_DESCENT_K,
-            seed_bucket_size=_NN_DESCENT_BSIZE,
-            iters=_NN_DESCENT_ITERS,
-            pq_shortlist=_NN_DESCENT_SHORTLIST,
-        )
-        .select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=False)
-    )
+    # r10 (VERDICT r09 task 4): the filtered index (corpus minus the
+    # arriving batch) rides the session cache under its own variant key
+    # — insert_batch and insert_recall share ONE build per session
+    # instead of each paying it, so the pair measures ROUTING after the
+    # first toucher (the build-once-serve-many shape the full graph's
+    # consumers already have).
+    g = _nn_graph_shared(
+        spark, sf_dir, variant=f"ins_mod{_INSERT_MOD}ne7", source=index_emb
+    ).select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
     emb = index_emb.selectExpr(
         "vec_id AS id", "CAST(embedding AS array<double>) AS v"
     )

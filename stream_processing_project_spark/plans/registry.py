@@ -237,9 +237,16 @@ def _driver_status() -> dict[str, tuple[str, int]]:
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     latest: dict[str, tuple[str, int]] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+
+    def rnd_of(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
+        return int(m.group(1)) if m else 0
+
+    # Sort by PARSED round number, not lexicographically: "r100" sorts
+    # before "r99" as a string, which would let an older round's status
+    # overwrite a newer one and misrank staleness (ADVICE r09).
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=rnd_of):
+        rnd = rnd_of(path)
         try:
             with open(path) as f:
                 rows = json.load(f)

@@ -15,7 +15,10 @@ subset. Full coverage stays with the round-closing rehearsal; set
 ORACLE_PARITY_FULL=1 to force every query here too. Any edit OUTSIDE
 the plans/ query modules (operators, streaming, sources, functions,
 plans/common, plans/registry) conservatively re-selects everything —
-the stale-pass this gate must never produce.
+the stale-pass this gate must never produce. Within plans/, an edit
+re-selects the module's REVERSE-IMPORT CLOSURE (ADVICE r09): plans
+modules share oracle constants, so the consumers of an edited module
+re-run too.
 """
 
 from __future__ import annotations
@@ -68,20 +71,46 @@ def _selected_names() -> set[str] | None:
                 and rel != os.path.join("plans", "registry.py")
             ):
                 return None  # shared module changed → full sweep
-    changed_mods = {
-        q.builder.__module__
-        for q in all_queries().values()
-        if os.path.getmtime(
-            __import__(
-                q.builder.__module__, fromlist=["__file__"]
-            ).__file__
-        )
-        > stamp
+    # Plans modules have CROSS-MODULE dependencies (streaming_queries
+    # imports oracle constants from extensions/governance/scalar_surface)
+    # — selecting only the edited module would skip the consuming
+    # module's queries, the stale pass this gate must never produce
+    # (ADVICE r09). Build the plans-module import graph from source and
+    # close the changed set over reverse dependencies: an edit to module
+    # X re-selects every plans module that (transitively) imports X.
+    import re
+
+    plans_dir = os.path.join(pkg, "plans")
+    short = [
+        f[:-3]
+        for f in os.listdir(plans_dir)
+        if f.endswith(".py") and f != "__init__.py"
+    ]
+    imports: dict[str, set[str]] = {}
+    for m in short:
+        with open(os.path.join(plans_dir, m + ".py")) as fh:
+            src = fh.read()
+        imports[m] = {
+            o
+            for o in short
+            if o != m and re.search(rf"\bplans\.{o}\b|\bplans import .*\b{o}\b", src)
+        }
+    changed_short = {
+        m
+        for m in short
+        if os.path.getmtime(os.path.join(plans_dir, m + ".py")) > stamp
     }
+    while True:
+        grown = changed_short | {
+            m for m in short if imports[m] & changed_short
+        }
+        if grown == changed_short:
+            break
+        changed_short = grown
     return _ALWAYS | {
         n
         for n, q in all_queries().items()
-        if q.builder.__module__ in changed_mods
+        if q.builder.__module__.rsplit(".", 1)[-1] in changed_short
     }
 
 
@@ -134,6 +163,21 @@ def test_oracle_parity(spark, duck, name, query):
         (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
     ]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+
+
+def test_parity_surface_equals_driver_surface():
+    """The gated parity suite and the full-registry rehearsal must cover
+    the SAME name set (VERDICT r09 task 6): this suite parametrizes over
+    oracled registry names; the rehearsal script iterates the driver's
+    queries() verbatim. As of r10 every registered name carries an
+    oracle, so the two surfaces must be exactly equal — a name visible
+    to the driver but invisible to this suite (or vice versa) is the
+    silent divergence this pin exists to catch."""
+    import __spark_entry__ as e
+
+    oracled = {n for n, q in all_queries().items() if q.oracle}
+    assert set(e.queries()) == oracled
+    assert {n for n, _ in _ORACLED} == oracled
 
 
 def test_no_hugeint_or_decimal_oracle_outputs(duck):

@@ -51,8 +51,60 @@ def test_r10_ann_registrations_survive_empty_corpus(spark, tmp_path):
     d.mkdir()
     src = pq.read_table(f"{SF}/embeddings.parquet")
     pq.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
-    for name in ("similarity_ann_lsh", "similarity_ann_ivf"):
+    for name in (
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "streaming_embedding_neardup_banded",
+    ):
         assert get(name).builder(spark, str(d)).count() == 0, name
+
+
+def test_banded_neardup_non_vacuous_and_recall(spark):
+    """The banded twin must do real work at the production threshold:
+    (a) ≥ 98% of arrivals find their perturbed source (the one sf0.01
+    band-miss is the documented miss_prob trade), (b) every found
+    arrival matched EXACTLY its source (first_match_id = vec_id − 1e6,
+    n_matches = 1 — the 0.8 verify kills every cross-vector candidate
+    on the near-orthogonal fixture), (c) the output covers every
+    arrival."""
+    rows = get("streaming_embedding_neardup_banded").builder(spark, SF).collect()
+    n_arrivals = sum(
+        1
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter("vec_id % 5 = 0")
+        .collect()
+    )
+    assert len(rows) == n_arrivals
+    found = [r for r in rows if r["is_neardup"]]
+    assert len(found) >= 0.98 * n_arrivals
+    for r in found:
+        assert r["n_matches"] == 1
+        assert r["first_match_id"] == r["vec_id"] - 1_000_000
+
+
+def test_banded_neardup_screen_plan_is_equi_join(spark):
+    """Candidates must come from the (band, code) equi-join — never a
+    Cartesian/nested-loop pass (checked on the batch shape of the same
+    operator the streaming query uses)."""
+    from tests.test_plan_properties import formatted_plan
+    from stream_processing_project_spark.operators.similarity import (
+        _quantize_expr,
+        banded_neardup_screen,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    static = emb.selectExpr(
+        "vec_id AS id_a", f"{_quantize_expr('embedding', 64)} AS qqa"
+    )
+    arriv = emb.filter("vec_id % 5 = 0").selectExpr(
+        "vec_id + 1000000 AS id_b",
+        f"{_quantize_expr('embedding', 64)} AS qqb",
+    )
+    plan = formatted_plan(
+        banded_neardup_screen(static, arriv, bits=12, tables=24, threshold=0.8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_r10_ann_plan_shapes(spark):

@@ -121,6 +121,14 @@ QUERIES = [
     "streaming_retract_aggregate",
     "timeseries_holt_brown_trend",
     "vector_random_projection_jl",
+    # r10 additions: the banded near-dup twin (the scale-safe plan the
+    # exact twin's docstring promised — THIS one belongs on the sf1
+    # curve), cross-document substring dedup, and the re-registered
+    # exact-integer GEMM ANN builds
+    "streaming_embedding_neardup_banded",
+    "dedup_cross_doc_spans",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

@@ -2632,6 +2632,108 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XDOC_N = 8  # minimum shared-span length in tokens (Lee et al. use 50
+# BPE tokens on web corpora; the fixture's seeded duplicate passages
+# are shorter, and 8 whitespace tokens keeps the same geometry: long
+# enough that random 8-grams over the fixture vocabulary never collide,
+# so every anchor is a REAL duplicated passage)
+
+
+@register(
+    "dedup_cross_doc_spans",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i + {_XDOC_N - 1} AS BIGINT)], ' ')) AS gh
+  FROM d, unnest(range(1, len(toks) - {_XDOC_N - 2})) AS t(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+a AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_XDOC_N} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM a)
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_XDOC_N - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_XDOC_N} - min(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, sid
+""",
+)
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document SUBSTRING dedup — the Lee-et-al-style
+    remove-list pass (VERDICT r09 task 7), completing the dedup family's
+    last modality: any ≥ _XDOC_N(= 8)-token span that also occurs verbatim in
+    ANOTHER document is marked for removal, emitted as per-document
+    MERGED maximal token intervals (doc_id, span_start, span_end,
+    span_tokens), 1-based inclusive. This is the actionable complement
+    of dedup_repeated_spans' per-doc dup FRACTION: the interval list is
+    what a corpus-cleaning job actually cuts.
+
+    Suffix-array analogue, SQL-shaped: every token position anchors an
+    N-gram (sequence/slice — no per-token explode until the anchor
+    table); anchors travel as md5 digests, so the gram-keyed exchange
+    ships 32-byte keys, not text; the duplicated-gram set is the
+    HAVING ≥ 2-distinct-docs side of ONE aggregation; marking is a
+    LEFT-SEMI equi-join; interval merge is gaps-and-islands per doc
+    (positions ≤ N apart coalesce, because each anchor covers
+    [pos, pos+N−1] — adjacent-or-overlapping coverage is one removable
+    region). Every stage is an equi-join or window — no pairwise doc
+    comparison anywhere, which is what lets the pass run at corpus
+    scale where suffix arrays need a machine-sized index. At 100 TB the
+    gram table is the big intermediate (|tokens| rows): it never joins
+    itself, only aggregates by digest (map-side partial) and semi-joins
+    the Zipf-small dup set back — broadcast-able in practice."""
+    from stream_processing_project_spark.operators.text import words
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words(F.col("text"))
+    n = _XDOC_N
+    grams_arr = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("p0", "gh")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gh")
+    g = g.localCheckpoint(eager=False)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    anchors = g.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        anchors.withColumn("prev", F.lag("pos").over(wl))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_isl").over(
+                wl.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return isl.groupBy("doc_id", "sid").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).cast("long").alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
 def _pca_oracle(dim: int, iters: int) -> str:
     """Unrolled power-iteration oracle (the PageRank/kmeans convention):
     quantized vectors → exact-bigint scatter matrix M = n·S − sx·sxᵀ →

@@ -107,6 +107,60 @@ def test_banded_neardup_screen_plan_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cross_doc_spans_are_real_shared_substrings(spark):
+    """Every reported span must (a) be ≥ 8 tokens, (b) lie inside its
+    document, (c) not overlap its doc's other spans, and (d) for a
+    sample of spans, the span's LEADING 8-gram text must occur verbatim
+    in at least one OTHER document — the cross-document guarantee the
+    remove-list exists for."""
+    rows = get("dedup_cross_doc_spans").builder(spark, SF).collect()
+    assert rows, "fixture must contain seeded duplicate passages"
+    docs = {
+        r["doc_id"]: r["text"].strip().split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        assert r["span_tokens"] >= 8
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert 1 <= r["span_start"] <= r["span_end"] <= len(toks)
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for d, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1, f"overlapping spans in doc {d}"
+    # cross-doc check on a deterministic sample
+    sample = sorted(rows, key=lambda r: (r["doc_id"], r["span_start"]))[:25]
+    for r in sample:
+        toks = docs[r["doc_id"]]
+        lead = " ".join(toks[r["span_start"] - 1 : r["span_start"] + 7])
+        assert any(
+            d != r["doc_id"] and lead in " ".join(t)
+            for d, t in docs.items()
+        ), f"span head not found in any other doc: {lead!r}"
+
+
+def test_cross_doc_spans_plan_and_empty(spark, tmp_path):
+    """No pairwise doc comparison anywhere (equi-joins + windows only),
+    and an empty documents corpus yields an empty remove-list."""
+    import pyarrow.parquet as pq
+
+    from tests.test_plan_properties import formatted_plan
+
+    plan = formatted_plan(get("dedup_cross_doc_spans").builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    d = tmp_path / "empty_docs"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/documents.parquet")
+    pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
+    assert get("dedup_cross_doc_spans").builder(spark, str(d)).count() == 0
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

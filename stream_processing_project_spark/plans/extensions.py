@@ -382,6 +382,176 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_prf_rocchio",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 8),
+stats AS (
+  SELECT count(*) AS n,
+         avg(len(string_split(trim(text), ' '))) AS avgdl
+  FROM documents
+),
+s1 AS (
+  SELECT t.doc_id,
+         CAST(round(ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS c_micro
+  FROM tf t JOIN qterms q USING (term) CROSS JOIN stats s
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS sc
+    FROM s1 GROUP BY doc_id ORDER BY sc DESC, doc_id LIMIT 10)
+),
+exp_cand AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS ff
+  FROM tf t JOIN fb USING (doc_id)
+  WHERE t.term NOT IN (SELECT term FROM qterms)
+  GROUP BY t.term
+),
+exp_terms AS (
+  SELECT term, df FROM (
+    SELECT e.term, d.df,
+           CAST(round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * e.ff * 1e6)
+                AS BIGINT) AS w_micro
+    FROM exp_cand e JOIN dfreq d USING (term) CROSS JOIN stats s
+    ORDER BY w_micro DESC, e.term LIMIT 8)
+),
+allterms AS (
+  SELECT term, df, 2 AS qw FROM qterms
+  UNION ALL
+  SELECT term, df, 1 AS qw FROM exp_terms
+),
+s2 AS (
+  SELECT t.doc_id,
+         q.qw * CAST(round(ln(1 + (s.n - q.df + 0.5) / (q.df + 0.5))
+               * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               * 1e6) AS BIGINT) AS c_micro
+  FROM tf t JOIN allterms q USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, score_micro, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+         row_number() OVER (ORDER BY CAST(sum(c_micro) AS BIGINT) DESC, doc_id)
+           AS rank
+  FROM s2 GROUP BY doc_id
+) WHERE rank <= 10
+""",
+)
+def retrieval_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM3 shape) —
+    the query-REWRITE stage that completes the retrieval stack
+    (BM25 first pass → rerank → eval → now expansion): the 8-term BM25
+    query retrieves its top-10 as the pseudo-relevant set; candidate
+    expansion terms are ranked by an RSJ-style offer weight (idf ×
+    feedback-doc frequency, micro-quantized like every BM25 partial),
+    the 8 best NEW terms join the query, and the expanded 16-term query
+    re-scores with Rocchio weights (original terms ×2, expansions ×1).
+    Top-10 of the second pass is the result — tests pin that expansion
+    genuinely reorders the first-pass ranking.
+
+    Cross-engine exactness: both passes quantize per-term partials to
+    integer micro-units before summation and the expansion ranking is
+    an integer sort, so the whole two-pass pipeline value-hash-oracles.
+
+    Scale shape: both scoring passes are postings equi-joins against
+    BROADCAST term lists (8 then 16 rows); the feedback set is a 10-row
+    broadcast semi-join; the expansion candidate scan touches only the
+    feedback docs' postings. Per-query serving cost is 2× BM25 plus a
+    10-doc vocabulary scan — the standard PRF economics."""
+    from stream_processing_project_spark.operators.text import words as _words
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(8)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(_words(F.col("text")))).alias("avgdl"),
+    )
+
+    def c_micro():
+        return F.round(
+            F.log(
+                F.lit(1) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            * 1e6
+        ).cast("long")
+
+    s1 = (
+        tf.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c_micro", c_micro())
+    )
+    fb = (
+        s1.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("sc"))
+        .orderBy(F.col("sc").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    exp_cand = (
+        tf.join(F.broadcast(fb), "doc_id", "left_semi")
+        .join(F.broadcast(qterms.select("term")), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("ff"))
+    )
+    exp_terms = (
+        exp_cand.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w_micro",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("ff")
+                * 1e6
+            ).cast("long"),
+        )
+        .orderBy(F.col("w_micro").desc(), "term")
+        .limit(8)
+        .select("term", "df")
+    )
+    allterms = qterms.select(
+        "term", "df", F.lit(2).alias("qw")
+    ).unionAll(exp_terms.select("term", "df", F.lit(1).alias("qw")))
+    s2 = (
+        tf.join(F.broadcast(allterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c_micro", F.col("qw") * c_micro())
+    )
+    top = (
+        s2.groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_micro", "rank"
+    )
+
+
+@register(
     "retrieval_hybrid_rrf",
     oracle="""
 WITH tok AS (
@@ -2732,6 +2902,122 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
         (F.max("pos") + n - F.min("pos")).cast("long").alias("span_tokens"),
     ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "dedup_cross_doc_spans_apply",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[CAST(i AS BIGINT):CAST(i + {_XDOC_N - 1} AS BIGINT)], ' ')) AS gh
+  FROM d, unnest(range(1, len(toks) - {_XDOC_N - 2})) AS t(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT a.doc_id, a.pos + k.k AS p
+  FROM (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)) a,
+       range(0, {_XDOC_N}) AS k(k)
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[CAST(i AS BIGINT)] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.p) FILTER (WHERE c.p IS NULL) AS clean_text,
+         count(*) FILTER (WHERE c.p IS NULL) AS n_kept,
+         count(*) FILTER (WHERE c.p IS NOT NULL) AS n_removed
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_tokens_removed
+FROM d LEFT JOIN kept k USING (doc_id)
+""",
+)
+def dedup_cross_doc_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY half of the cross-document substring pass (the train→score
+    convention of text_classifier_train_nb/_apply_nb, here as
+    detect→cut): every token covered by a ≥ _XDOC_N-token span shared
+    with another document is removed and the surviving tokens re-join
+    into the cleaned text — (doc_id, clean_text, n_tokens_kept,
+    n_tokens_removed), every document present (untouched docs pass
+    through whole). This is the actual corpus-cleaning write path; the
+    span list (dedup_cross_doc_spans) is its audit view.
+
+    Shape: anchors as in the detect pass; coverage = anchors × N
+    (explode of a constant-size sequence, |anchors|·N rows, NOT
+    |tokens|·N); the cut is one LEFT anti-style join of the token table
+    against coverage (null-marker aggregation keeps kept/removed counts
+    in the same pass); rebuild is an order-pinned string agg. At 100 TB
+    the token explode is the linear intermediate and coverage is
+    Zipf-small; nothing pairwise."""
+    from stream_processing_project_spark.operators.text import words
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words(F.col("text"))
+    n = _XDOC_N
+    grams_arr = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.posexplode(grams_arr).alias("p0", "gh")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "gh")
+    g = g.localCheckpoint(eager=False)
+    dup = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    cov = (
+        g.join(dup, "gh", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    kept = (
+        tok.join(cov, ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_cov").isNull(),
+                                F.struct(F.col("p"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.when(F.col("_cov").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("_cov").isNotNull(), 1)).alias("n_removed"),
+        )
+    )
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_tokens_removed"),
+    )
 
 
 def _pca_oracle(dim: int, iters: int) -> str:

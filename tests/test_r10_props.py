@@ -161,6 +161,47 @@ def test_cross_doc_spans_plan_and_empty(spark, tmp_path):
     assert get("dedup_cross_doc_spans").builder(spark, str(d)).count() == 0
 
 
+def test_cross_doc_apply_consistent_with_span_list(spark):
+    """The apply pass must agree with its audit view: per doc,
+    n_tokens_removed == Σ span_tokens from dedup_cross_doc_spans,
+    kept + removed == the doc's token count, and clean_text re-tokenizes
+    to exactly n_tokens_kept tokens."""
+    spans = get("dedup_cross_doc_spans").builder(spark, SF).collect()
+    removed_by_doc: dict = {}
+    for r in spans:
+        removed_by_doc[r["doc_id"]] = (
+            removed_by_doc.get(r["doc_id"], 0) + r["span_tokens"]
+        )
+    rows = get("dedup_cross_doc_spans_apply").builder(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"].strip().split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    touched = 0
+    for r in rows:
+        assert r["n_tokens_removed"] == removed_by_doc.get(r["doc_id"], 0)
+        assert r["n_tokens_kept"] + r["n_tokens_removed"] == len(docs[r["doc_id"]])
+        kept_toks = r["clean_text"].split(" ") if r["clean_text"] else []
+        assert len(kept_toks) == r["n_tokens_kept"]
+        if r["n_tokens_removed"]:
+            touched += 1
+    assert touched > 0, "fixture must exercise the cut path"
+
+
+def test_prf_expansion_reorders_first_pass(spark):
+    """PRF must genuinely change the ranking: the expanded second pass'
+    top-10 must differ from plain BM25's top-10 in membership or order
+    (a passthrough of the first-pass ranking cannot pass), with a clean
+    1..10 rank column."""
+    bm = get("retrieval_bm25_topk").builder(spark, SF).collect()
+    pr = get("retrieval_prf_rocchio").builder(spark, SF).collect()
+    assert sorted(r["rank"] for r in pr) == list(range(1, 11))
+    bm10 = [r["doc_id"] for r in sorted(bm, key=lambda r: r["rank"])][:10]
+    pr10 = [r["doc_id"] for r in sorted(pr, key=lambda r: r["rank"])]
+    assert bm10 != pr10, "expansion must reorder or re-select the top-10"
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

@@ -1477,6 +1477,93 @@ def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_decontaminate_gate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(ws) - 12),
+           i -> md5(array_to_string(ws[i:i+12], ' '))))) AS gh
+  FROM toks WHERE len(ws) >= 13
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hit_grams
+  FROM (SELECT * FROM grams WHERE doc_id % 17 <> 0) c
+  JOIN bench USING (gh)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated,
+       CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""",
+)
+def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE benchmark-decontamination gate — the ingest-time twin of
+    `text_decontaminate`, completing the streaming screen family
+    (MinHash text dedup, embedding near-dup, and now eval-set
+    contamination): every ARRIVING document is checked for any 13-token
+    gram shared with the static benchmark slice (doc_id % 17 == 0)
+    BEFORE admission, the way a production ingest keeps eval data out
+    of training shards at write time rather than by a later sweep. The
+    in-stream section is stateless: distinct gram digests per arriving
+    doc (md5, so the equi-join ships 32-byte keys), one stream-static
+    equi-join against the benchmark gram set (Zipf-small — broadcast in
+    practice; at 100 TB of eval suites it is still MBs), append-mode
+    hit log, verdict = batch roll-up over the replayed log with every
+    non-benchmark doc present (zero hits ⇒ admit). Crash recovery is
+    replay. The oracle replays the same digest join batch-side."""
+    docs = t(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(text), ' ')) >= 13 THEN "
+                    "array_distinct(transform(sequence(1, size(split(trim(text), ' ')) - 12),"
+                    " i -> md5(array_join(slice(split(trim(text), ' '), i, 13), ' '))))"
+                    " ELSE array() END"
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    stream = (
+        pipeline.file_document_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 17 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(text), ' ')) >= 13 THEN "
+                    "array_distinct(transform(sequence(1, size(split(trim(text), ' ')) - 12),"
+                    " i -> md5(array_join(slice(split(trim(text), ' '), i, 13), ' '))))"
+                    " ELSE array() END"
+                )
+            ).alias("gh"),
+        )
+    )
+    hit_log = pipeline.run_to_completion(
+        stream.join(F.broadcast(bench_grams), "gh"), output_mode="append"
+    )
+    hits = hit_log.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_grams")
+    )
+    corpus_ids = docs.filter(F.col("doc_id") % 17 != 0).select("doc_id")
+    return corpus_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+    )
+
+
 # --- banded near-dup twin (r10, VERDICT r09 task 3) --------------------------
 
 # Band geometry at the PRODUCTION threshold: 24 bands × 12 sign planes.

@@ -202,6 +202,29 @@ def test_prf_expansion_reorders_first_pass(spark):
     assert bm10 != pr10, "expansion must reorder or re-select the top-10"
 
 
+def test_streaming_decontaminate_gate_matches_batch_sweep(spark):
+    """The online gate must agree with the batch sweep wherever both
+    speak: every doc text_decontaminate flags carries the same hit
+    count in the gate; every other non-benchmark doc is admitted
+    (contaminated = false, 0 hits); and the fixture genuinely exercises
+    both verdicts."""
+    batch = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in get("text_decontaminate").builder(spark, SF).collect()
+    }
+    gate = get("streaming_decontaminate_gate").builder(spark, SF).collect()
+    assert batch, "fixture must contain contaminated docs"
+    n_contam = 0
+    for r in gate:
+        if r["doc_id"] in batch:
+            assert r["contaminated"] and r["n_hit_grams"] == batch[r["doc_id"]]
+            n_contam += 1
+        else:
+            assert not r["contaminated"] and r["n_hit_grams"] == 0
+    assert n_contam == len(batch)
+    assert n_contam < len(gate), "some docs must be admitted"
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

@@ -35,10 +35,11 @@ SF10 = "/tmp/sfcurve100"
 def run_point(kind: str, cores: int) -> None:
     from pyspark.sql import SparkSession
 
+    shuffle = os.environ.get("LADDER_SHUFFLE_PARTITIONS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", "UTC")
         .appName(f"nn-ladder-{kind}-{cores}")
         .getOrCreate()

@@ -4847,6 +4847,62 @@ FROM w{iterations} w, nn, acc
     return f"{head}{body}{tail}"
 
 
+def _lr_half_away(x: float) -> int:
+    """DuckDB round() / Spark F.round HALF_UP: half away from zero —
+    Python's builtin round (banker's) would diverge on exact .5, and
+    floor(abs(x)+0.5) diverges when abs(x)+0.5 rounds across an integer
+    boundary in binary (the round(0.49999999999999994) class) — Decimal
+    over repr(x) matches decimal HALF_UP exactly."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _lr_z_expr(wvals: list[int]) -> F.Column:
+    wd = [F.lit(v / 1000000.0) for v in wvals]
+    return (
+        (wd[0] + wd[1] * F.col("x1")) + wd[2] * F.col("x2")
+    ) + wd[3] * F.col("x3")
+
+
+def _fit_lr(feats, nd: float, iterations: int = 8) -> list[int]:
+    """The shared 8-step quasi-logistic GD loop (algebraic sigmoid,
+    micro-unit weights, per-row gradient quantization before the sum) —
+    factored out of text_classifier_train_lr so the held-out APPLY
+    builder trains on its 80% split with the identical trajectory."""
+    wvals = [0, 0, 0, 0]
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(iterations):
+        zc = _lr_z_expr(wvals)
+        r = (F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))) - F.col(
+            "y"
+        )
+        g = feats.agg(
+            *[
+                F.sum(
+                    F.round((xs[j] * r if j else r) * F.lit(1000000.0), 0).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).collect()[0]
+        wvals = [
+            _lr_half_away(
+                (wvals[j] / 1000000.0 - 2.0 * ((g[j] / 1000000.0) / nd))
+                * 1000000.0
+            )
+            for j in range(4)
+        ]
+    return wvals
+
+
 @register("text_classifier_train_lr", oracle=_train_lr_oracle(8))
 def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the linear quality classifier in-engine — the missing half
@@ -4909,20 +4965,6 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed features instead of a level in a 9-deep nested plan
     # (the nested form recompiled the whole lineage at every action and
     # measured no faster than the un-checkpointed original).
-    import decimal
-
-    def half_away(x: float) -> int:
-        # DuckDB round() / Spark F.round HALF_UP: half away from zero —
-        # Python's builtin round (banker's) would diverge on exact .5,
-        # and floor(abs(x)+0.5) diverges when abs(x)+0.5 rounds across
-        # an integer boundary in binary (the round(0.49999999999999994)
-        # class) — Decimal over repr(x) matches decimal HALF_UP exactly
-        return int(
-            decimal.Decimal(repr(x)).quantize(
-                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
-            )
-        )
-
     n_docs = feats.count()
     if n_docs == 0:
         # empty corpus: the GD loop would divide by nd=0 and the
@@ -4938,40 +4980,8 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("accuracy"),
         )
     nd = float(n_docs)
-    wvals = [0, 0, 0, 0]
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
-
-    def z_expr(wv: list[int]) -> F.Column:
-        wd = [F.lit(v / 1000000.0) for v in wv]
-        return (
-            (wd[0] + wd[1] * F.col("x1")) + wd[2] * F.col("x2")
-        ) + wd[3] * F.col("x3")
-
-    for _ in range(8):
-        zc = z_expr(wvals)
-        r = (F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))) - F.col(
-            "y"
-        )
-        g = feats.agg(
-            *[
-                F.sum(
-                    F.round((xs[j] * r if j else r) * F.lit(1000000.0), 0).cast(
-                        "bigint"
-                    )
-                )
-                .cast("bigint")
-                .alias(f"g{j}")
-                for j in range(4)
-            ]
-        ).collect()[0]
-        wvals = [
-            half_away(
-                (wvals[j] / 1000000.0 - 2.0 * ((g[j] / 1000000.0) / nd))
-                * 1000000.0
-            )
-            for j in range(4)
-        ]
-    zc = z_expr(wvals)
+    wvals = _fit_lr(feats, nd)
+    zc = _lr_z_expr(wvals)
     correct = (
         ((zc > F.lit(0.0)) & (F.col("y") == 1))
         | ((zc <= F.lit(0.0)) & (F.col("y") == 0))
@@ -4988,6 +4998,138 @@ def text_classifier_train_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(wvals[3]).cast("bigint").alias("w3_micro"),
         "n_correct",
         (F.col("n_correct").cast("double") / F.lit(nd)).alias("accuracy"),
+    )
+
+
+def _apply_lr_oracle(iterations: int) -> str:
+    """Held-out-apply twin of _train_lr_oracle: identical GD unroll but
+    trained on the 80% split (doc_id % 5 <> 4), then the fitted weights
+    score the UNSEEN 20% into confusion cells with micro-quantized
+    margin sums."""
+    stops = list(_QUALITY_STOPWORDS)
+    head = f"""
+WITH featsall AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN sr > 0.06 THEN 1 ELSE 0 END AS y,
+         sr * 10.0 AS x1, mtl / 10.0 AS x2, ntok / 100.0 AS x3
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> list_contains({stops}, x))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+           CAST(length(text) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mtl,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+    FROM documents
+  )
+),
+feats AS MATERIALIZED (SELECT y, x1, x2, x3 FROM featsall WHERE doc_id % 5 <> 4),
+te AS MATERIALIZED (SELECT y, x1, x2, x3 FROM featsall WHERE doc_id % 5 = 4),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    z = (
+        "(((CAST(w.w0 AS DOUBLE) / 1000000.0)"
+        " + (CAST(w.w1 AS DOUBLE) / 1000000.0) * x1)"
+        " + (CAST(w.w2 AS DOUBLE) / 1000000.0) * x2)"
+        " + (CAST(w.w3 AS DOUBLE) / 1000000.0) * x3"
+    )
+    step = """,
+g{k} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(round(r * 1000000.0) AS BIGINT)) AS BIGINT) AS g0,
+         CAST(sum(CAST(round(x1 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(sum(CAST(round(x2 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g2,
+         CAST(sum(CAST(round(x3 * r * 1000000.0) AS BIGINT)) AS BIGINT) AS g3
+  FROM (
+    SELECT x1, x2, x3,
+           (0.5 + z / (2.0 * (1.0 + abs(z)))) - y AS r
+    FROM (SELECT f.*, {z} AS z FROM feats f CROSS JOIN w{prev} w)
+  )
+),
+w{k} AS MATERIALIZED (
+  SELECT
+    CAST(round(((CAST(w.w0 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g0 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w0,
+    CAST(round(((CAST(w.w1 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g1 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w1,
+    CAST(round(((CAST(w.w2 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g2 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w2,
+    CAST(round(((CAST(w.w3 AS DOUBLE) / 1000000.0)
+      - 2.0 * ((CAST(g.g3 AS DOUBLE) / 1000000.0) / CAST(nn.n AS DOUBLE)))
+      * 1000000.0) AS BIGINT) AS w3
+  FROM w{prev} w, g{k} g, nn
+)"""
+    body = "".join(
+        step.format(k=k, prev=k - 1, z=z) for k in range(1, iterations + 1)
+    )
+    tail = f"""
+SELECT y AS y_true,
+       CASE WHEN z > 0.0 THEN 1 ELSE 0 END AS y_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(round(z * 1000000.0) AS BIGINT)) AS BIGINT) AS z_micro_sum
+FROM (SELECT f.y, {z} AS z FROM te f CROSS JOIN w{iterations} w)
+GROUP BY 1, 2
+"""
+    return f"{head}{body}{tail}"
+
+
+@register("text_classifier_apply_lr", oracle=_apply_lr_oracle(8))
+def text_classifier_apply_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out INFERENCE for the quasi-logistic quality classifier —
+    the LR counterpart of `text_classifier_apply_nb` (r09), closing the
+    second train→score pipeline: the model fits on the 80% split
+    (doc_id % 5 ≠ 4, same 8-step exact-GD trajectory as
+    text_classifier_train_lr via the shared _fit_lr loop) and scores
+    the UNSEEN 20%, emitting the confusion matrix (y_true, y_pred,
+    n_docs) with per-cell micro-quantized margin sums (z_micro_sum —
+    the calibration signal: how far from the boundary each cell sits).
+    Generalization, not memorization: tests pin held-out accuracy well
+    above the majority baseline. Same exactness story as the trainer
+    (algebraic sigmoid, no transcendentals, bigint gradient partials),
+    so training AND inference value-hash-oracle end to end. Scale
+    shape: one checkpointed feature projection; 8 map-side-combined
+    train scans; ONE test-side scan for the matrix."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_QUALITY_STOPWORDS))
+    ).cast("double")
+    sr = stop_hits / n_tokens
+    feats_all = docs.select(
+        "doc_id",
+        F.when(sr > F.lit(0.06), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        (sr * F.lit(10.0)).alias("x1"),
+        ((F.length("text").cast("double") / n_tokens) / F.lit(10.0)).alias(
+            "x2"
+        ),
+        (n_tokens / F.lit(100.0)).alias("x3"),
+    ).localCheckpoint(eager=True)
+    train = feats_all.filter(F.col("doc_id") % 5 != 4)
+    test = feats_all.filter(F.col("doc_id") % 5 == 4)
+    n_train = train.count()
+    empty = spark.createDataFrame(
+        [], "y_true int, y_pred int, n_docs bigint, z_micro_sum bigint"
+    )
+    if n_train == 0:
+        return empty
+    wvals = _fit_lr(train, float(n_train))
+    zc = _lr_z_expr(wvals)
+    return (
+        test.select(
+            F.col("y").alias("y_true"),
+            F.when(zc > F.lit(0.0), F.lit(1)).otherwise(F.lit(0)).alias(
+                "y_pred"
+            ),
+            F.round(zc * F.lit(1000000.0), 0).cast("bigint").alias("z_micro"),
+        )
+        .groupBy("y_true", "y_pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("z_micro").cast("bigint").alias("z_micro_sum"),
+        )
     )
 
 

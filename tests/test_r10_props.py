@@ -225,6 +225,37 @@ def test_streaming_decontaminate_gate_matches_batch_sweep(spark):
     assert n_contam < len(gate), "some docs must be admitted"
 
 
+def test_lr_apply_generalizes_on_held_out(spark):
+    """The LR apply must be true held-out inference: the confusion
+    matrix covers exactly the doc_id % 5 == 4 split, and held-out
+    accuracy clears the majority-class baseline by a real margin
+    (the teacher is linear in the features, so a working trainer
+    should approach it; a constant predictor cannot pass)."""
+    rows = get("text_classifier_apply_lr").builder(spark, SF).collect()
+    assert rows
+    n_test = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id % 5 = 4")
+        .count()
+    )
+    total = sum(r["n_docs"] for r in rows)
+    assert total == n_test
+    correct = sum(r["n_docs"] for r in rows if r["y_true"] == r["y_pred"])
+    by_class: dict = {}
+    for r in rows:
+        by_class[r["y_true"]] = by_class.get(r["y_true"], 0) + r["n_docs"]
+    majority = max(by_class.values()) / total
+    acc = correct / total
+    assert acc > majority + 0.1, (acc, majority)
+    # margins must be consistent with predictions: positive-pred cells
+    # carry positive mean margin, negative-pred cells negative
+    for r in rows:
+        if r["y_pred"] == 1:
+            assert r["z_micro_sum"] > 0
+        else:
+            assert r["z_micro_sum"] <= 0
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

@@ -443,6 +443,7 @@ def ivf_trained_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm: bool = False,
+    label_col: str | None = None,
 ) -> DataFrame:
     """IVF retrieval over a TRAINED coarse quantizer — the composition
     the sign-hash IVF twin (ivf_topk_oracled) stands in for: k-means
@@ -499,14 +500,35 @@ def ivf_trained_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    cand = (
-        probes.join(lists, "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dist.alias("dist_sq"),
+    cand = probes.join(lists, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if label_col is not None:
+        # PRE-filtered search (r10, the FAISS-IDSelector / filtered-ANN
+        # capability): the metadata predicate applies INSIDE the probed
+        # lists, before the top-k — recall under the filter is exact
+        # within probes, unlike post-filtering a fixed top-k, which can
+        # return < topk survivors. The label attach is two slim
+        # equi-joins (id → label); at 100 TB the lists table is stored
+        # WITH its filter columns so the predicate pushes to the scan.
+        labs = corpus.select(
+            F.col(id_col).alias("_lid"), F.col(label_col).alias("_lab")
         )
+        cand = (
+            cand.join(labs, cand["vec_id"] == labs["_lid"])
+            .drop("_lid")
+            .join(
+                labs.select(
+                    F.col("_lid").alias("_qid"), F.col("_lab").alias("_qlab")
+                ),
+                F.col("query_id") == F.col("_qid"),
+            )
+            .filter(F.col("_lab") == F.col("_qlab"))
+        )
+    cand = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.alias("dist_sq"),
     )
     w = Window.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
     return (

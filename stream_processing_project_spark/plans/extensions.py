@@ -1731,6 +1731,72 @@ SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def _ivf_filtered_oracle(
+    k: int, iters: int, dim: int, n_probe: int, topk: int, n_queries: int
+) -> str:
+    """_ivf_trained_oracle with a metadata PRE-filter: candidates must
+    share the query's label, applied inside the probed lists before the
+    top-k window (the filtered-ANN contract)."""
+    d1 = dim + 1
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d1}),"
+        " d -> ({a}[d] - {b}[d]) * ({a}[d] - {b}[d]))) AS BIGINT)"
+    )
+    return f"""
+WITH {_kmeans_rounds_cte(k, iters, dim)},
+labs AS (SELECT vec_id, label FROM embeddings),
+lists AS (SELECT vec_id, qq, best[2] AS cid FROM a{iters + 1}),
+qs AS (SELECT vec_id AS query_id, qq FROM q WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT s.query_id, c.cid,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             {dist.format(d1=d1, a="s.qq", b="c.c")}, c.cid) AS rn
+    FROM qs s CROSS JOIN c{iters} c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         {dist.format(d1=d1, a="s.qq", b="l.qq")} AS dist_sq
+  FROM probes p
+  JOIN lists l ON l.cid = p.cid
+  JOIN qs s ON s.query_id = p.query_id
+  JOIN labs nl ON nl.vec_id = l.vec_id
+  JOIN labs ql ON ql.vec_id = p.query_id
+  WHERE l.vec_id <> p.query_id AND nl.label = ql.label
+)
+SELECT query_id, neighbor_id, dist_sq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist_sq, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {topk}
+"""
+
+
+@register(
+    "similarity_ann_ivf_filtered", oracle=_ivf_filtered_oracle(8, 3, 64, 4, 5, 10)
+)
+def similarity_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED ANN (r10) — the FAISS-IDSelector / filtered-
+    search capability every production vector store exposes (same-
+    language retrieval, per-tenant search): trained-IVF top-5 where
+    candidates must share the QUERY's label, with the predicate applied
+    INSIDE the probed lists BEFORE the top-k (pre-filtering: exact
+    recall within probes, unlike post-filtering a fixed top-k which can
+    starve below k survivors — the documented trade). Probes widened to
+    4 (vs the unfiltered twin's 2) because filtering thins each list —
+    the standard filtered-search compensation. The label attach is two
+    slim id→label equi-joins; at 100 TB the inverted lists are STORED
+    with their filter columns so the predicate pushes to the scan.
+    Deterministic end to end, so training + filtered retrieval
+    value-hash-oracle as one pipeline."""
+    return similarity.ivf_trained_topk(
+        t(spark, sf_dir, "embeddings"),
+        n_probe=4,
+        label_col="label",
+    )
+
+
 @register("similarity_ann_ivf_trained", oracle=_ivf_trained_oracle(8, 3, 64, 2, 5, 10))
 def similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 over a TRAINED coarse quantizer — the full

@@ -256,6 +256,33 @@ def test_lr_apply_generalizes_on_held_out(spark):
             assert r["z_micro_sum"] <= 0
 
 
+def test_filtered_ann_honors_predicate_and_is_nonvacuous(spark):
+    """Every filtered-ANN neighbor must share its query's label (the
+    pre-filter contract), and the filter must genuinely bite: at least
+    one query's filtered top-5 differs from the unfiltered trained-IVF
+    result set."""
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = get("similarity_ann_ivf_filtered").builder(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]], r
+    unf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in get("similarity_ann_ivf_trained").builder(spark, SF).collect()
+    }
+    filt = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert filt != unf
+    assert any(labels[q] != labels[n] for q, n in unf), (
+        "unfiltered baseline must contain cross-label pairs for the "
+        "filter to be meaningful"
+    )
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

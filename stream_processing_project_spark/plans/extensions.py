@@ -2868,6 +2868,198 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_span_corruption",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, toks[CAST(i AS BIGINT)] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+anch AS (
+  SELECT doc_id, p FROM tok
+  WHERE (((doc_id % 4096) * 131 + p) * 2654435761) % 4294967296 % 15 = 0
+),
+cov AS (
+  SELECT DISTINCT a.doc_id, a.p + k.k AS p
+  FROM anch a, range(0, 3) AS k(k)
+),
+m AS (
+  SELECT t.doc_id, t.p, t.tok, c.p IS NOT NULL AS masked
+  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+),
+isl AS (
+  SELECT doc_id, p, tok, masked, span_start,
+         CASE WHEN masked THEN
+           sum(CASE WHEN span_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) - 1
+         END AS sid
+  FROM (SELECT *,
+               masked AND (prev_masked IS NULL OR NOT prev_masked) AS span_start
+        FROM (SELECT *, lag(masked) OVER (PARTITION BY doc_id ORDER BY p)
+                          AS prev_masked
+              FROM m))
+),
+inp AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT masked THEN tok
+                         WHEN span_start THEN '<extra_id_' || sid || '>' END,
+                    ' ' ORDER BY p) AS input_text
+  FROM isl GROUP BY doc_id
+),
+tgt_spans AS (
+  SELECT doc_id, sid,
+         '<extra_id_' || sid || '> ' || string_agg(tok, ' ' ORDER BY p) AS s
+  FROM isl WHERE masked GROUP BY doc_id, sid
+),
+tgt AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY sid) AS target_text,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM tgt_spans GROUP BY doc_id
+),
+nm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked
+  FROM isl WHERE masked GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(i.input_text, '') AS input_text,
+       coalesce(t.target_text, '') AS target_text,
+       coalesce(t.n_spans, 0) AS n_spans,
+       coalesce(nm.n_masked, 0) AS n_masked_tokens
+FROM d LEFT JOIN inp i USING (doc_id) LEFT JOIN tgt t USING (doc_id)
+LEFT JOIN nm USING (doc_id)
+""",
+)
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style SPAN-CORRUPTION pair generation — the pretraining-
+    objective data prep between corpus cleaning and tokenization:
+    deterministic-hash span anchors (≈1/15 of positions, 3-token spans,
+    adjacent spans merge) mask ~18% of each document; the INPUT keeps
+    unmasked text with each masked span replaced by its ordinal
+    sentinel `<extra_id_k>`, the TARGET is the sentinel-prefixed masked
+    spans in order — the exact (input, target) contract of
+    encoder-decoder denoising. Anchor choice is the overflow-safe
+    multiplicative hash over (doc_id, pos), so the corruption — and
+    both output STRINGS — reproduce bit-for-bit cross-engine (the
+    seeded-randomness stand-in the sampling family already uses).
+
+    Shape: one token explode (the linear intermediate), anchors ×3
+    coverage, gaps-and-islands span ids, two order-pinned string aggs —
+    equi-joins and windows only, trivially shardable by doc at 100 TB.
+    Docs with no anchored span pass through whole (empty target)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from stream_processing_project_spark.operators.text import words
+
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "tok")
+    anch = tok.filter(
+        (
+            ((F.col("doc_id") % 4096) * 131 + F.col("p"))
+            * F.lit(2654435761)
+        )
+        % F.lit(4294967296)
+        % 15
+        == 0
+    ).select("doc_id", "p")
+    cov = (
+        anch.select(
+            "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 2)).alias("p")
+        )
+        .distinct()
+        .withColumn("_m", F.lit(True))
+    )
+    wl = Window.partitionBy("doc_id").orderBy("p")
+    m = (
+        tok.join(cov, ["doc_id", "p"], "left")
+        .withColumn("masked", F.col("_m").isNotNull())
+        .withColumn("prev_masked", F.lag("masked").over(wl))
+        .withColumn(
+            "span_start",
+            F.col("masked")
+            & (F.col("prev_masked").isNull() | ~F.col("prev_masked")),
+        )
+        .withColumn(
+            "sid",
+            F.when(
+                F.col("masked"),
+                F.sum(F.col("span_start").cast("int")).over(
+                    wl.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - 1,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    inp_tok = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("span_start"),
+        F.concat(F.lit("<extra_id_"), F.col("sid"), F.lit(">")),
+    )
+    inp = m.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            inp_tok.isNotNull(),
+                            F.struct(F.col("p"), inp_tok.alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+            " ",
+        ).alias("input_text")
+    )
+    tgt_spans = (
+        m.filter("masked")
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.concat(
+                F.lit("<extra_id_"),
+                F.col("sid"),
+                F.lit("> "),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                        ),
+                        lambda s: s.getField("tok"),
+                    ),
+                    " ",
+                ),
+            ).alias("s")
+        )
+    )
+    tgt = tgt_spans.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("sid"), F.col("s")))),
+                lambda s: s.getField("s"),
+            ),
+            " ",
+        ).alias("target_text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    nm = (
+        m.filter("masked")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_masked"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(inp, "doc_id", "left")
+        .join(tgt, "doc_id", "left")
+        .join(nm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("input_text", F.lit("")).alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked_tokens"),
+        )
+    )
+
+
 _XDOC_N = 8  # minimum shared-span length in tokens (Lee et al. use 50
 # BPE tokens on web corpora; the fixture's seeded duplicate passages
 # are shorter, and 8 whitespace tokens keeps the same geometry: long

@@ -283,6 +283,44 @@ def test_filtered_ann_honors_predicate_and_is_nonvacuous(spark):
     )
 
 
+def test_span_corruption_pairs_reconstruct(spark):
+    """The (input, target) pair must be a lossless re-partition of the
+    document: splicing each target span back over its sentinel in the
+    input reproduces the original token sequence exactly; sentinel
+    counts equal n_spans on both sides; corpus-wide masked fraction
+    sits in the denoising band (10–30%); unmasked docs pass through
+    verbatim."""
+    import re
+
+    rows = get("text_span_corruption").builder(spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["text"].strip()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    total = masked = 0
+    reconstructed = 0
+    for r in rows:
+        orig = docs[r["doc_id"]]
+        n_tok = len(orig.split(" "))
+        total += n_tok
+        masked += r["n_masked_tokens"]
+        if r["n_spans"] == 0:
+            assert r["input_text"] == orig
+            assert r["target_text"] == ""
+            continue
+        assert len(re.findall(r"<extra_id_\d+>", r["input_text"])) == r["n_spans"]
+        spans = re.split(r"<extra_id_\d+> ?", r["target_text"])[1:]
+        assert len(spans) == r["n_spans"]
+        out = r["input_text"]
+        for k, s in enumerate(spans):
+            out = out.replace(f"<extra_id_{k}>", s.strip())
+        assert out == orig, r["doc_id"]
+        reconstructed += 1
+    assert reconstructed > 0
+    assert 0.10 <= masked / total <= 0.30, masked / total
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

@@ -129,6 +129,12 @@ QUERIES = [
     "dedup_cross_doc_spans",
     "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "dedup_cross_doc_spans_apply",
+    "retrieval_prf_rocchio",
+    "streaming_decontaminate_gate",
+    "similarity_ann_ivf_filtered",
+    "text_classifier_apply_lr",
+    "text_span_corruption",
 ]
 
 # tables the query families above touch; replicated 10× with offset ids

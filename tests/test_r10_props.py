@@ -321,6 +321,36 @@ def test_span_corruption_pairs_reconstruct(spark):
     assert 0.10 <= masked / total <= 0.30, masked / total
 
 
+def test_gemm_paths_invariant_to_arrow_batch_size(spark):
+    """The GEMM udfs must be batch-boundary-free: forcing tiny Arrow
+    batches (7 rows) must reproduce the default-batch results exactly —
+    int64 matmul has no cross-row state, so any difference would mean a
+    batch-shape bug (stacking, reshape, weights broadcast)."""
+    from stream_processing_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small_lsh = _rows(similarity.ann_lsh_topk_gemm(emb, q, k=5, bits=8))
+        small_ivf = _rows(
+            similarity.ivf_trained_topk(
+                emb, k=16, iters=2, n_probe=4, topk=3, gemm=True
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    big_lsh = _rows(similarity.ann_lsh_topk_gemm(emb, q, k=5, bits=8))
+    big_ivf = _rows(
+        similarity.ivf_trained_topk(
+            emb, k=16, iters=2, n_probe=4, topk=3, gemm=True
+        )
+    )
+    assert small_lsh == big_lsh
+    assert small_ivf == big_ivf
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

@@ -1090,17 +1090,42 @@ def banded_neardup_screen(
     batch roll-up dedupes via countDistinct; a production pipeline puts
     a foreachBatch-local dropDuplicates before the verify instead.
     Works on a streaming arriv_q (stream-static equi-join, append-safe)
-    and on a batch one (plan pins)."""
+    and on a batch one (plan pins).
+
+    Per-pair dedup WITHOUT state (r10, caught by the sf10 net): the
+    naive exploded×exploded join verifies a colliding pair once per
+    colliding band — harmless on the near-orthogonal fixture (~1 band
+    per true pair) but a ×tables blow-up on a heavily duplicated
+    corpus (the replicated sf10 corpus put 24 copies of every verified
+    pair through the cosine and overflowed the driver collect). The
+    plan therefore (a) keeps the exploded static table SLIM — (id_a,
+    band, code), no vectors — and re-attaches codes+vector by id from
+    a broadcast side table (the _q8_prune idiom), and (b) keeps only
+    each pair's FIRST colliding band (one zip over the two 24-code
+    arrays — integer compares, far cheaper than the 64-dim cosine it
+    dedupes). The r09 first-band measurement that rejected this at the
+    0.35 tail threshold used 77 bands on a corpus with ~no duplicate
+    collisions; at production thresholds with real duplicates the
+    trade reverses, and the sf10 failure is the measurement."""
     codes = _gemm_band_codes_exact_udf(bits, tables)
-    sc = static_q.select(
-        "id_a", "qqa", F.posexplode(codes("qqa")).alias("band", "code")
-    )
+    st = static_q.select(
+        "id_a", "qqa", codes("qqa").alias("codes_a")
+    ).localCheckpoint(eager=False)
+    sc = st.select("id_a", F.posexplode("codes_a").alias("band", "code"))
+    by_id = F.broadcast(st)
     ac = arriv_q.select(
-        "id_b", "qqb", F.posexplode(codes("qqb")).alias("band", "code")
-    )
+        "id_b", "qqb", codes("qqb").alias("codes_b")
+    ).select("id_b", "qqb", "codes_b", F.posexplode("codes_b").alias("band", "code"))
     deq = lambda c: F.expr(f"transform({c}, x -> CAST(x AS DOUBLE) / 1048576)")  # noqa: E731
     return (
         ac.join(sc, ["band", "code"])
+        .join(by_id, "id_a")
+        .filter(
+            F.col("band")
+            == F.expr(
+                "array_position(zip_with(codes_a, codes_b, (x, y) -> x = y), true) - 1"
+            )
+        )
         .withColumn("cos", F.round(cosine(deq("qqa"), deq("qqb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_b", "id_a")

@@ -1551,7 +1551,9 @@ def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hit_log = pipeline.run_to_completion(
-        stream.join(F.broadcast(bench_grams), "gh"), output_mode="append"
+        stream.join(F.broadcast(bench_grams), "gh"),
+        output_mode="append",
+        sink="parquet",  # gram-level hit log scales with corpus duplication
     )
     hits = hit_log.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit_grams")
@@ -1698,7 +1700,7 @@ def streaming_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> Data
     pairs = banded_neardup_screen(
         static, stream, bits=_BND_BITS, tables=_BND_TABLES, threshold=_BND_T
     )
-    log = pipeline.run_to_completion(pairs, output_mode="append")
+    log = pipeline.run_to_completion(pairs, output_mode="append", sink="parquet")
     per_vec = log.groupBy("id_b").agg(
         F.countDistinct("id_a").alias("n_matches"),
         F.min("id_a").alias("first_match_id"),

@@ -281,13 +281,44 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_completion(result: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_to_completion(
+    result: DataFrame, output_mode: str = "append", sink: str = "memory"
+) -> DataFrame:
     """Drive a streaming DataFrame over a bounded source to completion
-    through a memory sink and return the materialized result — the
-    pattern tests and the correctness gate use (processAllAvailable runs
-    data batches plus the trailing no-data batch that flushes windows
-    closed by the final watermark)."""
+    and return the materialized result — the pattern tests and the
+    correctness gate use (processAllAvailable runs data batches plus
+    the trailing no-data batch that flushes windows closed by the final
+    watermark).
+
+    sink="memory" (default) collects into the driver's memory sink —
+    right for verdict-sized results. sink="parquet" (r10, caught by the
+    sf10 net) writes the append log to executor-side parquet and reads
+    it back DISTRIBUTED: a high-volume hit/pair log (the screen
+    families' intermediate) scales with corpus duplication, and the
+    memory sink's driver collect overflowed maxResultSize on the
+    replicated sf10 corpus — the production append-log shape is files,
+    exactly this."""
     name = f"q_{uuid.uuid4().hex[:12]}"
+    spark = result.sparkSession
+    if sink == "parquet":
+        out_dir = os.path.join(
+            tempfile.mkdtemp(prefix=f"spe-log-{name}-"), "out"
+        )
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir(name))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        try:
+            return spark.read.schema(result.schema).parquet(out_dir)
+        except Exception:  # no batch ever committed — empty source
+            return spark.createDataFrame([], result.schema)
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
@@ -299,7 +330,6 @@ def run_to_completion(result: DataFrame, output_mode: str = "append") -> DataFra
         q.processAllAvailable()
     finally:
         q.stop()
-    spark = result.sparkSession
     return spark.table(name)
 
 

@@ -1673,7 +1673,12 @@ def streaming_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> Data
     Stateless in-stream (no watermark, no state store, crash = replay);
     at 100 TB the static code table is materialized once (bucketed by
     (band, code)) instead of recomputed per micro-batch
-    (operators/similarity.py::banded_neardup_screen)."""
+    (operators/similarity.py::banded_neardup_screen). Scale dials,
+    MEASURED at sf10 (PLANS.md r10): band length is the collision
+    knob — bits=16 cut the replicated-corpus screen 205 → 82.7 s at
+    97.3% of verified pairs (bits grows with log n; 12 keeps fixture
+    recall at 99–100%); the hit log rides a distributed parquet sink
+    because its volume scales with corpus duplication."""
     from stream_processing_project_spark.operators.similarity import (
         _quantize_expr,
         banded_neardup_screen,

@@ -351,6 +351,33 @@ def test_gemm_paths_invariant_to_arrow_batch_size(spark):
     assert small_ivf == big_ivf
 
 
+def test_parquet_sink_matches_memory_sink(spark, tmp_path):
+    """run_to_completion(sink='parquet') must return exactly the rows
+    the memory sink returns for the same bounded stream — the sink is a
+    transport choice, not a semantics one — and must come back as a
+    DISTRIBUTED read (not a LocalRelation), which is the whole point."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.streaming import pipeline
+
+    d = tmp_path / "mini_emb"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(src.slice(0, 50), str(d / "embeddings.parquet"))
+
+    def stream():
+        return (
+            pipeline.file_embedding_stream(spark, str(d))
+            .selectExpr("vec_id", "label")
+        )
+
+    mem = sorted(tuple(r) for r in pipeline.run_to_completion(stream()).collect())
+    par_df = pipeline.run_to_completion(stream(), sink="parquet")
+    par = sorted(tuple(r) for r in par_df.collect())
+    assert mem == par and len(mem) == 50
+    assert "LocalRelation" not in par_df._jdf.queryExecution().toString()
+
+
 def test_r10_ann_plan_shapes(spark):
     """Candidates must come from equi-joins on bucket/cid codes — never
     an all-pairs loop (the blocked-similarity invariant the oracled

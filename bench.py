@@ -535,6 +535,17 @@ def stage_event_files(spark, sf_dir: str, n_files: int) -> str:
     stage = os.path.join(
         tempfile.gettempdir(), f"bench_lag_stage_{tag}_{n_files}_{vintage}"
     )
+    # Evict staged copies from earlier fixture vintages (ADVICE r10):
+    # without this every regeneration strands a full events.parquet
+    # copy in /tmp for the life of the box.
+    import glob
+    import shutil
+
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"bench_lag_stage_{tag}_{n_files}_*")
+    ):
+        if old != stage:
+            shutil.rmtree(old, ignore_errors=True)
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
             "overwrite"

@@ -5069,7 +5069,9 @@ SELECT y AS y_true,
        CASE WHEN z > 0.0 THEN 1 ELSE 0 END AS y_pred,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CAST(round(z * 1000000.0) AS BIGINT)) AS BIGINT) AS z_micro_sum
-FROM (SELECT f.y, {z} AS z FROM te f CROSS JOIN w{iterations} w)
+FROM (SELECT f.y, {z} AS z
+      FROM te f CROSS JOIN w{iterations} w CROSS JOIN nn
+      WHERE nn.n > 0)
 GROUP BY 1, 2
 """
     return f"{head}{body}{tail}"

@@ -22,6 +22,7 @@ reference's fetch tuning passed through as kafka.* options
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -301,14 +302,14 @@ def run_to_completion(
     name = f"q_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
     if sink == "parquet":
-        out_dir = os.path.join(
-            tempfile.mkdtemp(prefix=f"spe-log-{name}-"), "out"
-        )
+        stage_dir = tempfile.mkdtemp(prefix=f"spe-log-{name}-")
+        out_dir = os.path.join(stage_dir, "out")
+        ckpt_dir = checkpoint_dir(name)
         q = (
             result.writeStream.outputMode(output_mode)
             .format("parquet")
             .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir(name))
+            .option("checkpointLocation", ckpt_dir)
             .start()
         )
         try:
@@ -316,20 +317,37 @@ def run_to_completion(
         finally:
             q.stop()
         try:
-            return spark.read.schema(result.schema).parquet(out_dir)
-        except Exception:  # no batch ever committed — empty source
-            return spark.createDataFrame([], result.schema)
+            # Distinguish "no batch ever committed" (no output dir — a
+            # legitimately empty source) from real read failures
+            # (corrupt part file, permissions): only the former returns
+            # empty; anything else must propagate — a silently-empty
+            # decontamination log reads as "admit everything".
+            if not os.path.isdir(out_dir):
+                return spark.createDataFrame([], result.schema)
+            # Materialize the append log off the staging files (eager,
+            # executor-side block storage — no driver collect) so the
+            # staging + checkpoint dirs can be removed immediately
+            # instead of accumulating a corpus-duplication-scaled log
+            # per invocation under /tmp.
+            return spark.read.schema(result.schema).parquet(
+                out_dir
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+    ckpt_dir = checkpoint_dir(name)
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", checkpoint_dir(name))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name)
 
 

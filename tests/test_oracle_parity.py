@@ -78,7 +78,10 @@ def _selected_names() -> set[str] | None:
     # (ADVICE r09). Build the plans-module import graph from source and
     # close the changed set over reverse dependencies: an edit to module
     # X re-selects every plans module that (transitively) imports X.
-    import re
+    # Parsed with ast (ADVICE r10): a line-oriented regex misses
+    # multi-line parenthesized `from ...plans import (\n extensions,`
+    # forms and would silently reintroduce the stale-pass.
+    import ast
 
     plans_dir = os.path.join(pkg, "plans")
     short = [
@@ -86,15 +89,41 @@ def _selected_names() -> set[str] | None:
         for f in os.listdir(plans_dir)
         if f.endswith(".py") and f != "__init__.py"
     ]
+    shortset = set(short)
     imports: dict[str, set[str]] = {}
     for m in short:
         with open(os.path.join(plans_dir, m + ".py")) as fh:
-            src = fh.read()
-        imports[m] = {
-            o
-            for o in short
-            if o != m and re.search(rf"\bplans\.{o}\b|\bplans import .*\b{o}\b", src)
-        }
+            tree = ast.parse(fh.read())
+        deps: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module:
+                parts = node.module.split(".")
+                if "plans" in parts:
+                    i = parts.index("plans")
+                    if len(parts) > i + 1 and parts[i + 1] in shortset:
+                        # from ...plans.extensions import X
+                        deps.add(parts[i + 1])
+                    elif parts[-1] == "plans":
+                        # from ...plans import extensions, governance
+                        deps |= {
+                            a.name for a in node.names if a.name in shortset
+                        }
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    parts = a.name.split(".")
+                    if "plans" in parts:
+                        i = parts.index("plans")
+                        if len(parts) > i + 1 and parts[i + 1] in shortset:
+                            deps.add(parts[i + 1])
+        imports[m] = deps - {m}
+    # registry's parenthesized import of every plans module is a
+    # REGISTRATION side effect (it triggers decorators), not a value
+    # dependency — no oracle constant flows registry ← module. Keeping
+    # those edges would closure every plans edit through registry into
+    # the full surface and defeat the changed-only gate. (registry as a
+    # CHANGED module still conservatively selects everything, because
+    # every plans module imports registry.)
+    imports["registry"] = set()
     changed_short = {
         m
         for m in short

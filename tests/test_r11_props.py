@@ -1,0 +1,123 @@
+"""Round-11 property pins: ADVICE r10 fixes (parquet-sink error
+semantics + tmp hygiene, LR-apply oracle empty-train parity) and the
+r11 verdict tasks as they land."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_project_spark.plans.registry import get
+
+SF = "/root/testdata/sf0.01"
+
+
+def _spe_tmp_dirs() -> set[str]:
+    td = tempfile.gettempdir()
+    return set(glob.glob(os.path.join(td, "spe-log-*"))) | set(
+        glob.glob(os.path.join(td, "spe-ckpt-*"))
+    )
+
+
+def test_parquet_sink_cleans_staging_and_checkpoint(spark, tmp_path):
+    """ADVICE r10: every parquet-sink invocation used to strand its
+    staging dir + checkpoint under /tmp. After run_to_completion
+    returns, the rows must survive (materialized off the files) and no
+    new spe-log-* / spe-ckpt-* dirs may remain."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.streaming import pipeline
+
+    d = tmp_path / "mini_emb"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(src.slice(0, 20), str(d / "embeddings.parquet"))
+
+    before = _spe_tmp_dirs()
+    out = pipeline.run_to_completion(
+        pipeline.file_embedding_stream(spark, str(d)).selectExpr(
+            "vec_id", "label"
+        ),
+        sink="parquet",
+    )
+    leaked = _spe_tmp_dirs() - before
+    assert leaked == set(), f"stranded tmp dirs: {sorted(leaked)}"
+    # rows must be readable AFTER the staging files are gone
+    assert out.count() == 20
+
+
+def test_memory_sink_cleans_checkpoint(spark, tmp_path):
+    """The memory-sink path strands its checkpoint dir too — same
+    hygiene pin for the default transport."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.streaming import pipeline
+
+    d = tmp_path / "mini_emb_mem"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(src.slice(0, 5), str(d / "embeddings.parquet"))
+
+    before = _spe_tmp_dirs()
+    out = pipeline.run_to_completion(
+        pipeline.file_embedding_stream(spark, str(d)).selectExpr("vec_id")
+    )
+    assert _spe_tmp_dirs() - before == set()
+    assert out.count() == 5
+
+
+def test_parquet_sink_empty_batch_returns_empty(spark, tmp_path):
+    """A source whose one file holds 0 rows commits an empty batch:
+    the read-back must return 0 rows with the result schema (and not
+    trip the no-batch guard or swallow anything)."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.streaming import pipeline
+
+    d = tmp_path / "zero_emb"
+    d.mkdir()
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    pq.write_table(src.slice(0, 0), str(d / "embeddings.parquet"))
+
+    out = pipeline.run_to_completion(
+        pipeline.file_embedding_stream(spark, str(d)).selectExpr(
+            "vec_id", "label"
+        ),
+        sink="parquet",
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "label"]
+
+
+def test_lr_apply_oracle_empty_train_parity(spark, duck, tmp_path):
+    """ADVICE r10: on a corpus whose doc_ids are ALL ≡ 4 (mod 5) the
+    train split is empty — the Spark side returns an empty frame and
+    the DuckDB oracle must now agree (it used to emit NULL-weight
+    y_pred=0 confusion rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    mask = pa.array(
+        [v.as_py() % 5 == 4 for v in src.column("doc_id")]
+    )
+    only_test = src.filter(mask)
+    assert only_test.num_rows > 0, "fixture must exercise the test split"
+    d = tmp_path / "docs_test_only"
+    d.mkdir()
+    pq.write_table(only_test, str(d / "documents.parquet"))
+
+    q = get("text_classifier_apply_lr")
+    assert q.builder(spark, str(d)).count() == 0
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        assert duck.execute(q.oracle).fetchall() == []
+    finally:
+        duck.execute("DROP VIEW IF EXISTS documents")

@@ -4479,9 +4479,12 @@ _NN_DESCENT_SHORTLIST = 32
 # Bounded (ADVICE r09): a long-lived session touching many corpus dirs
 # (pytest tmp fixtures) must not accumulate checkpointed RDD blocks for
 # the app's lifetime — the cache keeps the _NN_GRAPH_CACHE_PER_APP most
-# recent entries; evicted frames lose their last driver reference, and
-# Spark's ContextCleaner reclaims the checkpoint blocks after the next
-# driver GC (its periodic-GC fallback exists for exactly this).
+# recent entries. Eviction is DETERMINISTIC (r11, VERDICT r10 task 4):
+# the evicted frame's checkpointed RDD is unpersisted on the spot
+# instead of lingering in the block manager until ContextCleaner GC —
+# under pytest's many-tmp-corpus pattern GC-based reclaim is unbounded
+# residency in practice. Stale-app entries are dropped by reference
+# only (their context is gone; unpersist would throw).
 _NN_GRAPH_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _NN_GRAPH_CACHE_PER_APP = 4
 
@@ -4506,7 +4509,19 @@ def _nn_graph_shared(
             del _NN_GRAPH_CACHE[stale]
         same_app = [k2 for k2 in _NN_GRAPH_CACHE if k2[0] == app]
         while len(same_app) >= _NN_GRAPH_CACHE_PER_APP:
-            del _NN_GRAPH_CACHE[same_app.pop(0)]  # oldest-inserted first
+            evicted = _NN_GRAPH_CACHE.pop(same_app.pop(0))  # oldest first
+            try:
+                # free the localCheckpoint blocks NOW, not at the next
+                # ContextCleaner GC. The persisted RDD is the INTERNAL
+                # one captured by Dataset.checkpoint — `evicted.rdd`
+                # is a derived wrapper whose unpersist is a no-op
+                # (measured: getPersistentRDDs stays 1); the LogicalRDD
+                # root of the analyzed plan holds the real handle.
+                evicted._jdf.queryExecution().analyzed().rdd().unpersist(
+                    False
+                )
+            except Exception:
+                pass  # context torn down mid-teardown — nothing to free
         g = similarity.nn_descent_graph(
             source if source is not None else t(spark, sf_dir, "embeddings"),
             k=_NN_DESCENT_K,

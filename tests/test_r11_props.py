@@ -93,6 +93,60 @@ def test_parquet_sink_empty_batch_returns_empty(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["vec_id", "label"]
 
 
+def test_nn_graph_cache_unpersists_on_evict(spark):
+    """VERDICT r10 task 4: evicting an entry from the NN-graph cache
+    must free its localCheckpoint blocks immediately (deterministic
+    eviction), not wait for ContextCleaner GC. Fill the cache past
+    _NN_GRAPH_CACHE_PER_APP with tiny variant builds and assert the
+    persistent-RDD census never grows past the cap's worth."""
+    from stream_processing_project_spark.plans import extensions as ext
+
+    def ckpt_rdd_id(df) -> int:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
+    def is_persisted(rdd_id: int) -> bool:
+        return bool(
+            spark.sparkContext._jsc.sc().getPersistentRDDs().contains(rdd_id)
+        )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 40)
+        .localCheckpoint(eager=True)
+    )
+    saved = dict(ext._NN_GRAPH_CACHE)
+    ext._NN_GRAPH_CACHE.clear()
+    try:
+        cap = ext._NN_GRAPH_CACHE_PER_APP
+        ids = []
+        for i in range(cap + 2):
+            g = ext._nn_graph_shared(
+                spark, SF, variant=f"evict-test-{i}", source=emb
+            )
+            g.count()  # materialize the checkpoint blocks
+            ids.append(ckpt_rdd_id(g))
+        # inserts cap+1 and cap+2 evicted the two oldest — their
+        # checkpoint RDDs must be gone from the persistent map NOW
+        # (deterministic), while every retained entry is still pinned
+        assert not is_persisted(ids[0]), "evicted entry 0 still persisted"
+        assert not is_persisted(ids[1]), "evicted entry 1 still persisted"
+        for rid in ids[2:]:
+            assert is_persisted(rid), f"retained entry {rid} lost its blocks"
+        assert (
+            len([k for k in ext._NN_GRAPH_CACHE if k[0] == spark.sparkContext.applicationId])
+            == cap
+        )
+    finally:
+        for k in list(ext._NN_GRAPH_CACHE):
+            try:
+                ext._NN_GRAPH_CACHE[k]._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+        ext._NN_GRAPH_CACHE.clear()
+        ext._NN_GRAPH_CACHE.update(saved)
+        emb._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
 def test_lr_apply_oracle_empty_train_parity(spark, duck, tmp_path):
     """ADVICE r10: on a corpus whose doc_ids are ALL ≡ 4 (mod 5) the
     train split is empty — the Spark side returns an empty frame and

@@ -16,6 +16,8 @@ bit-for-bit on the same doubles — rounded at 6 dp for safety).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd  # noqa: TC002 — pandas_udf type hints must resolve at runtime
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1070,12 +1072,33 @@ def _gemm_band_codes_exact_udf(bits: int, tables: int, dim: int = 64):
     return codes
 
 
+def auto_band_bits(n: int, min_bits: int = 12, max_bits: int = 16) -> int:
+    """Corpus-size-derived band length for the banded near-dup screen
+    (VERDICT r10 task 3 — promoting the MEASURED sf10 dial from PLANS
+    prose into code). The screen's random-collision term is
+    n·m·L/2^bits candidate rows (n static, m arrivals, L tables):
+    bits = ceil(log2(n)) keeps expected random collisions per
+    (arrival, band) at ≤ 1, which is where the sf10 measurement put the
+    win (bits=16 cut the replicated-corpus screen 205 → 82.7 s).
+    Floor 12: the fixture-measured 99–100% recall regime — and the
+    registered query's oracle geometry at the sf0.01 gate corpus
+    (n=500 → 9, clamped up). Cap 16: the Charikar recall floor at
+    L=24 with per-plane agreement p≈0.88 for cos≈0.93 near-dups —
+    per-pair miss (1−p^bits)^L ≈ 3.5% at bits=16 (measured 97.3% of
+    pairs at sf10) but 5.5% at 17 and 8% at 18; past n ≈ 2^16 the
+    knob that preserves recall is MORE TABLES, not longer bands."""
+    if n <= 1:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(n))))
+
+
 def banded_neardup_screen(
     static_q: DataFrame,
     arriv_q: DataFrame,
-    bits: int,
+    bits: int | None,
     tables: int,
     threshold: float,
+    n_static: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-dup screen between an arriving frame and a static
     corpus — the scale-safe candidate generator for production near-dup
@@ -1106,7 +1129,15 @@ def banded_neardup_screen(
     dedupes). The r09 first-band measurement that rejected this at the
     0.35 tail threshold used 77 bands on a corpus with ~no duplicate
     collisions; at production thresholds with real duplicates the
-    trade reverses, and the sf10 failure is the measurement."""
+    trade reverses, and the sf10 failure is the measurement.
+
+    bits=None applies the corpus-size dial (`auto_band_bits`): band
+    length grows with log2(n) of the static side (counted once unless
+    the caller passes `n_static`), clamped to the measured recall
+    window [12, 16]."""
+    if bits is None:
+        n = n_static if n_static is not None else static_q.count()
+        bits = auto_band_bits(n)
     codes = _gemm_band_codes_exact_udf(bits, tables)
     st = static_q.select(
         "id_a", "qqa", codes("qqa").alias("codes_a")

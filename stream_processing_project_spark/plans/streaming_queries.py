@@ -1676,9 +1676,14 @@ def streaming_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> Data
     (operators/similarity.py::banded_neardup_screen). Scale dials,
     MEASURED at sf10 (PLANS.md r10): band length is the collision
     knob — bits=16 cut the replicated-corpus screen 205 → 82.7 s at
-    97.3% of verified pairs (bits grows with log n; 12 keeps fixture
-    recall at 99–100%); the hit log rides a distributed parquet sink
-    because its volume scales with corpus duplication."""
+    97.3% of verified pairs. The dial is CODE now (r11, VERDICT r10
+    task 3): bits=None lets `auto_band_bits` derive band length from
+    the static corpus size (ceil(log2 n) clamped to the measured
+    recall window [12, 16]); at the sf0.01 gate corpus (n=500) that
+    resolves to 12 — the exact geometry this oracle replays, pinned by
+    tests — and at the replicated sf10 corpus (n≈200k) to the measured
+    bits=16 point, automatically. The hit log rides a distributed
+    parquet sink because its volume scales with corpus duplication."""
     from stream_processing_project_spark.operators.similarity import (
         _quantize_expr,
         banded_neardup_screen,
@@ -1703,7 +1708,7 @@ def streaming_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> Data
         .repartition(spark.sparkContext.defaultParallelism)
     )
     pairs = banded_neardup_screen(
-        static, stream, bits=_BND_BITS, tables=_BND_TABLES, threshold=_BND_T
+        static, stream, bits=None, tables=_BND_TABLES, threshold=_BND_T
     )
     log = pipeline.run_to_completion(pairs, output_mode="append", sink="parquet")
     per_vec = log.groupBy("id_b").agg(

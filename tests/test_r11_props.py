@@ -93,6 +93,101 @@ def test_parquet_sink_empty_batch_returns_empty(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["vec_id", "label"]
 
 
+def test_auto_band_bits_dial():
+    """VERDICT r10 task 3: band length derives from corpus size —
+    ceil(log2 n) clamped to the measured recall window [12, 16]."""
+    from stream_processing_project_spark.operators.similarity import (
+        auto_band_bits,
+    )
+
+    assert auto_band_bits(0) == 12 and auto_band_bits(1) == 12
+    assert auto_band_bits(500) == 12  # the sf0.01 gate corpus
+    assert auto_band_bits(2000) == 12  # sf0.1
+    assert auto_band_bits(20_000) == 15  # sf1 (10x curve corpus)
+    assert auto_band_bits(200_000) == 16  # sf10 — the measured point
+    assert auto_band_bits(10**9) == 16  # cap: grow tables, not bands
+    vals = [auto_band_bits(n) for n in (2**k for k in range(1, 25))]
+    assert vals == sorted(vals), "dial must be monotone in n"
+
+
+def test_registered_banded_screen_geometry_matches_oracle():
+    """The registered streaming_embedding_neardup_banded passes
+    bits=None; its DuckDB oracle replays bits=_BND_BITS. They only
+    agree because the dial resolves to _BND_BITS at the driver-gate
+    corpus — pin that, so a fixture regeneration that grows the corpus
+    past 2^12 vectors fails HERE and not as a silent hash mismatch."""
+    import pyarrow.parquet as pq
+
+    from stream_processing_project_spark.operators.similarity import (
+        auto_band_bits,
+    )
+    from stream_processing_project_spark.plans.streaming_queries import (
+        _BND_BITS,
+    )
+
+    n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert auto_band_bits(n) == _BND_BITS
+
+
+def test_banded_screen_auto_equals_explicit(spark):
+    """bits=None must be a pure dial: on the fixture corpus the auto
+    path and the explicit bits=12 call return identical pairs (and
+    n_static short-circuits the count without changing anything)."""
+    from stream_processing_project_spark.operators.similarity import (
+        _quantize_expr,
+        banded_neardup_screen,
+    )
+    from stream_processing_project_spark.plans.streaming_queries import (
+        _BND_DIM,
+        _BND_IDOFF,
+        _BND_MOD,
+        _BND_NOISE_CASE,
+        _BND_T,
+        _BND_TABLES,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    static = emb.selectExpr(
+        "vec_id AS id_a", f"{_quantize_expr('embedding', _BND_DIM)} AS qqa"
+    )
+    arriv = (
+        emb.filter(F.expr(f"vec_id % {_BND_MOD} = 0"))
+        .selectExpr(
+            "vec_id", f"{_quantize_expr('embedding', _BND_DIM)} AS qq0"
+        )
+        .selectExpr(
+            f"vec_id + {_BND_IDOFF} AS id_b",
+            f"transform(sequence(1, {_BND_DIM}),"
+            f" d -> element_at(qq0, d) + {_BND_NOISE_CASE}) AS qqb",
+        )
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in banded_neardup_screen(
+            static, arriv, bits=12, tables=_BND_TABLES, threshold=_BND_T
+        ).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in banded_neardup_screen(
+            static, arriv, bits=None, tables=_BND_TABLES, threshold=_BND_T
+        ).collect()
+    )
+    hinted = sorted(
+        tuple(r)
+        for r in banded_neardup_screen(
+            static,
+            arriv,
+            bits=None,
+            tables=_BND_TABLES,
+            threshold=_BND_T,
+            n_static=500,
+        ).collect()
+    )
+    assert explicit == auto == hinted
+    assert len(explicit) > 0
+
+
 def test_nn_graph_cache_unpersists_on_evict(spark):
     """VERDICT r10 task 4: evicting an entry from the NN-graph cache
     must free its localCheckpoint blocks immediately (deterministic
@@ -145,6 +240,22 @@ def test_nn_graph_cache_unpersists_on_evict(spark):
         ext._NN_GRAPH_CACHE.clear()
         ext._NN_GRAPH_CACHE.update(saved)
         emb._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
+def test_paired_test_is_nonvacuous(spark):
+    """VERDICT r10 task 5: the paired test must compare two rankers
+    that genuinely differ per query on the fixture (Σd² > 0 — a
+    passthrough of one ranker scored twice cannot pass), over the full
+    eval panel, and its fixture conclusion is the meaningful one:
+    int8 quantization does NOT significantly hurt nDCG (|t| < 2)."""
+    rows = get("retrieval_eval_paired_test").builder(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_queries"] == 25  # id % 20 = 0, id < 10000 on n=500
+    assert r["sumsq_delta_micro"] > 0, "rankers never disagreed — vacuous"
+    assert 0 < r["sum_ndcg_exact_micro"] <= r["n_queries"] * 1_000_000
+    assert 0 < r["sum_ndcg_quant_micro"] <= r["n_queries"] * 1_000_000
+    assert abs(r["t_stat"]) < 2.0 and not r["exact_sig_better"]
 
 
 def test_lr_apply_oracle_empty_train_parity(spark, duck, tmp_path):

@@ -4775,6 +4775,235 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_eval_paired_test",
+    oracle=f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+zc AS MATERIALIZED (
+  SELECT vec_id AS id, {_Q8} AS q8, label FROM embeddings
+),
+panel AS (SELECT id, v, label FROM emb WHERE id % 20 = 0 AND id < 10000),
+zq AS (SELECT id, q8, label FROM zc WHERE id % 20 = 0 AND id < 10000),
+exact10 AS (
+  SELECT query_id, qlabel, nlabel, rank FROM (
+    SELECT p.id AS query_id, p.label AS qlabel, c.label AS nlabel,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY round(list_cosine_similarity(p.v, c.v), 6) DESC, c.id
+           ) AS rank
+    FROM panel p JOIN emb c ON p.id <> c.id
+  ) WHERE rank <= 10
+),
+quant10 AS (
+  SELECT query_id, qlabel, nlabel, rank FROM (
+    SELECT p.id AS query_id, p.label AS qlabel, c.label AS nlabel,
+           row_number() OVER (
+             PARTITION BY p.id
+             ORDER BY list_dot_product(p.q8::DOUBLE[], c.q8::DOUBLE[]) DESC,
+                      c.id
+           ) AS rank
+    FROM zq p JOIN zc c ON p.id <> c.id
+  ) WHERE rank <= 10
+),
+dcg_e AS (
+  SELECT query_id, any_value(qlabel) AS label,
+         CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END
+              * CAST(round(1000000 / log2(rank + 1)) AS BIGINT)) AS BIGINT)
+           AS dcg_e_micro
+  FROM exact10 GROUP BY query_id
+),
+dcg_q AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END
+              * CAST(round(1000000 / log2(rank + 1)) AS BIGINT)) AS BIGINT)
+           AS dcg_q_micro
+  FROM quant10 GROUP BY query_id
+),
+lab_cnt AS (SELECT label, count(*) AS n_lab FROM emb GROUP BY label),
+cum_disc AS (
+  SELECT r, CAST(sum(disc) OVER (ORDER BY r) AS BIGINT) AS idcg
+  FROM (SELECT range AS r,
+               CAST(round(1000000 / log2(range + 1)) AS BIGINT) AS disc
+        FROM range(1, 11))
+),
+per_q AS (
+  SELECT e.query_id,
+         CASE WHEN coalesce(c.idcg, 0) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1000000.0 * e.dcg_e_micro
+                             / CAST(c.idcg AS DOUBLE)) AS BIGINT) END AS nd_e,
+         CASE WHEN coalesce(c.idcg, 0) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1000000.0 * q.dcg_q_micro
+                             / CAST(c.idcg AS DOUBLE)) AS BIGINT) END AS nd_q
+  FROM dcg_e e
+  JOIN dcg_q q ON q.query_id = e.query_id
+  JOIN lab_cnt lc ON lc.label = e.label
+  LEFT JOIN cum_disc c ON c.r = least(10, lc.n_lab - 1)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         CAST(sum(nd_e - nd_q) AS BIGINT) AS sum_delta_micro,
+         CAST(sum((nd_e - nd_q) * (nd_e - nd_q)) AS BIGINT)
+           AS sumsq_delta_micro,
+         CAST(sum(nd_e) AS BIGINT) AS sum_ndcg_exact_micro,
+         CAST(sum(nd_q) AS BIGINT) AS sum_ndcg_quant_micro
+  FROM per_q
+),
+final AS (
+  SELECT n_queries, sum_delta_micro, sumsq_delta_micro,
+         sum_ndcg_exact_micro, sum_ndcg_quant_micro,
+         CASE WHEN n_queries * sumsq_delta_micro
+                   - sum_delta_micro * sum_delta_micro <= 0 THEN 0.0
+              ELSE (CAST(sum_delta_micro AS DOUBLE)
+                    * sqrt(CAST(n_queries - 1 AS DOUBLE)))
+                   / sqrt(CAST(n_queries * sumsq_delta_micro
+                               - sum_delta_micro * sum_delta_micro AS DOUBLE))
+         END AS t_stat
+  FROM agg
+)
+SELECT n_queries, sum_delta_micro, sumsq_delta_micro,
+       sum_ndcg_exact_micro, sum_ndcg_quant_micro, t_stat,
+       t_stat > 2.0 AS exact_sig_better
+FROM final
+""",
+)
+def retrieval_eval_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired significance test over two rankers — the evaluation twin
+    the retrieval stack lacked (VERDICT r10 task 5). Scores the
+    exact-cosine and int8-quantized retrievers on the SAME fixed eval
+    panel (the retrieval_eval_ndcg panel: id % 20, capped < 10000) with
+    per-query nDCG@10 against label-match relevance and a GLOBAL ideal,
+    then runs a paired t-test over the per-query deltas: the production
+    question "does int8 quantization significantly hurt ranking
+    quality?" answered with the stack's own rankers, corpus-scale.
+
+    Determinism engineering: each per-query nDCG micro-quantizes to a
+    bigint (one double division of exact integer operands, rounded to
+    1e-6) BEFORE any summation, so Σd, Σd², Σndcg are order-free
+    INTEGER aggregates; the t statistic is one fixed-shape double
+    expression over them — t = Σd·√(n−1) / √(n·Σd² − (Σd)²) — identical
+    operand sequence cross-engine (all operands exact below 2^53).
+    Zero-variance corpora (the two rankers never disagree) yield t = 0,
+    not NaN. `exact_sig_better` applies the conventional |t| > 2 rule.
+
+    Scale shape: both rankers are the broadcast-panel-vs-corpus shape
+    (the corpus never shuffles; the panel is FIXED, not a corpus
+    fraction, so the exact side stays linear); everything after the
+    top-10 cut is per-query aggregation over ≤10 rows and one global
+    1-row reduce. No new shuffle beyond the per-query join of the two
+    score tables (k·|panel| rows each)."""
+    emb = t(spark, sf_dir, "embeddings")
+    panel = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 10000))
+    qlab = panel.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+
+    def per_query_dcg(top10: DataFrame, out_col: str) -> DataFrame:
+        scored = (
+            top10.join(F.broadcast(qlab), "query_id")
+            .join(nlab, "neighbor_id")
+            .select(
+                "query_id",
+                "qlabel",
+                F.when(F.col("nlabel") == F.col("qlabel"), 1)
+                .otherwise(0)
+                .alias("rel"),
+                F.round(F.lit(1000000) / F.log2(F.col("rank") + 1), 0)
+                .cast("bigint")
+                .alias("disc_micro"),
+            )
+        )
+        return scored.groupBy("query_id").agg(
+            F.any_value(F.col("qlabel")).alias("label"),
+            F.sum(F.col("rel") * F.col("disc_micro"))
+            .cast("bigint")
+            .alias(out_col),
+        )
+
+    dcg_e = per_query_dcg(
+        similarity.brute_force_topk(emb, panel, k=10), "dcg_e_micro"
+    )
+    dcg_q = per_query_dcg(
+        similarity.quantized_topk(emb, panel, k=10), "dcg_q_micro"
+    ).drop("label")
+    lab_cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum_disc = (
+        spark.range(1, 11)
+        .select(
+            F.col("id").alias("r"),
+            F.round(F.lit(1000000) / F.log2(F.col("id") + 1), 0)
+            .cast("bigint")
+            .alias("disc"),
+        )
+        .select("r", F.sum("disc").over(wcum).cast("bigint").alias("idcg"))
+    )
+
+    def nd(dcg_col: str):
+        return (
+            F.when(
+                F.coalesce(F.col("idcg"), F.lit(0)) == 0,
+                F.lit(0).cast("bigint"),
+            )
+            .otherwise(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col(dcg_col)
+                    / F.col("idcg").cast("double"),
+                    0,
+                ).cast("bigint")
+            )
+        )
+
+    per_q = (
+        dcg_e.join(dcg_q, "query_id")
+        .join(F.broadcast(lab_cnt), "label")
+        .withColumn("ideal_k", F.least(F.lit(10), F.col("n_lab") - 1))
+        .join(F.broadcast(cum_disc), F.col("ideal_k") == F.col("r"), "left")
+        .select(nd("dcg_e_micro").alias("nd_e"), nd("dcg_q_micro").alias("nd_q"))
+    )
+    agg = per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.col("nd_e") - F.col("nd_q")).cast("bigint").alias(
+            "sum_delta_micro"
+        ),
+        F.sum(
+            (F.col("nd_e") - F.col("nd_q")) * (F.col("nd_e") - F.col("nd_q"))
+        )
+        .cast("bigint")
+        .alias("sumsq_delta_micro"),
+        F.sum("nd_e").cast("bigint").alias("sum_ndcg_exact_micro"),
+        F.sum("nd_q").cast("bigint").alias("sum_ndcg_quant_micro"),
+    )
+    denom = (
+        F.col("n_queries") * F.col("sumsq_delta_micro")
+        - F.col("sum_delta_micro") * F.col("sum_delta_micro")
+    )
+    final = agg.withColumn(
+        "t_stat",
+        F.when(denom <= 0, F.lit(0.0)).otherwise(
+            (
+                F.col("sum_delta_micro").cast("double")
+                * F.sqrt((F.col("n_queries") - 1).cast("double"))
+            )
+            / F.sqrt(denom.cast("double"))
+        ),
+    )
+    return final.select(
+        "n_queries",
+        "sum_delta_micro",
+        "sumsq_delta_micro",
+        "sum_ndcg_exact_micro",
+        "sum_ndcg_quant_micro",
+        "t_stat",
+        (F.col("t_stat") > 2.0).alias("exact_sig_better"),
+    )
+
+
+@register(
     "similarity_dbscan_clusters",
     oracle="""
 WITH RECURSIVE pairs AS MATERIALIZED (

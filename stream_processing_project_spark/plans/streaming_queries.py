@@ -351,6 +351,55 @@ def streaming_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_upsert_bucketed", oracle=CDC_UPSERT_ORACLE)
+def streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_upsert_materialize's bucket-partitioned twin — the
+    scale lever its sf10 curve named (6.2×/decade because every
+    micro-batch's copy-on-write MERGE rewrites the FULL state table):
+    state hash-partitions into buckets tracked by a bucket → path
+    manifest, and each batch merges and rewrites ONLY buckets holding
+    changed keys (streaming/sinks.py::upsert_materialized_view_bucketed)
+    — O(touched state) per batch instead of O(state), the difference
+    between rewriting terabytes and gigabytes when change batches are
+    key-local. Merge semantics are IDENTICAL (a key's whole history
+    hashes to one bucket, so latest-per-key and tombstone retention are
+    per-bucket-local): the final assembled state must equal the batch
+    collapse of the whole log — the same oracle as the unbucketed twin,
+    regardless of chunking or bucket count."""
+    from stream_processing_project_spark.sources.cdc import (
+        parse_envelope,
+        to_envelope_json,
+    )
+    from stream_processing_project_spark.streaming.sinks import (
+        read_bucketed_state,
+        upsert_materialized_view_bucketed,
+    )
+
+    chunk_dir = tempfile.mkdtemp(prefix="cdc_chunks_b_")
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_b_")
+    t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
+        chunk_dir
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(chunk_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunk_dir)
+    )
+    changes = parse_envelope(to_envelope_json(stream)).select(
+        "id", "user_id", "event_type", "value", "__op", "__ts_ms"
+    )
+    q, snapshots = upsert_materialized_view_bucketed(changes, state_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_bucketed_state(spark, snapshots[-1])
+        .filter(F.col("__op") != "d")
+        .select("id", "user_id", "event_type", "value", "__op")
+    )
+
+
 @register(
     "streaming_rollup_cascade",
     oracle="""

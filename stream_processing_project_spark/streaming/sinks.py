@@ -284,6 +284,110 @@ def upsert_materialized_view(
     return q, versions
 
 
+def upsert_materialized_view_bucketed(
+    changes: DataFrame,
+    base_dir: str,
+    key_col: str = "id",
+    ts_col: str = "__ts_ms",
+    n_buckets: int = 16,
+    bucket_expr=None,
+) -> tuple[StreamingQuery, list[dict[int, str]]]:
+    """The bucket-partitioned twin of upsert_materialized_view — the
+    production lever its docstring names: state lives in `n_buckets`
+    buckets (default: xxhash64(key) mod n), tracked by a bucket → path
+    manifest, and each micro-batch MERGES AND REWRITES ONLY the buckets
+    that contain changed keys. Untouched buckets carry forward as
+    manifest entries pointing at the version that last wrote them —
+    zero read, zero write, zero shuffle for cold state. Per-batch cost
+    drops from O(|state|) (the copy-on-write full rewrite) to
+    O(|state ∩ touched buckets|).
+
+    Bucket function choice is the locality lever: hash buckets prune
+    when a batch's DISTINCT-KEY COUNT is small versus n_buckets (a
+    scattered hot set of 50 keys touches ≤ 50 buckets no matter where
+    they sit); pass `bucket_expr` (any deterministic Column over the
+    key, e.g. `(F.col("id") / width).cast("int")` range clustering —
+    the Delta/Iceberg clustered-table analogue) when change batches are
+    key-RANGE-local, the common CDC shape where recent ids are hot —
+    then a 1% hot range touches ~1% of buckets and the batch rewrites
+    gigabytes, not terabytes. With uniform random keys every batch
+    touches every bucket and this degrades gracefully to the
+    full-rewrite cost plus a partition-write constant (the trade
+    PLANS.md's sf10 curve documents).
+
+    Same merge semantics as the unbucketed sink: latest-per-key via the
+    partial-aggregatable struct-max, tombstones retained per bucket so
+    out-of-order older inserts cannot resurrect deleted keys (a key's
+    whole history lands in ONE bucket — any deterministic
+    key-partitioning preserves the per-key merge exactly). The
+    per-batch driver collect is the touched bucket-id list
+    (≤ n_buckets ints — the bounded-scalar pattern).
+
+    The manifest IS the table log in miniature: with Delta/Iceberg this
+    function collapses into `MERGE INTO` over a clustered table and the
+    manifest into the commit log. Returns (query, manifest_snapshots);
+    read the final state with read_bucketed_state(spark, snapshots[-1])."""
+    from stream_processing_project_spark.sources.cdc import latest_versions
+
+    manifest: dict[int, str] = {}
+    snapshots: list[dict[int, str]] = []
+    bucket_of = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = latest_versions(batch_df, key_col, ts_col).withColumn(
+            "bkt", bucket_of
+        )
+        touched = sorted(
+            r["bkt"]
+            for r in new.select("bkt").distinct().collect()
+        )
+        if not touched:
+            snapshots.append(dict(manifest))
+            return
+        prev_paths = [manifest[b] for b in touched if b in manifest]
+        if prev_paths:
+            # bucket dirs are read directly (no basePath), so the
+            # partition column is gone — recompute it from the key
+            cur = spark.read.parquet(*prev_paths).withColumn(
+                "bkt", bucket_of
+            )
+            merged = latest_versions(
+                cur.unionByName(new).drop("bkt"), key_col, ts_col
+            ).withColumn("bkt", bucket_of)
+        else:
+            merged = new
+        path = f"{base_dir}/v{epoch_id}"
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(path)
+        for b in touched:
+            manifest[b] = f"{path}/bkt={b}"
+        snapshots.append(dict(manifest))
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir(f"upsertb_{abs(hash(base_dir))}"),
+        )
+        .start()
+    )
+    return q, snapshots
+
+
+def read_bucketed_state(spark, manifest: dict[int, str]) -> DataFrame:
+    """Assemble the current state of a bucket-manifested upsert view:
+    one parquet read over the manifest's bucket paths (each bucket
+    contributes exactly its latest version — possibly written many
+    versions ago, if it has been cold since)."""
+    paths = [manifest[b] for b in sorted(manifest)]
+    return spark.read.parquet(*paths)
+
+
 def continuous_hour_rollup(
     minute_stream: DataFrame, base_dir: str
 ) -> tuple[StreamingQuery, list]:

@@ -286,3 +286,102 @@ def test_lr_apply_oracle_empty_train_parity(spark, duck, tmp_path):
         assert duck.execute(q.oracle).fetchall() == []
     finally:
         duck.execute("DROP VIEW IF EXISTS documents")
+
+
+def _drive_bucketed(spark, rows, base_dir, src_dir, n_buckets=8):
+    """Feed `rows` (list of per-batch row-lists) through the bucketed
+    upsert sink one micro-batch per file, return the manifest
+    snapshots."""
+    from stream_processing_project_spark.streaming.sinks import (
+        upsert_materialized_view_bucketed,
+    )
+
+    schema = "id long, user_id long, __op string, __ts_ms long"
+    for i, batch in enumerate(rows):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/b{i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*")
+    )
+    q, snaps = upsert_materialized_view_bucketed(
+        stream, base_dir, n_buckets=n_buckets
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return snaps
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """VERDICT r10 perf watch-item made code: a batch whose keys land in
+    a strict subset of buckets must leave every other bucket's manifest
+    entry pointing at the OLD version path (zero rewrite), and the new
+    version dir on disk must contain ONLY the touched buckets."""
+    from pyspark.sql import functions as F2
+
+    n_buckets = 8
+    # batch 0: keys 0..63 (all buckets); batch 1: one single key
+    b0 = [(k, k, "c", 1000) for k in range(64)]
+    b1 = [(7, 7, "u", 2000)]
+    snaps = _drive_bucketed(
+        spark, [b0, b1], str(tmp_path / "state"), str(tmp_path / "src"),
+        n_buckets,
+    )
+    assert len(snaps) == 2
+    hot = (
+        spark.createDataFrame([(7,)], "id long")
+        .select(F2.pmod(F2.xxhash64("id"), F2.lit(n_buckets)).cast("int"))
+        .first()[0]
+    )
+    m0, m1 = snaps
+    assert m1[hot] != m0[hot] and "/v1/" in m1[hot]
+    for b in range(n_buckets):
+        if b != hot:
+            assert m1[b] == m0[b] and "/v0/" in m1[b]
+    on_disk = sorted(
+        os.path.basename(p)
+        for p in glob.glob(str(tmp_path / "state" / "v1" / "bkt=*"))
+    )
+    assert on_disk == [f"bkt={hot}"], "v1 wrote an untouched bucket"
+
+
+def test_bucketed_upsert_tombstone_blocks_old_insert(spark, tmp_path):
+    """A key's whole history hashes to one bucket, so tombstone
+    retention must survive bucketing: delete at ts=3000, then an
+    out-of-order OLDER insert (ts=2500) in a later batch — the key
+    stays dead."""
+    from stream_processing_project_spark.streaming.sinks import (
+        read_bucketed_state,
+    )
+
+    b0 = [(1, 1, "c", 1000), (2, 2, "c", 1000)]
+    b1 = [(1, 1, "d", 3000)]
+    b2 = [(1, 1, "u", 2500)]  # late arrival, older than the tombstone
+    snaps = _drive_bucketed(
+        spark, [b0, b1, b2], str(tmp_path / "state"), str(tmp_path / "src")
+    )
+    final = read_bucketed_state(spark, snaps[-1])
+    live = {r["id"] for r in final.filter(F.col("__op") != "d").collect()}
+    assert live == {2}, "tombstoned key resurrected by an older insert"
+
+
+def test_bucketed_equals_unbucketed_on_fixture(spark):
+    """streaming_upsert_bucketed must produce the exact row set of
+    streaming_upsert_materialize on the sf0.01 change log (same oracle
+    by construction — this pins the two ENGINE paths against each
+    other, bucket count and chunking notwithstanding)."""
+    a = {
+        tuple(r)
+        for r in get("streaming_upsert_bucketed").builder(spark, SF).collect()
+    }
+    b = {
+        tuple(r)
+        for r in get("streaming_upsert_materialize")
+        .builder(spark, SF)
+        .collect()
+    }
+    assert a == b and len(a) > 0

@@ -35,6 +35,7 @@ from stream_processing_project_spark.streaming.sinks import (
 )
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 N_BUCKETS = 64
 HOT = N // 100  # 1% contiguous range per incremental batch
 
@@ -48,7 +49,9 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 src = tempfile.mkdtemp(prefix="upsert_ab_src_")
-SCHEMA = "id long, user_id long, __op string, __ts_ms long"
+# wide rows: real CDC state carries a record payload — a slim 4-column
+# state understates the rewrite cost the bucketing exists to avoid
+SCHEMA = "id long, user_id long, payload string, __op string, __ts_ms long"
 
 # batch 0: full load of N keys; batches 1..3: contiguous 1% hot ranges
 # every batch is exactly 8 files so maxFilesPerTrigger=8 makes each
@@ -57,6 +60,8 @@ SCHEMA = "id long, user_id long, __op string, __ts_ms long"
 spark.range(N).select(
     F.col("id"),
     F.col("id").alias("user_id"),
+    F.concat(F.lit("payload-"), F.md5(F.col("id").cast("string")),
+             F.lit("-" + "x" * 64)).alias("payload"),
     F.lit("c").alias("__op"),
     F.lit(1000).cast("long").alias("__ts_ms"),
 ).coalesce(8).write.mode("overwrite").parquet(f"{src}/b0")
@@ -65,6 +70,8 @@ for i in range(1, 4):
     spark.range(lo, lo + HOT).select(
         F.col("id"),
         (F.col("id") + 1).alias("user_id"),
+        F.concat(F.lit("payload-"), F.md5((F.col("id") + i).cast("string")),
+                 F.lit("-" + "y" * 64)).alias("payload"),
         F.lit("u").alias("__op"),
         F.lit(1000 + 1000 * i).cast("long").alias("__ts_ms"),
     ).coalesce(8).write.mode("overwrite").parquet(f"{src}/b{i}")
@@ -121,7 +128,7 @@ def run_bucketed():
 
 
 def content_hash(df):
-    cols = ["id", "user_id", "__op", "__ts_ms"]
+    cols = ["id", "user_id", "payload", "__op", "__ts_ms"]
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(*cols)).alias("h"),
@@ -133,7 +140,7 @@ print(f"N={N:,} keys, {N_BUCKETS} range buckets, hot range {HOT:,}/batch")
 results = {"full": [], "bucketed": []}
 hashes = {}
 dirs = []
-for rep in range(2):  # interleaved so box drift hits both variants
+for rep in range(REPS):  # interleaved so box drift hits both variants
     for name, fn in (("full", run_full), ("bucketed", run_bucketed)):
         wall, per_batch, final, state = fn()
         dirs.append(state)

@@ -339,16 +339,29 @@ def upsert_materialized_view_bucketed(
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = latest_versions(batch_df, key_col, ts_col).withColumn(
-            "bkt", bucket_of
+        # Persist the reduced batch: the touched-bucket collect and the
+        # bucket write are SEPARATE actions, and without a persist each
+        # one recomputes the latest-per-key aggregation from the raw
+        # batch (measured: the initial bulk load ran 3 aggregations of
+        # the full batch and came out slower than the unbucketed sink).
+        new = (
+            latest_versions(batch_df, key_col, ts_col)
+            .withColumn("bkt", bucket_of)
+            .persist()
         )
-        touched = sorted(
-            r["bkt"]
-            for r in new.select("bkt").distinct().collect()
-        )
-        if not touched:
-            snapshots.append(dict(manifest))
-            return
+        try:
+            touched = sorted(
+                r["bkt"]
+                for r in new.select("bkt").distinct().collect()
+            )
+            if not touched:
+                snapshots.append(dict(manifest))
+                return
+            _merge_touched(spark, new, touched, epoch_id)
+        finally:
+            new.unpersist()
+
+    def _merge_touched(spark, new, touched, epoch_id: int) -> None:
         prev_paths = [manifest[b] for b in touched if b in manifest]
         if prev_paths:
             # bucket dirs are read directly (no basePath), so the
@@ -362,7 +375,15 @@ def upsert_materialized_view_bucketed(
         else:
             merged = new
         path = f"{base_dir}/v{epoch_id}"
-        merged.write.mode("overwrite").partitionBy("bkt").parquet(path)
+        # One shuffle partition per touched bucket before the
+        # partitioned write: without it every upstream task opens a
+        # file in every touched dir (tasks × buckets small files — the
+        # initial full load wrote ~2048 of them and measured SLOWER
+        # than the unbucketed rewrite); with it each bucket dir is one
+        # well-sized file and downstream bucket reads stay one-file.
+        merged.repartition(len(touched), "bkt").write.mode(
+            "overwrite"
+        ).partitionBy("bkt").parquet(path)
         for b in touched:
             manifest[b] = f"{path}/bkt={b}"
         snapshots.append(dict(manifest))

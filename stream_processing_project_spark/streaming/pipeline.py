@@ -283,7 +283,8 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def run_to_completion(
-    result: DataFrame, output_mode: str = "append", sink: str = "memory"
+    result: DataFrame, output_mode: str = "append", sink: str = "memory",
+    state_partitions: int = 12,
 ) -> DataFrame:
     """Drive a streaming DataFrame over a bounded source to completion
     and return the materialized result — the pattern tests and the
@@ -298,9 +299,39 @@ def run_to_completion(
     families' intermediate) scales with corpus duplication, and the
     memory sink's driver collect overflowed maxResultSize on the
     replicated sf10 corpus — the production append-log shape is files,
-    exactly this."""
+    exactly this.
+
+    Streaming-STATE shuffles are sized to the workload, not the
+    session's batch default (r11): a stateful operator's partition count
+    is fixed at the query's first run, and per-partition state-store
+    open/snapshot/eviction overhead dominates at fixture volumes — the
+    left-outer interval join measured 48–89 s at 32 state partitions vs
+    3.2–10.8 s at 12 on the SAME session-day box (bench.py's replay
+    sweep found the same 12-partition optimum, r07). The cap applies
+    only DOWNWARD (min with the session setting), so small adversarial
+    layouts (the 7/5 rehearsal) pass through unchanged. At production
+    scale this is a per-stream deploy-time decision — size state
+    partitions to executors × cores exactly like batch shuffles; pass
+    `state_partitions` accordingly."""
     name = f"q_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        cap = min(int(prev_shuffle), state_partitions)
+    except (TypeError, ValueError):
+        cap = state_partitions
+    spark.conf.set("spark.sql.shuffle.partitions", str(cap))
+    try:
+        return _run_to_completion_body(
+            result, output_mode, sink, name, spark
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _run_to_completion_body(
+    result: DataFrame, output_mode: str, sink: str, name: str, spark
+) -> DataFrame:
     if sink == "parquet":
         stage_dir = tempfile.mkdtemp(prefix=f"spe-log-{name}-")
         out_dir = os.path.join(stage_dir, "out")

@@ -7341,3 +7341,315 @@ def text_classifier_apply_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("margin_micro").cast("bigint").alias("sum_margin_micro"),
         )
     )
+
+
+# ============== difference-in-differences readout (r11) =====================
+
+_DID_PRE_MID = "2024-01-08 12:00:00"
+
+
+@register(
+    "experiment_did",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_DID_PRE_MID}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x1,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_DID_PRE_MID}'
+                        AND ts < TIMESTAMP '{_EXP_CUT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x2,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_EXP_CUT}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1 + x2) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y - x1 - x2) AS BIGINT) AS sd,
+         CAST(sum((y - x1 - x2) * (y - x1 - x2)) AS BIGINT) AS sdd,
+         CAST(sum(x2 - x1) AS BIGINT) AS sp,
+         CAST(sum((x2 - x1) * (x2 - x1)) AS BIGINT) AS spp
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT arm, n,
+         CAST(sx AS DOUBLE) / n AS mean_pre,
+         CAST(sy AS DOUBLE) / n AS mean_post,
+         CAST(sd AS DOUBLE) / n AS mean_d,
+         (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+           / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1) AS var_d,
+         CAST(sp AS DOUBLE) / n AS mean_dp,
+         (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+           / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1) AS var_dp
+  FROM s
+)
+SELECT c.n AS n_control, t.n AS n_treat,
+       c.mean_pre AS pre_control, c.mean_post AS post_control,
+       t.mean_pre AS pre_treat, t.mean_post AS post_treat,
+       t.mean_d - c.mean_d AS did,
+       (t.mean_d - c.mean_d)
+         / sqrt(t.var_d / t.n + c.var_d / c.n) AS t_stat,
+       t.mean_dp - c.mean_dp AS placebo_did,
+       (t.mean_dp - c.mean_dp)
+         / sqrt(t.var_dp / t.n + c.var_dp / c.n) AS placebo_t
+FROM w c, w t WHERE c.arm = 0 AND t.arm = 1
+""",
+)
+def experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout with a placebo pre-trend test —
+    the causal companion to experiment_welch_ttest (same deterministic
+    md5 arm assignment, same pre/post cut). Per-user exact bigint sums
+    in three windows (early-pre, late-pre, post); the DiD estimator is
+    the Welch t on per-user deltas d = post − pre (unit fixed effects,
+    clustered at the user — the only valid SE when the same users span
+    both periods), and the placebo re-runs the identical machinery on
+    the split pre-period (late-pre − early-pre), where a significant
+    "effect" falsifies the parallel-trends assumption. All moments are
+    map-side-combined bigint sufficient statistics from ONE fact-scan
+    groupBy; means/variances/t derive by a fixed IEEE sequence, so the
+    full readout value-hash-matches cross-engine. Scale: fact scan
+    dominates; readout is a 2-row aggregate joined 1-row × 1-row.
+    Reference scope: SURVEY.md §2 A5 second-moment extension (the
+    experiment family's design precedent, experiment_welch_ttest)."""
+    mid = F.to_timestamp(F.lit(_DID_PRE_MID))
+    cut = F.to_timestamp(F.lit(_EXP_CUT))
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < mid, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= mid) & (F.col("ts") < cut), F.col("cents")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x2"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 2"
+            ),
+        )
+        .withColumn("d", F.col("y") - F.col("x1") - F.col("x2"))
+        .withColumn("dp", F.col("x2") - F.col("x1"))
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x1") + F.col("x2")).cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum("dp").cast("bigint").alias("sp"),
+        F.sum(F.col("dp") * F.col("dp")).cast("bigint").alias("spp"),
+    )
+    nd = F.col("n").cast("double")
+
+    def _var(ss: str, s1: str):  # matches welch's exact op order
+        return (
+            (
+                nd * F.col(ss).cast("double")
+                - F.col(s1).cast("double") * F.col(s1).cast("double")
+            )
+            / nd
+            / (nd - 1)
+        )
+
+    w = s.select(
+        "arm",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre"),
+        (F.col("sy").cast("double") / F.col("n")).alias("mean_post"),
+        (F.col("sd").cast("double") / F.col("n")).alias("mean_d"),
+        _var("sdd", "sd").alias("var_d"),
+        (F.col("sp").cast("double") / F.col("n")).alias("mean_dp"),
+        _var("spp", "sp").alias("var_dp"),
+    )
+    c = w.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("mean_pre").alias("pre_control"),
+        F.col("mean_post").alias("post_control"),
+        F.col("mean_d").alias("mean_d_c"),
+        F.col("var_d").alias("var_d_c"),
+        F.col("mean_dp").alias("mean_dp_c"),
+        F.col("var_dp").alias("var_dp_c"),
+    )
+    tr = w.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_treat"),
+        F.col("mean_pre").alias("pre_treat"),
+        F.col("mean_post").alias("post_treat"),
+        F.col("mean_d").alias("mean_d_t"),
+        F.col("var_d").alias("var_d_t"),
+        F.col("mean_dp").alias("mean_dp_t"),
+        F.col("var_dp").alias("var_dp_t"),
+    )
+    se2_d = F.col("var_d_t") / F.col("n_treat") + F.col("var_d_c") / F.col(
+        "n_control"
+    )
+    se2_p = F.col("var_dp_t") / F.col("n_treat") + F.col("var_dp_c") / F.col(
+        "n_control"
+    )
+    return c.crossJoin(tr).select(
+        "n_control",
+        "n_treat",
+        "pre_control",
+        "post_control",
+        "pre_treat",
+        "post_treat",
+        (F.col("mean_d_t") - F.col("mean_d_c")).alias("did"),
+        ((F.col("mean_d_t") - F.col("mean_d_c")) / F.sqrt(se2_d)).alias(
+            "t_stat"
+        ),
+        (F.col("mean_dp_t") - F.col("mean_dp_c")).alias("placebo_did"),
+        ((F.col("mean_dp_t") - F.col("mean_dp_c")) / F.sqrt(se2_p)).alias(
+            "placebo_t"
+        ),
+    )
+
+
+# ================= UniMax epoch-capped allocation (r11) =====================
+
+
+@register(
+    "sampling_unimax_epochs",
+    oracle="""
+WITH dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS l
+  FROM dom
+),
+d1 AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(2 * n_tokens AS BIGINT) AS cap,
+         (total * 19) // 10 AS budget, l
+  FROM dom, tot
+),
+d2 AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS idx,
+         CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumcap
+  FROM d1
+),
+d3 AS (
+  SELECT *, CAST(budget - cumcap AS DOUBLE) / (l - idx + 1) AS wlevel
+  FROM d2
+),
+d4 AS (
+  SELECT *, min(CASE WHEN CAST(cap AS DOUBLE) > wlevel THEN idx END)
+              OVER () AS k
+  FROM d3
+),
+d5 AS (
+  SELECT *, max(CASE WHEN idx = k THEN wlevel END) OVER () AS wk FROM d4
+)
+SELECT source, n_docs, n_tokens, cap AS cap_tokens,
+       CASE WHEN k IS NOT NULL AND idx >= k
+            THEN wk ELSE CAST(cap AS DOUBLE) END AS alloc_tokens,
+       CASE WHEN k IS NOT NULL AND idx >= k
+            THEN wk ELSE CAST(cap AS DOUBLE) END / n_tokens AS epochs,
+       CASE WHEN k IS NULL OR idx < k THEN 1 ELSE 0 END AS is_capped
+FROM d5
+""",
+)
+def sampling_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): distribute a token
+    budget (1.9× the corpus) uniformly across `source` domains, capping
+    every domain at 2 epochs — the published alternative to temperature
+    mixing (sampling_temperature_mix) that bounds low-resource-domain
+    repetition instead of tuning T. The waterfill has a closed form over
+    domains sorted by capacity ascending: a domain is CAPPED (gets its
+    full 2·n_tokens) while its capacity sits below the running water
+    level (remaining budget / remaining domains); from the first domain
+    whose capacity exceeds its level, everyone gets that level. One
+    cumulative-sum window computes the whole schedule — no iteration.
+    Scale: the corpus scan reduces map-side to |domains| rows; the
+    global sort window runs on that reduced table (the experiment
+    readouts' small-table precedent), and budget/cumsums are exact
+    bigints so the single double division per row value-hash-matches
+    cross-engine. epochs = alloc / n_tokens is the per-domain
+    repetition factor a sampler consumes downstream."""
+    from stream_processing_project_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    dom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    d1 = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn("cap", (F.lit(2) * F.col("n_tokens")).cast("bigint"))
+        .withColumn("budget", F.expr("(total * 19) DIV 10"))
+    )
+    ww = Window.orderBy("cap", "source")
+    d2 = d1.withColumn(
+        "idx", F.row_number().over(ww).cast("bigint")
+    ).withColumn(
+        "cumcap",
+        F.coalesce(
+            F.sum("cap").over(
+                ww.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    d3 = d2.withColumn(
+        "wlevel",
+        (F.col("budget") - F.col("cumcap")).cast("double")
+        / (F.col("l") - F.col("idx") + 1),
+    )
+    whole = Window.partitionBy()
+    d4 = d3.withColumn(
+        "k",
+        F.min(
+            F.when(F.col("cap").cast("double") > F.col("wlevel"), F.col("idx"))
+        ).over(whole),
+    )
+    d5 = d4.withColumn(
+        "wk",
+        F.max(F.when(F.col("idx") == F.col("k"), F.col("wlevel"))).over(whole),
+    )
+    in_water = F.col("k").isNotNull() & (F.col("idx") >= F.col("k"))
+    alloc = F.when(in_water, F.col("wk")).otherwise(F.col("cap").cast("double"))
+    return d5.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("n_tokens")).alias("epochs"),
+        F.when(
+            F.col("k").isNull() | (F.col("idx") < F.col("k")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_capped"),
+    )

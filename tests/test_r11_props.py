@@ -385,3 +385,50 @@ def test_bucketed_equals_unbucketed_on_fixture(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_did_readout_identities(spark):
+    """experiment_did (r11): the delta-based DiD estimate must equal the
+    four-cell-mean formula (mathematical identity — the deltas are exact
+    bigint sums), the placebo must be built from the pre-period only
+    (cells reported so both engines agree on them), and both arms must
+    be populated by the md5 split."""
+    rows = get("experiment_did").builder(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_control"] > 0 and r["n_treat"] > 0
+    cell_did = (r["post_treat"] - r["pre_treat"]) - (
+        r["post_control"] - r["pre_control"]
+    )
+    assert abs(r["did"] - cell_did) < 1e-6 * max(1.0, abs(cell_did))
+    # the fixture has no treatment (arms are a hash split of the same
+    # traffic), so neither the DiD nor the placebo may read as a large
+    # effect — and the placebo existing at all is the pre-trend check
+    assert abs(r["t_stat"]) < 4.0
+    assert abs(r["placebo_t"]) < 4.0
+
+
+def test_unimax_waterfill_invariants(spark):
+    """sampling_unimax_epochs (r11): the closed-form waterfill must
+    (a) exercise BOTH branches on the fixture (some domains capped at
+    2 epochs, some on the water level), (b) spend exactly the budget
+    (19/10 of the corpus) when any domain is uncapped, (c) give every
+    uncapped domain the SAME token allocation, and (d) never allocate
+    above a domain's 2-epoch capacity."""
+    rows = get("sampling_unimax_epochs").builder(spark, SF).collect()
+    assert len(rows) == 20
+    capped = [r for r in rows if r["is_capped"] == 1]
+    water = [r for r in rows if r["is_capped"] == 0]
+    assert capped and water, "fixture must exercise both branches"
+    for r in capped:
+        assert r["alloc_tokens"] == float(r["cap_tokens"])
+        assert r["epochs"] == 2.0
+    levels = {r["alloc_tokens"] for r in water}
+    assert len(levels) == 1, f"uncapped domains got unequal shares: {levels}"
+    for r in water:
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-6
+        assert r["epochs"] < 2.0
+    total = sum(r["n_tokens"] for r in rows)
+    budget = (total * 19) // 10
+    spent = sum(r["alloc_tokens"] for r in rows)
+    assert abs(spent - budget) < 1e-6 * budget

@@ -7653,3 +7653,93 @@ def sampling_unimax_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_capped"),
     )
+
+
+# ============= CCNet perplexity head/middle/tail buckets (r11) ==============
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT sum(c) AS n_total FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(-ln(v.c / tt.n_total) * 1e6) AS BIGINT) AS micronats
+  FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total tt
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(micronats) AS BIGINT) AS surprisal_sum
+  FROM scored GROUP BY doc_id
+),
+j AS (
+  SELECT p.doc_id, d.lang, p.n_tokens, p.surprisal_sum
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+),
+r AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY CAST(surprisal_sum AS DOUBLE) / n_tokens, doc_id)
+              AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, surprisal_sum,
+       CASE WHEN rn * 3 <= n_lang THEN 'head'
+            WHEN rn * 3 <= 2 * n_lang THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CASE WHEN rn * 3 <= 2 * n_lang THEN 1 ELSE 0 END AS ccnet_keep
+FROM r
+""",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's bucketing stage (Wenzek et al. 2020): split each
+    language's documents into head/middle/tail THIRDS by LM surprisal —
+    head = most fluent, tail = the usual discard — completing the
+    two-stage CCNet filter whose scoring stage is text_unigram_logprob
+    (reused verbatim: exact integer micro-nat surprisal sums). Bucket
+    assignment is exact integer rank arithmetic (rn·3 vs per-lang
+    count — no NTILE, whose tie handling is implementation-defined);
+    the rank order is the one double division (identical operands both
+    engines) with doc_id tie-break, so the whole bucketing value-hash
+    oracles. Scale: per-lang window sort — CCNet's own per-language
+    shard shape; production replaces exact ranks with sampled
+    percentile thresholds broadcast to a stateless comparison, the
+    same O(1)-per-row assignment this query's CASE performs.
+    Reference scope: the quality-filter family precedent
+    (SURVEY.md §7 M4)."""
+    from stream_processing_project_spark.operators.text import unigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).select(
+        "doc_id", "n_tokens", "surprisal_sum"
+    )
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    wl = Window.partitionBy("lang").orderBy(
+        F.col("surprisal_sum").cast("double") / F.col("n_tokens"), "doc_id"
+    )
+    r = j.withColumn(
+        "rn", F.row_number().over(wl).cast("bigint")
+    ).withColumn(
+        "n_lang",
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).cast("bigint"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n_lang"), F.lit("head"))
+        .when(F.col("rn") * 3 <= 2 * F.col("n_lang"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "surprisal_sum",
+        bucket.alias("ppl_bucket"),
+        F.when(F.col("rn") * 3 <= 2 * F.col("n_lang"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ccnet_keep"),
+    )

@@ -432,3 +432,32 @@ def test_unimax_waterfill_invariants(spark):
     budget = (total * 19) // 10
     spent = sum(r["alloc_tokens"] for r in rows)
     assert abs(spent - budget) < 1e-6 * budget
+
+
+def test_ccnet_buckets_are_thirds_and_ordered(spark):
+    """text_ccnet_buckets (r11): per language the three buckets must be
+    thirds (sizes differ by at most 1), keep = head ∪ middle, and the
+    buckets must be ordered by average surprisal (max(head) ≤
+    min(middle) ≤ min(tail) per language)."""
+    from collections import defaultdict
+
+    rows = get("text_ccnet_buckets").builder(spark, SF).collect()
+    assert len(rows) == 500
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    assert len(by_lang) > 1
+    for lang, rs in by_lang.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r["ppl_bucket"]] += 1
+            assert r["ccnet_keep"] == (0 if r["ppl_bucket"] == "tail" else 1)
+        assert set(sizes) == {"head", "middle", "tail"}, (lang, dict(sizes))
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        avg = lambda r: r["surprisal_sum"] / r["n_tokens"]
+        assert max(avg(r) for r in rs if r["ppl_bucket"] == "head") <= min(
+            avg(r) for r in rs if r["ppl_bucket"] == "middle"
+        )
+        assert max(avg(r) for r in rs if r["ppl_bucket"] == "middle") <= min(
+            avg(r) for r in rs if r["ppl_bucket"] == "tail"
+        )

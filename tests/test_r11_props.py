@@ -461,3 +461,27 @@ def test_ccnet_buckets_are_thirds_and_ordered(spark):
         assert max(avg(r) for r in rs if r["ppl_bucket"] == "middle") <= min(
             avg(r) for r in rs if r["ppl_bucket"] == "tail"
         )
+
+
+def test_r11_registrations_plan_shapes(spark):
+    """No CartesianProduct anywhere in the r11 registrations, and the
+    only nested-loop join each may carry is the documented 1-row
+    broadcast attach (arm cells / corpus totals) — the repo-wide
+    crossJoin(broadcast(1-row-agg)) pattern."""
+    for name, max_bnlj in (
+        ("retrieval_eval_paired_test", 2),
+        ("experiment_did", 1),
+        ("sampling_unimax_epochs", 1),
+        ("text_ccnet_buckets", 1),
+    ):
+        # the simple (non-formatted) string lists each operator once,
+        # so counts are per-occurrence, not tree + details
+        plan = (
+            get(name)
+            .builder(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name

@@ -485,3 +485,17 @@ def test_r11_registrations_plan_shapes(spark):
         )
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, name
+
+
+def test_bm25_postings_materialized_once(spark):
+    """r11 retrieval-family fix: the (doc_id, term) postings table used
+    to be re-derived per consumer (df/qterms branch + scoring branch =
+    two full token explode+shuffle passes; zero ReusedExchange). With
+    the localCheckpoint the executed plan must tokenize the corpus at
+    most twice in total: once to build the postings checkpoint, once
+    for the corpus-stats scan."""
+    df = get("retrieval_bm25_topk").builder(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")
+    assert "ExistingRDD" in plan  # consumers read the checkpointed RDD

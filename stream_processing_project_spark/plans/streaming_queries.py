@@ -320,6 +320,7 @@ def streaming_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     how the log was chunked into batches."""
     from stream_processing_project_spark.sources.cdc import (
         parse_envelope,
+        pruned_fixture_envelope,
         to_envelope_json,
     )
     from stream_processing_project_spark.streaming.sinks import (
@@ -336,9 +337,12 @@ def streaming_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(chunk_dir)
     )
-    changes = parse_envelope(to_envelope_json(stream)).select(
-        "id", "user_id", "event_type", "value", "__op", "__ts_ms"
-    )
+    changes = parse_envelope(
+        to_envelope_json(stream),
+        pruned_fixture_envelope(
+            "id", "user_id", "event_type", "value", "__op", "__ts_ms"
+        ),
+    ).select("id", "user_id", "event_type", "value", "__op", "__ts_ms")
     q, versions = upsert_materialized_view(changes, state_dir)
     try:
         q.processAllAvailable()
@@ -368,6 +372,7 @@ def streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of chunking or bucket count."""
     from stream_processing_project_spark.sources.cdc import (
         parse_envelope,
+        pruned_fixture_envelope,
         to_envelope_json,
     )
     from stream_processing_project_spark.streaming.sinks import (
@@ -385,9 +390,12 @@ def streaming_upsert_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(chunk_dir)
     )
-    changes = parse_envelope(to_envelope_json(stream)).select(
-        "id", "user_id", "event_type", "value", "__op", "__ts_ms"
-    )
+    changes = parse_envelope(
+        to_envelope_json(stream),
+        pruned_fixture_envelope(
+            "id", "user_id", "event_type", "value", "__op", "__ts_ms"
+        ),
+    ).select("id", "user_id", "event_type", "value", "__op", "__ts_ms")
     q, snapshots = upsert_materialized_view_bucketed(changes, state_dir)
     try:
         q.processAllAvailable()

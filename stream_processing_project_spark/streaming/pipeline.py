@@ -186,7 +186,22 @@ def cdc_event_stream(
             spark, sf_dir, min_partitions, path_glob, max_files_per_trigger
         )
     )
-    return typed_events(parse_envelope(raw))
+    # prune the per-record parse to the 7 fields typed_events projects
+    # (__table/__db/__ts_ms converted for nothing on every event in the
+    # ingest hot loop otherwise; drop semantics unchanged)
+    from stream_processing_project_spark.sources.cdc import (
+        pruned_fixture_envelope,
+    )
+
+    return typed_events(
+        parse_envelope(
+            raw,
+            pruned_fixture_envelope(
+                "id", "user_id", "event_type", "event_ts", "value", "props",
+                "__op",
+            ),
+        )
+    )
 
 
 def typed_events(parsed: DataFrame) -> DataFrame:

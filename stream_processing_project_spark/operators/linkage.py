@@ -33,6 +33,8 @@ def blocked_fuzzy_pairs(
     text_col: str,
     block_cols: list[str],
     max_distance: int,
+    exclude_key_sets: tuple = (),
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a, id_b, <texts>, dist) where both
     records share the blocking key(s) and edit distance <= threshold.
@@ -45,16 +47,24 @@ def blocked_fuzzy_pairs(
     distance itself runs in Spark's BOUNDED form
     (levenshtein(l, r, threshold), 3.5+) which early-exits the DP once
     the running minimum passes the threshold — O(k·min(n,m)) per pair
-    instead of O(n·m), and far less for clearly-different strings."""
+    instead of O(n·m), and far less for clearly-different strings.
+
+    `exclude_key_sets` makes multi-pass unions disjoint by construction:
+    each entry is an EARLIER pass's block-key list, and a pair is
+    dropped here when that pass would also have emitted it (all of its
+    keys SQL-equal — the coalesce(...) form keeps pairs where an
+    earlier key is NULL, since NULL keys never equi-join). `carry_cols`
+    are extra columns the exclusion conditions need on the b side."""
+    side_cols = list(dict.fromkeys([*block_cols, *carry_cols]))
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(text_col).alias(f"{text_col}_a"),
-        *[F.col(c) for c in block_cols],
+        *[F.col(c) for c in side_cols],
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(text_col).alias(f"{text_col}_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        *[F.col(c).alias(f"{c}_b") for c in side_cols],
     )
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols:
@@ -65,6 +75,12 @@ def blocked_fuzzy_pairs(
         )
         <= max_distance
     )
+    for keys in exclude_key_sets:
+        matched = None
+        for c in keys:
+            eq = F.col(c) == F.col(f"{c}_b")
+            matched = eq if matched is None else (matched & eq)
+        cond = cond & ~F.coalesce(matched, F.lit(False))
     dist = F.levenshtein(
         F.col(f"{text_col}_a"), F.col(f"{text_col}_b"), max_distance
     )
@@ -83,18 +99,37 @@ def multi_pass_fuzzy_pairs(
     passes: list[list],
     max_distance: int,
 ) -> DataFrame:
-    """Union of several complementary blocking passes, de-duplicated on
-    the pair key — the production record-linkage shape: each pass uses
-    a CHEAP high-selectivity key (here different name tokens + an exact
-    attribute) so every block stays small, and the union restores the
-    recall a single coarse key would need quadratic work to reach. Pair
-    dedup is an aggregation on (id_a, id_b) — exact, one shuffle over
-    candidate pairs only."""
+    """Union of several complementary blocking passes — the production
+    record-linkage shape: each pass uses a CHEAP high-selectivity key
+    (here different name tokens + an exact attribute) so every block
+    stays small, and the union restores the recall a single coarse key
+    would need quadratic work to reach.
+
+    Two plan-shape guarantees (optimization guide §2.1/§6): the slim
+    (id, text, block keys) projection is materialized ONCE with
+    localCheckpoint and every pass/side reads it — one source scan
+    instead of 2·|passes| — and the passes are DISJOINT BY CONSTRUCTION
+    (pass i drops pairs any earlier pass also emits, via
+    exclude_key_sets), so the former dropDuplicates pair-dedup — an
+    extra exchange plus two sorts, sort-based because first(<string>)
+    can't hash-aggregate — is gone. Every row for a given (id_a, id_b)
+    is byte-identical (texts and dist are functions of the pair), so
+    disjoint-union ≡ union+dedup exactly."""
+    all_cols = list(dict.fromkeys(c for cols in passes for c in cols))
+    slim = df.select(id_col, text_col, *all_cols).localCheckpoint(eager=False)
     parts = [
-        blocked_fuzzy_pairs(df, id_col, text_col, cols, max_distance)
-        for cols in passes
+        blocked_fuzzy_pairs(
+            slim,
+            id_col,
+            text_col,
+            cols,
+            max_distance,
+            exclude_key_sets=tuple(tuple(p) for p in passes[:i]),
+            carry_cols=tuple(all_cols),
+        )
+        for i, cols in enumerate(passes)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["id_a", "id_b"])
+    return out

@@ -16,7 +16,11 @@ streamable per partition. At 100 TB: bucket both sides by the key to
 pre-co-locate (operators/bucketing.py) and the exchange disappears.
 
 Right-side versions must be unique per (key, ts) for determinism —
-pre-dedup with a deterministic tie-break (row_number) if they are not.
+either pre-dedup with a deterministic tie-break (row_number), or pass
+``tiebreak=<col>``: at equal (key, ts) the version with the greatest
+tiebreak value wins, which is the same result as the row_number
+pre-dedup but rides the operator's single shuffle instead of adding an
+Exchange + Sort + Window pass over the right side.
 """
 
 from __future__ import annotations
@@ -33,15 +37,21 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of left join: left columns + right value_cols from the
     latest right row with right_ts <= left_ts per key (NULLs when no
-    version precedes the left row)."""
+    version precedes the left row). With ``tiebreak``, duplicate right
+    versions at the same (key, ts) resolve to the greatest tiebreak
+    value; all value columns come from that same winning row (assuming
+    right-side value columns are non-null — the carry is per-column
+    last(ignorenulls), as in the base operator)."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
     l_struct = T.StructType([left.schema[c] for c in left.columns])
 
+    extra_tb = tiebreak is not None and tiebreak not in value_cols
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
@@ -51,6 +61,11 @@ def asof_join(
             F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
             for c in value_cols
         ],
+        *(
+            [F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb")]
+            if extra_tb
+            else []
+        ),
     )
     r2 = right.select(
         F.col(key).alias("_k"),
@@ -58,10 +73,17 @@ def asof_join(
         F.lit(0).alias("_tag"),
         F.lit(None).cast(l_struct).alias("_l"),
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *([F.col(tiebreak).alias("_tb")] if extra_tb else []),
+    )
+    # Right rows at equal (key, ts) sort ascending by the tiebreak, so the
+    # frame's last() picks the greatest one — left rows carry NULL there
+    # and sort after every right row via _tag regardless.
+    order = ["_t", "_tag"] + (
+        ["_tb" if extra_tb else f"_v_{tiebreak}"] if tiebreak is not None else []
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l2.unionByName(r2).select(

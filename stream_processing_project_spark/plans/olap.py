@@ -442,27 +442,18 @@ def olap_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event enriched with the customer's most recent
     order AT event time (operators/asof.py — union + window carry, an
     operator Spark lacks natively; DuckDB's native ASOF JOIN is the
-    oracle). Versions pre-deduped per (custkey, orderdate) with the same
-    row_number tie-break in both engines."""
-    from pyspark.sql import Window as W
-
+    oracle). The oracle's row_number pre-dedup per (custkey, orderdate)
+    is folded into the carry window's tiebreak ordering (greatest
+    orderkey wins at equal dates — same winner, one less shuffle of
+    orders)."""
     from stream_processing_project_spark.operators.asof import asof_join
 
     ev = t(spark, sf_dir, "events")
-    rn = F.row_number().over(
-        W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
-    )
-    versions = (
-        t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
-        .withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").alias("vts"),
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_totalprice").alias("last_totalprice"),
-        )
+    versions = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("vts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
     )
     return asof_join(
         ev.select("event_id", "user_id", "ts"),
@@ -470,6 +461,7 @@ def olap_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         left_ts="ts",
         right_ts="vts",
+        tiebreak="last_orderkey",
     ).select("event_id", "user_id", "last_orderkey", "last_totalprice")
 
 

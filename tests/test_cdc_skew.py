@@ -81,6 +81,56 @@ def test_asof_join_semantics(spark):
     assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: "v9"}
 
 
+def test_asof_join_tiebreak_equals_rownumber_dedup(spark):
+    """tiebreak=col must pick the greatest-tiebreak version at equal
+    (key, ts) — identical to the row_number pre-dedup it replaces, with
+    every value column coming from the same winning row."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from stream_processing_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 02:00:00", 7),  # after the tied pair → max vid wins
+            (2, "2024-01-01 01:00:00", 7),  # exactly at the tie → inclusive
+            (3, "2024-01-01 04:00:00", 7),  # after the lone later version
+            (4, "2024-01-01 00:30:00", 8),  # other key, before its version
+        ],
+        ["event_id", "ts", "user_id"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            # key 7: two versions at the SAME ts — vid 9 must win both cols
+            (7, "2024-01-01 01:00:00", 5, "low"),
+            (7, "2024-01-01 01:00:00", 9, "high"),
+            (7, "2024-01-01 03:00:00", 2, "later"),
+            (8, "2024-01-01 01:00:00", 1, "other"),
+        ],
+        ["user_id", "vts", "vid", "label"],
+    ).withColumn("vts", F.to_timestamp("vts"))
+
+    with_tb = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="vts", tiebreak="vid"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "vts").orderBy(F.col("vid").desc())
+    )
+    deduped = right.withColumn("_rn", rn).filter("_rn = 1").drop("_rn")
+    baseline = asof_join(
+        left, deduped, key="user_id", left_ts="ts", right_ts="vts"
+    )
+    got = sorted(map(tuple, with_tb.select("event_id", "vid", "label").collect()))
+    want = sorted(map(tuple, baseline.select("event_id", "vid", "label").collect()))
+    assert got == want
+    assert dict((e, (v, lb)) for e, v, lb in got) == {
+        1: (9, "high"),
+        2: (9, "high"),
+        3: (2, "later"),
+        4: (None, None),
+    }
+
+
 def test_range_join_equals_naive_between(spark):
     """Binned range join must equal the naive BETWEEN join, including
     intervals spanning multiple buckets and bucket-boundary values."""

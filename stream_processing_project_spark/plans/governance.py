@@ -4549,32 +4549,45 @@ def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    nd = F.col("n").cast("double")
-    w = s.select(
-        "arm",
-        "n",
-        (F.col("sy").cast("double") / F.col("n")).alias("mean_y"),
-        (
-            (nd * F.col("syy").cast("double")
-             - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    # Pivot the 2-row per-arm stats into one row with conditional max —
+    # filter(arm=0) ⨯ filter(arm=1) would re-derive the whole per-user
+    # subtree per side (two full fact scans; Catalyst has no CTE sharing
+    # across DataFrame branches). Means/variances then derive by the
+    # SAME IEEE sequence from the same exact bigints, and the missing-arm
+    # guard reproduces the join's empty result.
+    s = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(col))).alias(f"{col}_{tag}")
+            for a, tag in ((0, "c"), (1, "t"))
+            for col in ("n", "sy", "syy")
+        ]
+    ).where(F.col("n_c").isNotNull() & F.col("n_t").isNotNull())
+
+    def _mean(tag: str):
+        return F.col(f"sy_{tag}").cast("double") / F.col(f"n_{tag}")
+
+    def _var(tag: str):
+        nd = F.col(f"n_{tag}").cast("double")
+        return (
+            (nd * F.col(f"syy_{tag}").cast("double")
+             - F.col(f"sy_{tag}").cast("double")
+             * F.col(f"sy_{tag}").cast("double"))
             / nd
             / (nd - 1)
-        ).alias("var_y"),
-    )
-    c = w.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n_control"),
-        F.col("mean_y").alias("mean_control"),
-        F.col("var_y").alias("var_c"),
-    )
-    tr = w.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n_treat"),
-        F.col("mean_y").alias("mean_treat"),
-        F.col("var_y").alias("var_t"),
+        )
+
+    one = s.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treat"),
+        _mean("c").alias("mean_control"),
+        _mean("t").alias("mean_treat"),
+        _var("c").alias("var_c"),
+        _var("t").alias("var_t"),
     )
     se_t = F.col("var_t") / F.col("n_treat")
     se_c = F.col("var_c") / F.col("n_control")
     se2 = se_t + se_c
-    return c.crossJoin(tr).select(
+    return one.select(
         "n_control",
         "n_treat",
         "mean_control",

@@ -3115,10 +3115,16 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: the monitor's per-minute rate series
     (monitor.py:197-296) smoothed the same way client-side."""
     ev = t(spark, sf_dir, "events").select("ts", "event_type", "value")
-    hourly = ev.groupBy(
-        "event_type",
-        (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
-    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+        # consumed by contrib AND the raw-value join side: pin the tiny
+        # |series × buckets| rollup so events is scanned once, not twice
+        .localCheckpoint(eager=True)
+    )
     w = F.array(*[F.lit(x) for x in _EWMA_W])
     contrib = (
         hourly.select(
@@ -4012,6 +4018,10 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_seconds(F.col("ts")) / 3600).cast("long").alias("h"),
         )
         .agg(F.count(F.lit(1)).alias("x"))
+        # consumed by BOTH join sides: without the pin each side re-derives
+        # the rollup from its own events scan (2 scans + 2 agg exchanges);
+        # the |series × hours| table is tiny at any scale
+        .localCheckpoint(eager=True)
     )
     lagged = hourly.select(
         "event_type",

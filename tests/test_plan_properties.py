@@ -495,13 +495,17 @@ def test_ewma_scatter_is_equi_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the explode's direct child in the tree must be the rollup's final
-    # HashAggregate — i.e. the fan-out multiplies rollup rows, never the
-    # raw event scan
+    # the explode must fan out the rollup, never the raw event scan: its
+    # child is either the rollup's final HashAggregate or (since the r11
+    # rollup pin) the checkpointed rollup's RDD scan — NOT a parquet scan
     tree = plan.split("(1) Scan")[0].splitlines()
     gen_rows = [i for i, ln in enumerate(tree) if "Generate" in ln]
     assert gen_rows, plan
-    assert "HashAggregate" in tree[gen_rows[0] + 1], tree[gen_rows[0] : gen_rows[0] + 2]
+    below = "\n".join(tree[gen_rows[0] + 1 : gen_rows[0] + 3])
+    assert (
+        "HashAggregate" in below or "ExistingRDD" in below or "Filter" in below
+    ), tree[gen_rows[0] : gen_rows[0] + 3]
+    assert "Scan parquet" not in below, below
 
 
 def test_mad_anomaly_reuses_rollup_and_broadcasts_stats(spark):

@@ -1961,12 +1961,18 @@ def olap_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # consumed 5x (p, du, dv via deg, and both stats aggregates):
+        # unpinned, each consumer re-runs the lineitem self-join+distinct.
+        # Lazy: the single noop/collect action computes it once and the
+        # persisted blocks serve the other four paths -- no extra job.
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # |parts| rows, consumed 3x
     )
     du = deg.alias("du")
     dv = deg.alias("dv")

@@ -128,6 +128,57 @@ def test_bench_line_fits_driver_tail_capture():
         assert d[k] == big[k]
 
 
+def test_bench_line_keeps_canary_end_drift_signal():
+    """r12 (VERDICT r11 what's-wrong #1/#2): the end-of-suite canary
+    must survive compaction — degraded to its canary_s scalar when the
+    line is over budget, never silently dropped — so mid-suite box
+    drift stays adjudicable from the driver's tail capture."""
+    import json
+
+    from bench import compact_line
+
+    big = {
+        "metric": "batch_suite_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_some_longish_name": 1.234 for i in range(40)},
+        "canary": {"compute_s": 0.2, "shuffle_s": 0.5, "canary_s": 0.7},
+        "canary_end": {"compute_s": 0.4, "shuffle_s": 0.9, "canary_s": 1.3},
+        "sf": 0.1,
+        "streaming": {
+            "events_per_sec": 40000,
+            "dedup_events_per_sec": 100000,
+            "pipeline": "x" * 400,
+        },
+        "vs_prior_round": {
+            "baseline_file": "BENCH_r11.json",
+            "prior_total_s": 30.0,
+            "canary_ratio_vs_prior": 1.01,
+            "regressions_over_1_5x": {
+                f"r{i}": {"prior_s": 1, "now_s": 2, "ratio": 2.0}
+                for i in range(12)
+            },
+            "normalized_regressions_over_1_5x": {
+                f"r{i}": {"prior_norm": 1, "now_norm": 2, "ratio": 2.0}
+                for i in range(12)
+            },
+        },
+    }
+    line = compact_line(big)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert d[k] == big[k]
+    # both canaries visible; the end canary keeps at least canary_s
+    assert d["canary"]["canary_s"] == 0.7
+    assert d["canary_end"]["canary_s"] == 1.3
+    # a line already under budget keeps the full decomposition
+    small = {k: v for k, v in big.items() if k != "vs_prior_round"}
+    small["queries"] = {"q": 1.0}
+    d2 = json.loads(compact_line(small))
+    assert d2["canary_end"] == big["canary_end"]
+
+
 def test_bench_prior_salvages_r06_tail():
     """r07: BENCH_r06.json has parsed: null (its line outgrew the tail
     capture); _salvage_from_tail must recover the canary, the streaming

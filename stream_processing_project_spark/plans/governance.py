@@ -4657,9 +4657,10 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-period metric by the pre-period covariate, Y' = Y − θ(X − X̄),
     θ = cov(X,Y)/var(X) pooled over all users — the standard trick that
     cuts experiment runtimes by the covariate's R². Everything derives
-    from exact bigint sufficient statistics: one per-user rollup pass,
-    then a pooled 1-row aggregate (θ) and a per-arm aggregate, combined
-    by a broadcast of the 1-row θ. The per-arm adjusted mean and
+    from exact bigint sufficient statistics: one per-user rollup pass
+    into the per-arm aggregate; the pooled θ sums derive from the
+    per-arm rows by a full-frame window (Σ over arms of exact per-arm
+    bigint sums ≡ the pooled sums). The per-arm adjusted mean and
     variance use the CLOSED FORMS mean(Y)−θ(mean(X)−X̄) and
     var(Y)−2θcov(X,Y)+θ²var(X) — no per-row float adjustment is ever
     summed, so the result is partitioning-invariant and value-hash
@@ -4668,23 +4669,17 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     products are computed in doubles. Scale: fact scan + two tiny
     aggregates; θ broadcast."""
     u = _experiment_users(spark, sf_dir)
-    p = u.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    pnd = F.col("n").cast("double")
-    th = p.select(
-        (
-            (pnd * F.col("sxy").cast("double")
-             - F.col("sx").cast("double") * F.col("sy").cast("double"))
-            / (pnd * F.col("sxx").cast("double")
-               - F.col("sx").cast("double") * F.col("sx").cast("double"))
-        ).alias("theta"),
-        (F.col("sx").cast("double") / F.col("n")).alias("mean_x_all"),
-    )
+    # One fact scan, not two (r12, the welch-pattern sweep): the pooled
+    # θ statistics and the per-arm readout both consumed `u`, and
+    # Catalyst re-derived the whole per-user subtree per branch. The
+    # pooled sums instead derive from the per-arm rows by an
+    # unpartitioned full-frame window over the ≤ |arms| = 2 aggregate
+    # rows — Σ_users x ≡ Σ_arms Σ_arm x is an exact bigint identity, so
+    # θ/mean_x_all come out of the same integers by the same IEEE
+    # sequence as before, with no second subtree, no checkpoint barrier
+    # and no broadcast join. (A lazy-pin variant measured ~10% SLOWER
+    # at sf0.1 — the pin's materialization job serialized what the two
+    # branches ran in parallel; this form wins at both ends.)
     a = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -4693,12 +4688,26 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tn, tsx, tsy, tsxx, tsxy = (
+        F.sum(c).over(wall) for c in ("n", "sx", "sy", "sxx", "sxy")
+    )
+    pnd = tn.cast("double")
+    a = a.withColumn(
+        "theta",
+        (pnd * tsxy.cast("double")
+         - tsx.cast("double") * tsy.cast("double"))
+        / (pnd * tsxx.cast("double")
+           - tsx.cast("double") * tsx.cast("double")),
+    ).withColumn("mean_x_all", tsx.cast("double") / tn)
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     var_y = (nd * F.col("syy").cast("double") - syd * syd) / nd / (nd - 1)
     cov_xy = (nd * F.col("sxy").cast("double") - sxd * syd) / nd / (nd - 1)
     var_x = (nd * F.col("sxx").cast("double") - sxd * sxd) / nd / (nd - 1)
-    return a.crossJoin(F.broadcast(th)).select(
+    return a.select(
         "arm",
         F.col("n").alias("n_users"),
         "theta",
@@ -5239,7 +5248,12 @@ def experiment_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     B=24 rows. Guards: replicates where either arm's weight sum is 0
     are dropped by an exact integer compare (never fires beyond toy
     scales)."""
-    u = _experiment_users(spark, sf_dir)
+    # One fact scan, not two (r12, the welch-pattern sweep): the ×B
+    # replicate fan-out and the point-estimate aggregate both consumed
+    # the per-user rollup, and Catalyst re-derived the whole subtree per
+    # branch. Lazy pin: |users| slim rows, computed once at action time
+    # and served to both consumers.
+    u = _experiment_users(spark, sf_dir).localCheckpoint(eager=False)
     hex12 = F.substring(
         F.md5(
             F.concat(
@@ -5908,25 +5922,32 @@ def experiment_msprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").over(wcum).cast("bigint").alias("s"),
         F.sum("ss").over(wcum).cast("bigint").alias("ss"),
     )
-    c = cum.filter((F.col("arm") == 0) & (F.col("n") > 1)).select(
-        "day",
-        F.col("n").alias("n_c"),
-        F.col("s").alias("s_c"),
-        F.col("ss").alias("ss_c"),
-    )
-    tr = cum.filter((F.col("arm") == 1) & (F.col("n") > 1)).select(
-        F.col("day").alias("_d"),
-        F.col("n").alias("n_t"),
-        F.col("s").alias("s_t"),
-        F.col("ss").alias("ss_t"),
+    # Pivot the per-(day, arm) cumulative stats into one row per day
+    # with conditional max (r12, the welch-pattern sweep):
+    # filter(arm=0) ⨝ filter(arm=1) re-derived the whole
+    # daily-rollup-plus-window subtree per side — two full fact scans.
+    # max(when(arm=a, col)) over the SAME subtree keeps the exact
+    # bigints; the (n_c > 1 AND n_t > 1) guard reproduces the inner
+    # join exactly (a day missing an arm pivots to NULL → dropped, a
+    # day with n ≤ 1 on either side was filtered before the join).
+    wide = (
+        cum.groupBy("day")
+        .agg(
+            *[
+                F.max(F.when(F.col("arm") == a, F.col(col))).alias(
+                    f"{col}_{tag}"
+                )
+                for a, tag in ((0, "c"), (1, "t"))
+                for col in ("n", "s", "ss")
+            ]
+        )
+        .where((F.col("n_c") > 1) & (F.col("n_t") > 1))
     )
 
     def mv(n, s, ss):
         nd = F.col(n).cast("double")
         sd, ssd = F.col(s).cast("double"), F.col(ss).cast("double")
         return sd / F.col(n), (nd * ssd - sd * sd) / nd / (nd - 1)
-
-    wide = c.join(tr, c.day == F.col("_d")).drop("_d")
     mean_c, var_c = mv("n_c", "s_c", "ss_c")
     mean_t, var_t = mv("n_t", "s_t", "ss_t")
     se2 = var_c / F.col("n_c") + var_t / F.col("n_t")
@@ -7475,45 +7496,53 @@ def experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dp").cast("bigint").alias("sp"),
         F.sum(F.col("dp") * F.col("dp")).cast("bigint").alias("spp"),
     )
-    nd = F.col("n").cast("double")
+    # Pivot the 2-row per-arm stats into one row with conditional max
+    # (r12, the welch-pattern sweep — same rewrite as welch_ttest in
+    # r11): filter(arm=0) ⨯ filter(arm=1) re-derived the whole per-user
+    # aggregation subtree per side — two full fact scans. The pivoted
+    # bigints are the same values, the derived doubles use the same
+    # IEEE op order, and the missing-arm guard reproduces the cross
+    # join's empty result on degenerate corpora.
+    s = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(col))).alias(
+                f"{col}_{tag}"
+            )
+            for a, tag in ((0, "c"), (1, "t"))
+            for col in ("n", "sx", "sy", "sd", "sdd", "sp", "spp")
+        ]
+    ).where(F.col("n_c").isNotNull() & F.col("n_t").isNotNull())
 
-    def _var(ss: str, s1: str):  # matches welch's exact op order
+    def _mean(s1: str, tag: str):
+        return F.col(f"{s1}_{tag}").cast("double") / F.col(f"n_{tag}")
+
+    def _var(ss: str, s1: str, tag: str):  # matches welch's exact op order
+        nd = F.col(f"n_{tag}").cast("double")
         return (
             (
-                nd * F.col(ss).cast("double")
-                - F.col(s1).cast("double") * F.col(s1).cast("double")
+                nd * F.col(f"{ss}_{tag}").cast("double")
+                - F.col(f"{s1}_{tag}").cast("double")
+                * F.col(f"{s1}_{tag}").cast("double")
             )
             / nd
             / (nd - 1)
         )
 
-    w = s.select(
-        "arm",
-        "n",
-        (F.col("sx").cast("double") / F.col("n")).alias("mean_pre"),
-        (F.col("sy").cast("double") / F.col("n")).alias("mean_post"),
-        (F.col("sd").cast("double") / F.col("n")).alias("mean_d"),
-        _var("sdd", "sd").alias("var_d"),
-        (F.col("sp").cast("double") / F.col("n")).alias("mean_dp"),
-        _var("spp", "sp").alias("var_dp"),
-    )
-    c = w.filter(F.col("arm") == 0).select(
-        F.col("n").alias("n_control"),
-        F.col("mean_pre").alias("pre_control"),
-        F.col("mean_post").alias("post_control"),
-        F.col("mean_d").alias("mean_d_c"),
-        F.col("var_d").alias("var_d_c"),
-        F.col("mean_dp").alias("mean_dp_c"),
-        F.col("var_dp").alias("var_dp_c"),
-    )
-    tr = w.filter(F.col("arm") == 1).select(
-        F.col("n").alias("n_treat"),
-        F.col("mean_pre").alias("pre_treat"),
-        F.col("mean_post").alias("post_treat"),
-        F.col("mean_d").alias("mean_d_t"),
-        F.col("var_d").alias("var_d_t"),
-        F.col("mean_dp").alias("mean_dp_t"),
-        F.col("var_dp").alias("var_dp_t"),
+    wide = s.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treat"),
+        _mean("sx", "c").alias("pre_control"),
+        _mean("sy", "c").alias("post_control"),
+        _mean("sx", "t").alias("pre_treat"),
+        _mean("sy", "t").alias("post_treat"),
+        _mean("sd", "c").alias("mean_d_c"),
+        _var("sdd", "sd", "c").alias("var_d_c"),
+        _mean("sp", "c").alias("mean_dp_c"),
+        _var("spp", "sp", "c").alias("var_dp_c"),
+        _mean("sd", "t").alias("mean_d_t"),
+        _var("sdd", "sd", "t").alias("var_d_t"),
+        _mean("sp", "t").alias("mean_dp_t"),
+        _var("spp", "sp", "t").alias("var_dp_t"),
     )
     se2_d = F.col("var_d_t") / F.col("n_treat") + F.col("var_d_c") / F.col(
         "n_control"
@@ -7521,7 +7550,7 @@ def experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2_p = F.col("var_dp_t") / F.col("n_treat") + F.col("var_dp_c") / F.col(
         "n_control"
     )
-    return c.crossJoin(tr).select(
+    return wide.select(
         "n_control",
         "n_treat",
         "pre_control",

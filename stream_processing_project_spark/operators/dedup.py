@@ -101,7 +101,15 @@ def ngram_jaccard_pairs(
     # both join sides) — without it each branch re-tokenizes the corpus.
     # At 100 TB persist the CAPPED set (post-prune, much smaller) to
     # durable storage instead of executor memory.
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes is consumed by BOTH verify joins (renamed n_a / n_b), and the
+    # rename defeats exchange reuse — without the pin the |rare|-row
+    # aggregation pass runs twice (r12; Exchange mentions 11 -> 8 in the
+    # plan dump). Lazy: |docs| slim rows, computed at first action.
+    sizes = (
+        rare.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
     b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
     common = (

@@ -57,6 +57,7 @@ def bucketed_running_sum(
     n_buckets: int = 32,
     out_col: str = "cum",
     plan_offsets: bool = False,
+    pin_input: bool = True,
 ):
     """Global ordered running sum WITHOUT a single-partition window —
     the range-partitioned ranking idiom (r04; first used by
@@ -89,12 +90,13 @@ def bucketed_running_sum(
     back as a broadcast — bucketing-invariance is exactly what makes
     the sketchier in-plan boundary source legal (ANY monotone boundary
     set yields the same cumsum; only parallel balance varies, and the
-    percentile sketch keeps it balanced). The cost model flips: the
-    eager path scans `df` once cached + once final; this path scans its
-    lineage three times IN ONE JOB (bounds agg, per-bucket sums, main)
-    — choose it when `df` is cheap or checkpointed (sax's vals over a
-    checkpointed grid), keep the default when the lineage is a fact
-    pipeline worth caching once.
+    percentile sketch keeps it balanced). The construction reads its
+    input three times IN ONE JOB (bounds agg, per-bucket sums, main),
+    so the input is lazily pinned here (r12, VERDICT r11 task 7) and
+    all three reads serve from one computation at action time — every
+    plan_offsets consumer is single-pass on its input lineage. Pass
+    `pin_input=False` when `df` is ALREADY a checkpoint (sax's vals):
+    re-pinning a pinned frame would copy its blocks for nothing.
 
     The input is persisted for the CONSTRUCTION phase only (boundary
     sketch + per-range sums are driver actions; without the cache each
@@ -130,6 +132,8 @@ def bucketed_running_sum(
         *[F.col(c) for c in ties],
     ]
     if plan_offsets:
+        if pin_input:
+            df = df.localCheckpoint(eager=False)
         probes = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
         bounds_row = df.agg(
             F.array_sort(

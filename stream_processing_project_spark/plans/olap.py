@@ -5526,7 +5526,7 @@ def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = vals.agg(F.sum("c").cast("bigint").alias("n"))
     cum, bcol = bucketed_running_sum(
-        vals, "c", "v", out_col="cum", plan_offsets=True
+        vals, "c", "v", out_col="cum", plan_offsets=True, pin_input=False
     )
     buck = (
         cum.drop(bcol)

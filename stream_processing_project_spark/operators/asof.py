@@ -43,9 +43,14 @@ def asof_join(
     latest right row with right_ts <= left_ts per key (NULLs when no
     version precedes the left row). With ``tiebreak``, duplicate right
     versions at the same (key, ts) resolve to the greatest tiebreak
-    value; all value columns come from that same winning row (assuming
+    value; all value columns come from that same winning row ONLY IF
     right-side value columns are non-null — the carry is per-column
-    last(ignorenulls), as in the base operator)."""
+    last(ignorenulls), as in the base operator, so a NULL in the
+    winning row's value column leaks that column from the losing row
+    at the same (key, ts) and output columns can mix rows (ADVICE
+    r11). Callers using ``tiebreak`` must guarantee non-null value
+    columns (olap_asof_last_order's are NOT NULL by construction) or
+    pack the payload into a single struct column themselves."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]

@@ -114,7 +114,14 @@ def multi_pass_fuzzy_pairs(
     extra exchange plus two sorts, sort-based because first(<string>)
     can't hash-aggregate — is gone. Every row for a given (id_a, id_b)
     is byte-identical (texts and dist are functions of the pair), so
-    disjoint-union ≡ union+dedup exactly."""
+    disjoint-union ≡ union+dedup exactly.
+
+    PRECONDITION (ADVICE r11): `id_col` must be unique in `df`. The
+    disjoint-union equivalence replaces the old cross-pass pair dedup;
+    with duplicate ids a single pass can emit the same (id_a, id_b)
+    pair once per duplicate row, which the dropped dedup used to
+    collapse. Callers with non-unique ids must pre-dedup on id_col
+    (the registered linkage_fuzzy_parts passes p_partkey — a key)."""
     all_cols = list(dict.fromkeys(c for cols in passes for c in cols))
     slim = df.select(id_col, text_col, *all_cols).localCheckpoint(eager=False)
     parts = [

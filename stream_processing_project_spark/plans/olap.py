@@ -1941,13 +1941,14 @@ def olap_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic graph-analytics primitive the reference's engine cannot
     express. Built the scale-correct way: every edge is ORIENTED from
     its lower-(degree, id) endpoint to its higher one, so each triangle
-    is found exactly once at its lowest-degree vertex and the wedge
-    join fans out by ORIENTED out-degree, which is O(sqrt(|E|))-bounded
-    per node regardless of skew (a celebrity node with 10^6 undirected
-    neighbors has few OUT-edges because almost all its edges orient
-    toward it — the standard compact-forward / degree-ordering bound).
-    Wedge enumeration and closure are both equi-joins on node ids —
-    hash-partitionable, no broadcast of anything big; the final result
+    is found exactly once at its lowest-degree vertex and per-node work
+    is bounded by ORIENTED out-degree, which is O(sqrt(|E|)) regardless
+    of skew (a celebrity node with 10^6 undirected neighbors has few
+    OUT-edges because almost all its edges orient toward it — the
+    standard compact-forward / degree-ordering bound). The closure is
+    counted edge-at-a-time (|N_out(u) ∩ N_out(v)| per oriented edge via
+    adjacency arrays) so the wedge set is never materialized as rows —
+    equi-joins on node ids, hash-partitionable; the final result
     is one row of exact bigints (clustering_coeff is a single IEEE
     division of integer-valued doubles, bit-identical cross-engine)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1986,27 +1987,44 @@ def olap_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(u_first, F.col("p.u")).otherwise(F.col("p.v")).alias("a"),
             F.when(u_first, F.col("p.v")).otherwise(F.col("p.u")).alias("b"),
-            F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("db"),
         )
-        .localCheckpoint()  # oriented edges reused 3x in the wedge join
+        .localCheckpoint()  # oriented edges reused 3x (adj build + 2 joins)
     )
-    e1 = oe.alias("e1")
-    e2 = oe.alias("e2")
-    e3 = oe.alias("e3")
+    # Edge-iterator closure (r12, VERDICT r11 task 5): the former
+    # wedge-enumeration join (e1 ⨝ e2 on the pivot, then a closure
+    # equi-join against the edge list) MATERIALIZED AND SHUFFLED every
+    # wedge — 1.478e9 rows at sf1 for 12M edges — and that exchange was
+    # the measured wall (131–174 s/rep). Counting per EDGE instead:
+    # n_triangles = Σ over oriented edges (u,v) of |N(u) ∩ N(v)|, where
+    # N(x) is x's out-neighbor array — each triangle x<y<z (in the
+    # orientation's (degree, id) order) is found exactly once at its
+    # (x→y) edge with w=z in both lists, the same single-counting the
+    # (db, b)-ordered wedge pair encoded. The exchange now carries |E|
+    # rows whose array payloads total Σ d_out² elements — the same
+    # element count the wedge join shuffled as ROWS — so per-row
+    # serialization overhead drops by the average out-degree, and
+    # out-degrees stay O(√|E|) by the orientation bound, so no array
+    # blows up. adj is pinned: both join sides read one build.
+    adj = (
+        oe.groupBy("a")
+        .agg(F.collect_list("b").alias("nb"))
+        .localCheckpoint(eager=False)
+    )
     tri = (
-        e1.join(
-            e2,
-            (F.col("e2.a") == F.col("e1.a"))
-            & (
-                F.struct(F.col("e1.db"), F.col("e1.b"))
-                < F.struct(F.col("e2.db"), F.col("e2.b"))
-            ),
+        oe.join(
+            adj.select(F.col("a").alias("_u"), F.col("nb").alias("nb_u")),
+            F.col("a") == F.col("_u"),
         )
         .join(
-            e3,
-            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+            adj.select(F.col("a").alias("_v"), F.col("nb").alias("nb_v")),
+            F.col("b") == F.col("_v"),
         )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("nt"))
+        .agg(
+            F.coalesce(F.sum("nt"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
